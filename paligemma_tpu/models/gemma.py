@@ -1,0 +1,176 @@
+"""Gemma decoder — functional JAX with a preallocated KV cache, TPU-first.
+
+Capabilities mirror the reference decoder (ref: modeling_gemma.py): token
+embedding scaled by sqrt(hidden) (ref: 510-511), N pre-norm blocks of
+GQA attention (RoPE half-split) + GeGLU MLP, final RMSNorm, tied bias-free
+LM head. Design differences (intentional, TPU-native):
+
+* KV cache is a preallocated array pair ``(L, B, max_seq, n_kv, head_dim)``
+  updated with ``lax.dynamic_update_slice`` at a traced write offset — the
+  reference's Python-list-of-tensors + torch.cat reallocation
+  (ref: modeling_gemma.py:8-64) is O(seq) per step per layer and cannot jit.
+* One RoPE table per step, shared by all layers (the reference instantiates
+  a RoPE module per layer, ref: modeling_gemma.py:238-242).
+* GQA runs grouped (ops.attention.gqa) — no repeat_kv materialization
+  (ref: modeling_gemma.py:185-196).
+* The LM head is the transposed embedding (tied), with NO bias: the
+  reference constructs ``nn.Linear(hidden, vocab)`` with a default bias that
+  never receives checkpoint weights (ref: modeling_gemma.py:484, a bug vs
+  HF); we follow HF semantics.
+* Layer stack runs under ``lax.scan`` over stacked params — fast compiles
+  and a natural ``jax.checkpoint`` (remat) boundary for training.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import GemmaConfig
+from ..ops import attention
+from ..ops.activations import geglu
+from ..ops.norms import rms_norm
+from ..ops.rope import apply_rope, rope_cos_sin
+
+Params = Dict[str, Any]
+KVCache = Dict[str, jnp.ndarray]  # {"k": (L,B,S,n_kv,d), "v": (L,B,S,n_kv,d)}
+
+
+# ---------------------------------------------------------------------------
+# Params
+# ---------------------------------------------------------------------------
+def init_params(key: jax.Array, cfg: GemmaConfig, dtype=jnp.float32) -> Params:
+    h = cfg.hidden_size
+    inter = cfg.intermediate_size
+    hq = cfg.num_attention_heads * cfg.head_dim
+    hkv = cfg.num_key_value_heads * cfg.head_dim
+    n_layers = cfg.num_hidden_layers
+    k_embed, k_layers = jax.random.split(key)
+
+    def one_layer(k):
+        ks = jax.random.split(k, 7)
+        s = h**-0.5
+        return {
+            "input_norm": jnp.zeros((h,), dtype),  # Gemma (1+w) => zero init
+            "attn": {
+                "q": jax.random.normal(ks[0], (h, hq), dtype) * s,
+                "k": jax.random.normal(ks[1], (h, hkv), dtype) * s,
+                "v": jax.random.normal(ks[2], (h, hkv), dtype) * s,
+                "o": jax.random.normal(ks[3], (hq, h), dtype) * (hq**-0.5),
+            },
+            "post_norm": jnp.zeros((h,), dtype),
+            "mlp": {
+                "gate": jax.random.normal(ks[4], (h, inter), dtype) * s,
+                "up": jax.random.normal(ks[5], (h, inter), dtype) * s,
+                "down": jax.random.normal(ks[6], (inter, h), dtype) * (inter**-0.5),
+            },
+        }
+
+    layer_keys = jax.random.split(k_layers, n_layers)
+    layers = jax.tree.map(lambda *xs: jnp.stack(xs), *[one_layer(k) for k in layer_keys])
+    return {
+        "embed": jax.random.normal(k_embed, (cfg.vocab_size, h), dtype) * 0.02,
+        "layers": layers,
+        "final_norm": jnp.zeros((h,), dtype),
+    }
+
+
+def init_kv_cache(
+    cfg: GemmaConfig, batch: int, max_seq: int, dtype=jnp.float32
+) -> KVCache:
+    shape = (cfg.num_hidden_layers, batch, max_seq, cfg.num_key_value_heads, cfg.head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+def _decoder_block(
+    cfg: GemmaConfig,
+    x: jnp.ndarray,  # (B, S, H)
+    lp: Params,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    k_cache: jnp.ndarray,  # (B, max_seq, n_kv, d)
+    v_cache: jnp.ndarray,
+    cache_pos: jnp.ndarray,  # scalar int32: write offset into the cache
+    mask: jnp.ndarray,  # (B, 1, S, max_seq) additive fp32
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    b, s, _ = x.shape
+    nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+
+    residual = x
+    y = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
+    q = (y @ lp["attn"]["q"]).reshape(b, s, nh, hd)
+    k = (y @ lp["attn"]["k"]).reshape(b, s, nkv, hd)
+    v = (y @ lp["attn"]["v"]).reshape(b, s, nkv, hd)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    # Cache write at a traced offset — replaces the torch.cat append
+    # (ref: modeling_gemma.py:54-55).
+    zero = jnp.zeros((), jnp.int32)
+    k_cache = jax.lax.dynamic_update_slice(
+        k_cache, k.astype(k_cache.dtype), (zero, cache_pos, zero, zero)
+    )
+    v_cache = jax.lax.dynamic_update_slice(
+        v_cache, v.astype(v_cache.dtype), (zero, cache_pos, zero, zero)
+    )
+
+    a = attention.gqa(q, k_cache.astype(q.dtype), v_cache.astype(q.dtype), mask,
+                      scale=hd**-0.5)
+    a = a.reshape(b, s, nh * hd) @ lp["attn"]["o"]
+    x = residual + a
+
+    residual = x
+    y = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
+    y = geglu(y, lp["mlp"]["gate"], lp["mlp"]["up"], lp["mlp"]["down"])
+    return residual + y, k_cache, v_cache
+
+
+def forward(
+    params: Params,
+    cfg: GemmaConfig,
+    input_embeds: jnp.ndarray,  # (B, S, H) — pre-merged (VLM injects image embeds)
+    position_ids: jnp.ndarray,  # (B, S) int32
+    kv_cache: KVCache,
+    cache_pos: jnp.ndarray,  # scalar int32 write offset
+    kv_valid: jnp.ndarray,  # (B, max_seq) bool: attendable cache slots AFTER write
+    remat: bool = False,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Run the decoder stack. Returns (fp32 logits (B,S,vocab), new cache).
+
+    Masking: PaliGemma prefix-LM semantics — queries attend to every *valid*
+    cache slot, bidirectionally during prefill and over [0, len) during
+    decode (the reference materializes all-zero masks for both phases,
+    ref: modeling_paligemma.py:149-169; padding never occurs at B=1 there).
+    ``kv_valid`` generalizes this to padded batches.
+    """
+    dtype = input_embeds.dtype
+    normalizer = jnp.asarray(cfg.hidden_size**0.5, dtype)
+    x = input_embeds * normalizer
+
+    cos, sin = rope_cos_sin(position_ids, cfg.head_dim, cfg.rope_theta, dtype)
+    s = input_embeds.shape[1]
+    mask = attention.make_additive_mask(
+        jnp.broadcast_to(kv_valid[:, None, :], (kv_valid.shape[0], s, kv_valid.shape[1]))
+    )
+
+    block = functools.partial(_decoder_block, cfg)
+    if remat:
+        block = jax.checkpoint(block)
+
+    def body(h, layer):
+        lp, kc, vc = layer
+        h, kc, vc = block(h, lp, cos, sin, kc, vc, cache_pos, mask)
+        return h, (kc, vc)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        body, x, (params["layers"], kv_cache["k"], kv_cache["v"])
+    )
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    logits = (x @ params["embed"].T.astype(dtype)).astype(jnp.float32)
+    return logits, {"k": new_k, "v": new_v}

@@ -1,0 +1,148 @@
+"""PaliGemma multimodal composition — functional JAX, TPU-first.
+
+Capabilities mirror the reference top model (ref: modeling_paligemma.py):
+SigLIP tower -> bias-free linear projector -> merge projected image features
+(scaled by projection_dim**-0.5, ref: modeling_paligemma.py:116-117) into the
+token-embedding sequence at <image>-token slots -> Gemma decoder.
+
+Design differences (intentional, TPU-native):
+
+* The vision tower runs exactly ONCE, at prefill. The reference re-runs the
+  full 27-layer tower + projector on every decode step even though the
+  result is discarded (ref: modeling_paligemma.py:281-282 with q_len==1) —
+  here prefill and decode are separate jitted functions and decode never
+  touches pixels.
+* Merging uses a per-row gather instead of torch.masked_scatter
+  (ref: modeling_paligemma.py:121): identical placement semantics for
+  aligned batches (each row receives its own image's features in order).
+* Works for any batch size; the reference asserts B == 1
+  (ref: processing_paligemma.py:174, inference.py:69).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import PaliGemmaConfig
+from . import gemma, siglip
+
+Params = Dict[str, Any]
+
+
+def init_params(key: jax.Array, cfg: PaliGemmaConfig, dtype=jnp.float32) -> Params:
+    kv, kt, kp = jax.random.split(key, 3)
+    return {
+        "vision": siglip.init_params(kv, cfg.vision_config, dtype),
+        "projector": {
+            "kernel": jax.random.normal(
+                kp, (cfg.vision_config.hidden_size, cfg.projection_dim), dtype
+            )
+            * cfg.vision_config.hidden_size**-0.5
+        },
+        "lm": gemma.init_params(kt, cfg.text_config, dtype),
+    }
+
+
+def project_image_features(params: Params, image_features: jnp.ndarray) -> jnp.ndarray:
+    """Bias-free linear projection to text-embedding space
+    (ref: modeling_paligemma.py:52-65)."""
+    return image_features @ params["projector"]["kernel"]
+
+
+def merge_embeddings(
+    cfg: PaliGemmaConfig,
+    input_ids: jnp.ndarray,  # (B, S) int32
+    text_embeds: jnp.ndarray,  # (B, S, H) — embedding lookup of input_ids
+    image_embeds: jnp.ndarray,  # (B, N_img, H) — projected image features
+) -> jnp.ndarray:
+    """Build the merged sequence (ref: modeling_paligemma.py:99-128).
+
+    text slots keep their embedding; <image> slots receive the n-th image
+    feature scaled by projection_dim**-0.5; pad slots are zeroed.
+    """
+    is_pad = input_ids == cfg.pad_token_id
+    is_image = input_ids == cfg.image_token_index
+
+    scale = cfg.projection_dim**-0.5
+    scaled_img = (image_embeds * scale).astype(text_embeds.dtype)
+
+    # n-th image token in each row <- n-th image feature of that row
+    # (masked_scatter semantics for aligned batches).
+    img_slot = jnp.cumsum(is_image.astype(jnp.int32), axis=-1) - 1  # (B, S)
+    img_slot = jnp.clip(img_slot, 0, scaled_img.shape[1] - 1)
+    gathered = jnp.take_along_axis(scaled_img, img_slot[:, :, None], axis=1)
+
+    merged = jnp.where(is_image[:, :, None], gathered, text_embeds)
+    merged = jnp.where(is_pad[:, :, None], jnp.zeros_like(merged), merged)
+    return merged
+
+
+def prefill_position_ids(attention_mask: jnp.ndarray) -> jnp.ndarray:
+    """Positions = cumsum over the validity mask, pads forced to 1
+    (1-indexed; ref: modeling_paligemma.py:193-195)."""
+    pos = jnp.cumsum(attention_mask.astype(jnp.int32), axis=-1)
+    return jnp.where(attention_mask == 0, 1, pos)
+
+
+def prefill(
+    params: Params,
+    cfg: PaliGemmaConfig,
+    pixel_values: jnp.ndarray,  # (B, C, H, W)
+    input_ids: jnp.ndarray,  # (B, S)
+    attention_mask: jnp.ndarray,  # (B, S) 1=real token
+    kv_cache: gemma.KVCache,
+) -> Tuple[jnp.ndarray, gemma.KVCache]:
+    """Vision encode + merge + decoder prefill. Returns (logits, cache)."""
+    dtype = params["lm"]["embed"].dtype
+    image_features = siglip.encode(
+        params["vision"], cfg.vision_config, pixel_values.astype(dtype)
+    )
+    image_embeds = project_image_features(params, image_features)
+
+    text_embeds = params["lm"]["embed"][input_ids]
+    merged = merge_embeddings(cfg, input_ids, text_embeds, image_embeds)
+
+    position_ids = prefill_position_ids(attention_mask)
+    max_seq = kv_cache["k"].shape[2]
+    s = input_ids.shape[1]
+    # Valid cache slots after the prefill write: the prompt's real tokens.
+    kv_valid = jnp.zeros((input_ids.shape[0], max_seq), bool)
+    kv_valid = jax.lax.dynamic_update_slice(
+        kv_valid, attention_mask.astype(bool), (jnp.zeros((), jnp.int32),) * 2
+    )
+    logits, kv_cache = gemma.forward(
+        params["lm"],
+        cfg.text_config,
+        merged,
+        position_ids,
+        kv_cache,
+        cache_pos=jnp.zeros((), jnp.int32),
+        kv_valid=kv_valid,
+    )
+    return logits, kv_cache
+
+
+def decode_step(
+    params: Params,
+    cfg: PaliGemmaConfig,
+    token: jnp.ndarray,  # (B,) int32 — last sampled token
+    kv_cache: gemma.KVCache,
+    cache_pos: jnp.ndarray,  # scalar int32: index this token is written at
+    kv_valid: jnp.ndarray,  # (B, max_seq) bool incl. this token's slot
+    position_ids: jnp.ndarray,  # (B,) int32 RoPE position of this token
+) -> Tuple[jnp.ndarray, gemma.KVCache]:
+    """Single-token decode. Returns ((B, vocab) logits, new cache)."""
+    embeds = params["lm"]["embed"][token][:, None, :]  # (B, 1, H)
+    logits, kv_cache = gemma.forward(
+        params["lm"],
+        cfg.text_config,
+        embeds,
+        position_ids[:, None],
+        kv_cache,
+        cache_pos=cache_pos,
+        kv_valid=kv_valid,
+    )
+    return logits[:, 0, :], kv_cache
