@@ -47,9 +47,15 @@ def init_params(key: jax.Array, cfg: PaliGemmaConfig, dtype=jnp.float32) -> Para
 
 
 def project_image_features(params: Params, image_features: jnp.ndarray) -> jnp.ndarray:
-    """Bias-free linear projection to text-embedding space
-    (ref: modeling_paligemma.py:52-65)."""
-    return image_features @ params["projector"]["kernel"]
+    """Linear projection to text-embedding space (ref: modeling_paligemma.py:52-65).
+
+    The reference builds this bias-free; the HF checkpoint ships a bias
+    (which the reference silently drops via strict=False). We apply the bias
+    when present, matching HF."""
+    out = image_features @ params["projector"]["kernel"]
+    if "bias" in params["projector"]:
+        out = out + params["projector"]["bias"]
+    return out
 
 
 def merge_embeddings(
