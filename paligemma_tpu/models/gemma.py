@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from ..core.config import GemmaConfig
 from ..ops import attention
-from ..ops.activations import geglu
+from ..ops.activations import gelu_tanh
 from ..ops.norms import rms_norm
 from ..ops.rope import apply_rope, rope_cos_sin
 
@@ -88,46 +88,68 @@ def init_kv_cache(
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------
+def _lora_delta(y: jnp.ndarray, lora_lp: Optional[Params], name: str) -> jnp.ndarray:
+    """Low-rank update ``y @ A @ B * (alpha/r)`` for projection ``name``, or 0.
+
+    LoRA runs un-merged: two skinny matmuls per target instead of
+    materializing W + AB (the rank-r path is free next to the base GEMMs).
+    Mirrors the reference Q-LoRA targets q/k/v/o/gate/up/down
+    (ref: Paligemma_FT.ipynb cell 41).
+    """
+    if lora_lp is None or name not in lora_lp:
+        return 0.0
+    a, b = lora_lp[name]["a"], lora_lp[name]["b"]
+    scale = lora_lp[name]["alpha"] / a.shape[-1]
+    return ((y @ a) @ b) * jnp.asarray(scale, y.dtype)
+
+
 def _decoder_block(
     cfg: GemmaConfig,
     x: jnp.ndarray,  # (B, S, H)
     lp: Params,
     cos: jnp.ndarray,
     sin: jnp.ndarray,
-    k_cache: jnp.ndarray,  # (B, max_seq, n_kv, d)
-    v_cache: jnp.ndarray,
-    cache_pos: jnp.ndarray,  # scalar int32: write offset into the cache
-    mask: jnp.ndarray,  # (B, 1, S, max_seq) additive fp32
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    k_cache: Optional[jnp.ndarray],  # (B, max_seq, n_kv, d) or None (train)
+    v_cache: Optional[jnp.ndarray],
+    cache_pos: Optional[jnp.ndarray],  # scalar int32: write offset into the cache
+    mask: jnp.ndarray,  # (B, 1, S, Sk) additive fp32
+    lora_lp: Optional[Params] = None,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
     b, s, _ = x.shape
     nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
     residual = x
     y = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
-    q = (y @ lp["attn"]["q"]).reshape(b, s, nh, hd)
-    k = (y @ lp["attn"]["k"]).reshape(b, s, nkv, hd)
-    v = (y @ lp["attn"]["v"]).reshape(b, s, nkv, hd)
+    q = (y @ lp["attn"]["q"] + _lora_delta(y, lora_lp, "q")).reshape(b, s, nh, hd)
+    k = (y @ lp["attn"]["k"] + _lora_delta(y, lora_lp, "k")).reshape(b, s, nkv, hd)
+    v = (y @ lp["attn"]["v"] + _lora_delta(y, lora_lp, "v")).reshape(b, s, nkv, hd)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
-    # Cache write at a traced offset — replaces the torch.cat append
-    # (ref: modeling_gemma.py:54-55).
-    zero = jnp.zeros((), jnp.int32)
-    k_cache = jax.lax.dynamic_update_slice(
-        k_cache, k.astype(k_cache.dtype), (zero, cache_pos, zero, zero)
-    )
-    v_cache = jax.lax.dynamic_update_slice(
-        v_cache, v.astype(v_cache.dtype), (zero, cache_pos, zero, zero)
-    )
+    if k_cache is not None:
+        # Cache write at a traced offset — replaces the torch.cat append
+        # (ref: modeling_gemma.py:54-55).
+        zero = jnp.zeros((), jnp.int32)
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k.astype(k_cache.dtype), (zero, cache_pos, zero, zero)
+        )
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v.astype(v_cache.dtype), (zero, cache_pos, zero, zero)
+        )
+        k_att, v_att = k_cache.astype(q.dtype), v_cache.astype(q.dtype)
+    else:
+        k_att, v_att = k, v
 
-    a = attention.gqa(q, k_cache.astype(q.dtype), v_cache.astype(q.dtype), mask,
-                      scale=hd**-0.5)
-    a = a.reshape(b, s, nh * hd) @ lp["attn"]["o"]
-    x = residual + a
+    a = attention.gqa(q, k_att, v_att, mask, scale=hd**-0.5)
+    a = a.reshape(b, s, nh * hd)
+    x = residual + (a @ lp["attn"]["o"] + _lora_delta(a, lora_lp, "o"))
 
     residual = x
     y = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
-    y = geglu(y, lp["mlp"]["gate"], lp["mlp"]["up"], lp["mlp"]["down"])
+    gate = gelu_tanh(y @ lp["mlp"]["gate"] + _lora_delta(y, lora_lp, "gate"))
+    up = y @ lp["mlp"]["up"] + _lora_delta(y, lora_lp, "up")
+    gu = gate * up
+    y = gu @ lp["mlp"]["down"] + _lora_delta(gu, lora_lp, "down")
     return residual + y, k_cache, v_cache
 
 
@@ -174,3 +196,45 @@ def forward(
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     logits = (x @ params["embed"].T.astype(dtype)).astype(jnp.float32)
     return logits, {"k": new_k, "v": new_v}
+
+
+def forward_train(
+    params: Params,
+    cfg: GemmaConfig,
+    input_embeds: jnp.ndarray,  # (B, S, H)
+    position_ids: jnp.ndarray,  # (B, S)
+    pairwise_valid: jnp.ndarray,  # (B, S, S) bool: q row may attend k col
+    lora: Optional[Params] = None,
+    remat: bool = True,
+) -> jnp.ndarray:
+    """No-cache forward for training (prefix-LM mask: bidirectional prefix +
+    causal suffix, built by the caller). Returns fp32 logits (B, S, vocab).
+
+    ``remat=True`` applies jax.checkpoint per decoder block — the gradient
+    checkpointing the reference README advertises but never implements
+    (ref: README.md:20, absent from the FT notebook).
+    """
+    dtype = input_embeds.dtype
+    x = input_embeds * jnp.asarray(cfg.hidden_size**0.5, dtype)
+    cos, sin = rope_cos_sin(position_ids, cfg.head_dim, cfg.rope_theta, dtype)
+    mask = attention.make_additive_mask(pairwise_valid)
+
+    def block(h, lp, lora_lp):
+        h, _, _ = _decoder_block(cfg, h, lp, cos, sin, None, None, None, mask, lora_lp)
+        return h
+
+    if remat:
+        block = jax.checkpoint(block)
+
+    if lora is not None:
+        def body(h, layer):
+            lp, lora_lp = layer
+            return block(h, lp, lora_lp), None
+        x, _ = jax.lax.scan(body, x, (params["layers"], lora["layers"]))
+    else:
+        def body(h, lp):
+            return block(h, lp, None), None
+        x, _ = jax.lax.scan(body, x, params["layers"])
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    return (x @ params["embed"].T.astype(dtype)).astype(jnp.float32)

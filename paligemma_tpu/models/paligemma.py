@@ -131,6 +131,48 @@ def prefill(
     return logits, kv_cache
 
 
+def train_attention_mask(
+    attention_mask: jnp.ndarray,  # (B, S) 1=real token
+    token_type_ids: jnp.ndarray,  # (B, S) 0=prefix (image+prompt), 1=suffix
+) -> jnp.ndarray:
+    """PaliGemma training mask: bidirectional over the prefix, causal over
+    the suffix (the convention the reference trains under via HF,
+    ref: Paligemma_FT.ipynb cell 27's token_type_ids). Returns (B,S,S) bool."""
+    valid_k = attention_mask.astype(bool)[:, None, :]  # (B, 1, S)
+    is_prefix_k = (token_type_ids == 0)[:, None, :]  # (B, 1, S)
+    s = attention_mask.shape[1]
+    causal = (
+        jnp.arange(s)[None, :, None] >= jnp.arange(s)[None, None, :]
+    )  # (1, S, S): q >= k
+    return valid_k & (is_prefix_k | causal)
+
+
+def forward_train(
+    params: Params,
+    cfg: PaliGemmaConfig,
+    pixel_values: jnp.ndarray,  # (B, C, H, W)
+    input_ids: jnp.ndarray,  # (B, S)
+    attention_mask: jnp.ndarray,  # (B, S)
+    token_type_ids: jnp.ndarray,  # (B, S) 0=prefix, 1=suffix
+    lora: Optional[Dict[str, Any]] = None,
+    remat: bool = True,
+) -> jnp.ndarray:
+    """Supervised forward (no KV cache): returns fp32 logits (B, S, vocab)."""
+    dtype = params["lm"]["embed"].dtype
+    image_features = siglip.encode(
+        params["vision"], cfg.vision_config, pixel_values.astype(dtype)
+    )
+    image_embeds = project_image_features(params, image_features)
+    text_embeds = params["lm"]["embed"][input_ids]
+    merged = merge_embeddings(cfg, input_ids, text_embeds, image_embeds)
+    position_ids = prefill_position_ids(attention_mask)
+    pairwise = train_attention_mask(attention_mask, token_type_ids)
+    return gemma.forward_train(
+        params["lm"], cfg.text_config, merged, position_ids, pairwise,
+        lora=lora, remat=remat,
+    )
+
+
 def decode_step(
     params: Params,
     cfg: PaliGemmaConfig,

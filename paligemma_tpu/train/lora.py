@@ -1,0 +1,83 @@
+"""LoRA adapters for the Gemma decoder.
+
+Mirrors the reference Q-LoRA setup (ref: Paligemma_FT.ipynb cell 41):
+rank r=8, alpha=8, targets q/k/v/o/gate/up/down projections of every decoder
+layer. Adapters are a separate pytree (stacked over layers, matching the
+scanned base params) threaded through the forward un-merged — two skinny
+matmuls per target — so only the adapter tree receives gradients and
+optimizer state.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import GemmaConfig
+
+DEFAULT_TARGETS = ("q", "k", "v", "o", "gate", "up", "down")
+
+
+def _target_dims(cfg: GemmaConfig, name: str) -> Tuple[int, int]:
+    h = cfg.hidden_size
+    hq = cfg.num_attention_heads * cfg.head_dim
+    hkv = cfg.num_key_value_heads * cfg.head_dim
+    return {
+        "q": (h, hq),
+        "k": (h, hkv),
+        "v": (h, hkv),
+        "o": (hq, h),
+        "gate": (h, cfg.intermediate_size),
+        "up": (h, cfg.intermediate_size),
+        "down": (cfg.intermediate_size, h),
+    }[name]
+
+
+def init_lora(
+    key: jax.Array,
+    cfg: GemmaConfig,
+    rank: int = 8,
+    alpha: float = 8.0,
+    targets: Sequence[str] = DEFAULT_TARGETS,
+    dtype=jnp.float32,
+) -> Dict[str, Any]:
+    """A: gaussian/sqrt(in), B: zeros (standard LoRA init — delta starts at 0)."""
+    n_layers = cfg.num_hidden_layers
+    layers = {}
+    for t_idx, name in enumerate(targets):
+        in_dim, out_dim = _target_dims(cfg, name)
+        k = jax.random.fold_in(key, t_idx)
+        layers[name] = {
+            "a": jax.random.normal(k, (n_layers, in_dim, rank), dtype) * (in_dim**-0.5),
+            "b": jnp.zeros((n_layers, rank, out_dim), dtype),
+            "alpha": jnp.full((n_layers,), alpha, dtype),
+        }
+    return {"layers": layers}
+
+
+def num_trainable_params(lora: Dict[str, Any]) -> int:
+    leaves = [x.size for name, p in lora["layers"].items() for x in (p["a"], p["b"])]
+    return sum(leaves)
+
+
+def merge_lora(
+    base_lm_params: Dict[str, Any], lora: Dict[str, Any]
+) -> Dict[str, Any]:
+    """Fold adapters into the base weights (for export / fast inference)."""
+    merged = jax.tree.map(lambda x: x, base_lm_params)  # shallow copy tree
+    layers = dict(merged["layers"])
+    attn = dict(layers["attn"])
+    mlp = dict(layers["mlp"])
+    for name, p in lora["layers"].items():
+        scale = (p["alpha"] / p["a"].shape[-1])[:, None, None]
+        delta = jnp.einsum("lir,lro->lio", p["a"], p["b"]) * scale
+        if name in ("q", "k", "v", "o"):
+            attn[name] = attn[name] + delta.astype(attn[name].dtype)
+        else:
+            mlp[name] = mlp[name] + delta.astype(mlp[name].dtype)
+    layers["attn"] = attn
+    layers["mlp"] = mlp
+    merged["layers"] = layers
+    return merged

@@ -1,0 +1,175 @@
+"""Training driver: AdamW + grad clipping + gradient accumulation + remat,
+data-parallel/TP over a device mesh.
+
+TPU-native counterpart of the reference fine-tune stack
+(ref: Paligemma_FT.ipynb cells 38-47: Lightning AdamW lr=1e-4, grad-accum 8,
+clip 1.0, mixed precision) and of its DDP demo (ref: test.py): instead of
+one-process-per-device gradient hooks, the step is one ``jax.jit`` over a
+``Mesh`` — batch sharded on the ``data`` axis, weights optionally TP-sharded
+on ``model``; XLA emits the gradient all-reduce over ICI.
+
+Two modes:
+* full fine-tune with frozen vision tower + projector (the reference's
+  commented "full FT" variant, ref: FT notebook cell 40);
+* LoRA: only adapter params get gradients/optimizer state (ref: cell 41).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core import mesh as mesh_lib
+from ..core.config import PaliGemmaConfig
+from ..models import paligemma
+from . import losses, lora as lora_lib
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 1e-4
+    weight_decay: float = 0.0
+    grad_clip: float = 1.0
+    grad_accum_steps: int = 1
+    warmup_steps: int = 0
+    lora_rank: Optional[int] = 8  # None => full fine-tune of the LM
+    lora_alpha: float = 8.0
+    freeze_vision: bool = True  # reference full-FT freezes vision+projector
+    remat: bool = True
+
+
+def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
+    if tc.warmup_steps > 0:
+        lr = optax.linear_schedule(0.0, tc.learning_rate, tc.warmup_steps)
+    else:
+        lr = tc.learning_rate
+    opt = optax.chain(
+        optax.clip_by_global_norm(tc.grad_clip),
+        optax.adamw(lr, weight_decay=tc.weight_decay),
+    )
+    if tc.grad_accum_steps > 1:
+        opt = optax.MultiSteps(opt, tc.grad_accum_steps)
+    return opt
+
+
+class Trainer:
+    """Builds a jitted, mesh-sharded train step.
+
+    Batch dict: pixel_values (B,C,H,W), input_ids (B,S), attention_mask (B,S),
+    token_type_ids (B,S) [0=prefix, 1=suffix], labels (B,S) with -100 ignore.
+    """
+
+    def __init__(
+        self,
+        params: Dict[str, Any],
+        config: PaliGemmaConfig,
+        train_config: TrainConfig = TrainConfig(),
+        mesh: Optional[Mesh] = None,
+        rng: Optional[jax.Array] = None,
+    ):
+        self.config = config
+        self.tc = train_config
+        self.mesh = mesh
+        tc = train_config
+
+        if tc.lora_rank is not None:
+            rng = rng if rng is not None else jax.random.PRNGKey(0)
+            self.lora = lora_lib.init_lora(
+                rng, config.text_config, tc.lora_rank, tc.lora_alpha
+            )
+        else:
+            self.lora = None
+
+        self.params = params
+        self.opt = make_optimizer(tc)
+        self.opt_state = self.opt.init(self._trainable(params, self.lora))
+
+        if mesh is not None:
+            pspecs = mesh_lib.param_specs(params)
+            self.params = jax.tree.map(
+                lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, pspecs
+            )
+            if self.lora is not None:
+                lspecs = mesh_lib.lora_specs(self.lora)
+                self.lora = jax.tree.map(
+                    lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+                    self.lora, lspecs,
+                )
+            # optimizer state mirrors trainable sharding; re-init on device
+            self.opt_state = self.opt.init(self._trainable(self.params, self.lora))
+
+        self._step = self._build_step()
+
+    # ------------------------------------------------------------------
+    def _trainable(self, params, lora):
+        if self.tc.lora_rank is not None:
+            return lora
+        if self.tc.freeze_vision:
+            return {"lm": params["lm"]}
+        return params
+
+    def _with_trainable(self, params, lora, trainable):
+        """Reassemble full (params, lora) with the trainable subtree swapped in."""
+        if self.tc.lora_rank is not None:
+            return params, trainable
+        if self.tc.freeze_vision:
+            return {**params, "lm": trainable["lm"]}, lora
+        return trainable, lora
+
+    def _build_step(self) -> Callable:
+        cfg = self.config
+        tc = self.tc
+        opt = self.opt
+
+        def loss_fn(trainable, params, lora, batch):
+            p, l = self._with_trainable(params, lora, trainable)
+            logits = paligemma.forward_train(
+                p, cfg,
+                batch["pixel_values"], batch["input_ids"],
+                batch["attention_mask"], batch["token_type_ids"],
+                lora=l, remat=tc.remat,
+            )
+            return losses.causal_lm_loss(logits, batch["labels"], cfg.ignore_index)
+
+        def step(params, lora, opt_state, batch):
+            trainable = self._trainable(params, lora)
+            loss, grads = jax.value_and_grad(loss_fn)(trainable, params, lora, batch)
+            updates, opt_state = opt.update(grads, opt_state, trainable)
+            trainable = optax.apply_updates(trainable, updates)
+            params, lora = self._with_trainable(params, lora, trainable)
+            return params, lora, opt_state, loss
+
+        if self.mesh is not None:
+            batch_sharding = NamedSharding(self.mesh, P("data"))
+            jitted = jax.jit(step)
+
+            def sharded_step(params, lora, opt_state, batch):
+                batch = {
+                    k: jax.device_put(
+                        v, NamedSharding(self.mesh, P("data", *([None] * (v.ndim - 1))))
+                    )
+                    for k, v in batch.items()
+                }
+                return jitted(params, lora, opt_state, batch)
+
+            return sharded_step
+        return jax.jit(step)
+
+    # ------------------------------------------------------------------
+    def train_step(self, batch: Dict[str, jnp.ndarray]) -> float:
+        self.params, self.lora, self.opt_state, loss = self._step(
+            self.params, self.lora, self.opt_state, batch
+        )
+        return float(loss)
+
+    def merged_params(self) -> Dict[str, Any]:
+        """Export params with LoRA folded in (for the inference engine)."""
+        if self.lora is None:
+            return self.params
+        return {**self.params, "lm": lora_lib.merge_lora(self.params["lm"], self.lora)}
