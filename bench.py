@@ -1,0 +1,106 @@
+"""Benchmark: PaliGemma-3B-pt-224 (bf16, random weights) on the local chip.
+
+Prints ONE JSON line: decode tokens/sec for batch-1 KV-cached greedy decode
+(the reference's core workload, ref: inference.py:51-87 — which runs it on
+CPU fp32 with a torch.cat cache and a re-run vision tower every step).
+
+The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` is the
+fraction of the chip's memory-bandwidth speed-of-light: decode is
+HBM-bound, SoL tokens/s = HBM_BW / bytes(params touched per token).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _sync(x):
+    """Force execution of the async chain ending in ``x``.
+
+    On this platform ``block_until_ready`` does not actually synchronize
+    (tunneled device); a host readback of one element does.
+    """
+    return np.asarray(jax.device_get(x[(0,) * x.ndim]))
+
+
+def main():
+    from paligemma_tpu.core.config import paligemma_3b_224
+    from paligemma_tpu.models import paligemma
+    from paligemma_tpu.runtime.engine import PaliGemmaEngine
+
+    cfg = paligemma_3b_224()
+    key = jax.random.PRNGKey(0)
+    params = paligemma.init_params(key, cfg, jnp.bfloat16)
+    param_bytes = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
+
+    engine = PaliGemmaEngine(params, cfg, max_seq_len=512, eos_token_id=1)
+
+    b = 1
+    n_img = cfg.vision_config.num_patches  # 256
+    s_txt = 10
+    s = n_img + s_txt
+    ids = np.concatenate(
+        [np.full((b, n_img), cfg.image_token_index), np.full((b, s_txt), 5)], axis=1
+    ).astype(np.int32)
+    mask = np.ones((b, s), np.int32)
+    pixels = np.random.default_rng(0).normal(size=(b, 3, 224, 224)).astype(np.float32)
+    pixels_j, ids_j, mask_j = jnp.asarray(pixels), jnp.asarray(ids), jnp.asarray(mask)
+
+    # ---- prefill / TTFT ----
+    logits, state = engine.prefill(pixels_j, ids_j, mask_j)  # compile
+    _sync(logits)
+    t0 = time.perf_counter()
+    logits, state = engine.prefill(pixels_j, ids_j, mask_j)
+    _sync(logits)
+    ttft_ms = (time.perf_counter() - t0) * 1e3
+
+    # ---- decode ----
+    token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits2, state = engine.decode_step(token, state)  # compile
+    _sync(logits2)
+
+    n_steps = 100
+    t0 = time.perf_counter()
+    lg, st = logits2, state
+    for _ in range(n_steps):
+        tok = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+        lg, st = engine.decode_step(tok, st)
+    _sync(lg)
+    dt = time.perf_counter() - t0
+    tok_per_s = n_steps * b / dt
+
+    # Speed of light: HBM bandwidth / bytes per token (decode is BW-bound).
+    # TPU v5e: ~819 GB/s HBM BW.
+    hbm_bw = 819e9
+    # per decode step: all LM weights + KV cache read; vision weights not touched
+    lm_bytes = sum(
+        x.size * x.dtype.itemsize for x in jax.tree.leaves(params["lm"])
+    )
+    sol_tok_per_s = hbm_bw / lm_bytes
+
+    print(
+        json.dumps(
+            {
+                "metric": "decode_tokens_per_sec_paligemma3b_bf16_b1",
+                "value": round(tok_per_s, 2),
+                "unit": "tokens/s",
+                "vs_baseline": round(tok_per_s / sol_tok_per_s, 4),
+                "extra": {
+                    "ttft_ms": round(ttft_ms, 2),
+                    "param_bytes": param_bytes,
+                    "sol_tokens_per_sec": round(sol_tok_per_s, 2),
+                    "device": str(jax.devices()[0]),
+                    "prefill_len": s,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
