@@ -112,8 +112,9 @@ def _decoder_block(
     k_cache: Optional[jnp.ndarray],  # (B, max_seq, n_kv, d) or None (train)
     v_cache: Optional[jnp.ndarray],
     cache_pos: Optional[jnp.ndarray],  # scalar int32: write offset into the cache
-    mask: jnp.ndarray,  # (B, 1, S, Sk) additive fp32
+    mask: Optional[jnp.ndarray],  # (B, 1, S, Sk) additive fp32 (XLA path)
     lora_lp: Optional[Params] = None,
+    flash_lens: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
     b, s, _ = x.shape
     nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -140,7 +141,16 @@ def _decoder_block(
     else:
         k_att, v_att = k, v
 
-    a = attention.gqa(q, k_att, v_att, mask, scale=hd**-0.5)
+    if flash_lens is not None:
+        # Pallas flash path. During prefill the fresh k/v cover exactly the
+        # cache slots [0, S) so attending over them (not the whole max_seq
+        # cache) is equivalent and cheaper.
+        from ..kernels.flash_attention import flash_attention
+
+        prefix_lens, seq_lens = flash_lens
+        a = flash_attention(q, k, v, prefix_lens, seq_lens, scale=hd**-0.5)
+    else:
+        a = attention.gqa(q, k_att, v_att, mask, scale=hd**-0.5)
     a = a.reshape(b, s, nh * hd)
     x = residual + (a @ lp["attn"]["o"] + _lora_delta(a, lora_lp, "o"))
 
@@ -162,6 +172,7 @@ def forward(
     cache_pos: jnp.ndarray,  # scalar int32 write offset
     kv_valid: jnp.ndarray,  # (B, max_seq) bool: attendable cache slots AFTER write
     remat: bool = False,
+    flash_lens: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Run the decoder stack. Returns (fp32 logits (B,S,vocab), new cache).
 
@@ -177,9 +188,14 @@ def forward(
 
     cos, sin = rope_cos_sin(position_ids, cfg.head_dim, cfg.rope_theta, dtype)
     s = input_embeds.shape[1]
-    mask = attention.make_additive_mask(
-        jnp.broadcast_to(kv_valid[:, None, :], (kv_valid.shape[0], s, kv_valid.shape[1]))
-    )
+    if flash_lens is not None:
+        mask = None
+    else:
+        mask = attention.make_additive_mask(
+            jnp.broadcast_to(
+                kv_valid[:, None, :], (kv_valid.shape[0], s, kv_valid.shape[1])
+            )
+        )
 
     block = functools.partial(_decoder_block, cfg)
     if remat:
@@ -187,7 +203,8 @@ def forward(
 
     def body(h, layer):
         lp, kc, vc = layer
-        h, kc, vc = block(h, lp, cos, sin, kc, vc, cache_pos, mask)
+        h, kc, vc = block(h, lp, cos, sin, kc, vc, cache_pos, mask,
+                          flash_lens=flash_lens)
         return h, (kc, vc)
 
     x, (new_k, new_v) = jax.lax.scan(
@@ -203,9 +220,10 @@ def forward_train(
     cfg: GemmaConfig,
     input_embeds: jnp.ndarray,  # (B, S, H)
     position_ids: jnp.ndarray,  # (B, S)
-    pairwise_valid: jnp.ndarray,  # (B, S, S) bool: q row may attend k col
+    pairwise_valid: Optional[jnp.ndarray],  # (B, S, S) bool: q row may attend k col
     lora: Optional[Params] = None,
     remat: bool = True,
+    flash_lens: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> jnp.ndarray:
     """No-cache forward for training (prefix-LM mask: bidirectional prefix +
     causal suffix, built by the caller). Returns fp32 logits (B, S, vocab).
@@ -217,10 +235,11 @@ def forward_train(
     dtype = input_embeds.dtype
     x = input_embeds * jnp.asarray(cfg.hidden_size**0.5, dtype)
     cos, sin = rope_cos_sin(position_ids, cfg.head_dim, cfg.rope_theta, dtype)
-    mask = attention.make_additive_mask(pairwise_valid)
+    mask = None if flash_lens is not None else attention.make_additive_mask(pairwise_valid)
 
     def block(h, lp, lora_lp):
-        h, _, _ = _decoder_block(cfg, h, lp, cos, sin, None, None, None, mask, lora_lp)
+        h, _, _ = _decoder_block(cfg, h, lp, cos, sin, None, None, None, mask,
+                                 lora_lp, flash_lens=flash_lens)
         return h
 
     if remat:

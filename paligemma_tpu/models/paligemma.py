@@ -100,11 +100,13 @@ def prefill(
     input_ids: jnp.ndarray,  # (B, S)
     attention_mask: jnp.ndarray,  # (B, S) 1=real token
     kv_cache: gemma.KVCache,
+    use_flash: bool = False,
 ) -> Tuple[jnp.ndarray, gemma.KVCache]:
     """Vision encode + merge + decoder prefill. Returns (logits, cache)."""
     dtype = params["lm"]["embed"].dtype
     image_features = siglip.encode(
-        params["vision"], cfg.vision_config, pixel_values.astype(dtype)
+        params["vision"], cfg.vision_config, pixel_values.astype(dtype),
+        use_flash=use_flash,
     )
     image_embeds = project_image_features(params, image_features)
 
@@ -119,6 +121,11 @@ def prefill(
     kv_valid = jax.lax.dynamic_update_slice(
         kv_valid, attention_mask.astype(bool), (jnp.zeros((), jnp.int32),) * 2
     )
+    if use_flash:
+        n_valid = jnp.sum(attention_mask, axis=-1).astype(jnp.int32)
+        flash_lens = (n_valid, n_valid)  # prefill: whole prompt is prefix
+    else:
+        flash_lens = None
     logits, kv_cache = gemma.forward(
         params["lm"],
         cfg.text_config,
@@ -127,6 +134,7 @@ def prefill(
         kv_cache,
         cache_pos=jnp.zeros((), jnp.int32),
         kv_valid=kv_valid,
+        flash_lens=flash_lens,
     )
     return logits, kv_cache
 
@@ -156,16 +164,31 @@ def forward_train(
     token_type_ids: jnp.ndarray,  # (B, S) 0=prefix, 1=suffix
     lora: Optional[Dict[str, Any]] = None,
     remat: bool = True,
+    use_flash: bool = False,
 ) -> jnp.ndarray:
-    """Supervised forward (no KV cache): returns fp32 logits (B, S, vocab)."""
+    """Supervised forward (no KV cache): returns fp32 logits (B, S, vocab).
+
+    The flash path assumes the prefix (image + prompt tokens) is contiguous
+    at the start of each row — true for processor-built batches.
+    """
     dtype = params["lm"]["embed"].dtype
     image_features = siglip.encode(
-        params["vision"], cfg.vision_config, pixel_values.astype(dtype)
+        params["vision"], cfg.vision_config, pixel_values.astype(dtype),
+        use_flash=use_flash,
     )
     image_embeds = project_image_features(params, image_features)
     text_embeds = params["lm"]["embed"][input_ids]
     merged = merge_embeddings(cfg, input_ids, text_embeds, image_embeds)
     position_ids = prefill_position_ids(attention_mask)
+    if use_flash:
+        prefix_lens = jnp.sum(
+            (token_type_ids == 0) & (attention_mask == 1), axis=-1
+        ).astype(jnp.int32)
+        kv_lens = jnp.sum(attention_mask, axis=-1).astype(jnp.int32)
+        return gemma.forward_train(
+            params["lm"], cfg.text_config, merged, position_ids, None,
+            lora=lora, remat=remat, flash_lens=(prefix_lens, kv_lens),
+        )
     pairwise = train_attention_mask(attention_mask, token_type_ids)
     return gemma.forward_train(
         params["lm"], cfg.text_config, merged, position_ids, pairwise,

@@ -88,7 +88,9 @@ def patchify(pixel_values: jnp.ndarray, patch_size: int) -> jnp.ndarray:
     return x.reshape(b, nh * nw, p * p * c)
 
 
-def _encoder_block(cfg: SiglipVisionConfig, x: jnp.ndarray, lp: Params) -> jnp.ndarray:
+def _encoder_block(
+    cfg: SiglipVisionConfig, x: jnp.ndarray, lp: Params, use_flash: bool = False
+) -> jnp.ndarray:
     b, s, d = x.shape
     h = cfg.num_attention_heads
     hd = cfg.head_dim
@@ -99,7 +101,13 @@ def _encoder_block(cfg: SiglipVisionConfig, x: jnp.ndarray, lp: Params) -> jnp.n
     q = (y @ lp["attn"]["q"]["kernel"] + lp["attn"]["q"]["bias"]).reshape(b, s, h, hd)
     k = (y @ lp["attn"]["k"]["kernel"] + lp["attn"]["k"]["bias"]).reshape(b, s, h, hd)
     v = (y @ lp["attn"]["v"]["kernel"] + lp["attn"]["v"]["bias"]).reshape(b, s, h, hd)
-    a = attention.mha(q, k, v)  # non-causal full attention over patches
+    if use_flash:
+        from ..kernels.flash_attention import flash_attention
+
+        full = jnp.full((b,), s, jnp.int32)  # all patches, fully bidirectional
+        a = flash_attention(q, k, v, full, full)
+    else:
+        a = attention.mha(q, k, v)  # non-causal full attention over patches
     a = a.reshape(b, s, d) @ lp["attn"]["o"]["kernel"] + lp["attn"]["o"]["bias"]
     x = residual + a
 
@@ -110,7 +118,12 @@ def _encoder_block(cfg: SiglipVisionConfig, x: jnp.ndarray, lp: Params) -> jnp.n
     return residual + y
 
 
-def encode(params: Params, cfg: SiglipVisionConfig, pixel_values: jnp.ndarray):
+def encode(
+    params: Params,
+    cfg: SiglipVisionConfig,
+    pixel_values: jnp.ndarray,
+    use_flash: bool = False,
+):
     """Vision forward: (B, C, H, W) pixels -> (B, num_patches, hidden).
 
     Accepts NCHW for API parity with the reference processor output
@@ -123,7 +136,7 @@ def encode(params: Params, cfg: SiglipVisionConfig, pixel_values: jnp.ndarray):
     emb = emb + params["pos_embed"][None]
 
     def body(h, lp):
-        return _encoder_block(cfg, h, lp), None
+        return _encoder_block(cfg, h, lp, use_flash=use_flash), None
 
     h, _ = jax.lax.scan(body, emb, params["layers"])
     return layer_norm(

@@ -55,18 +55,24 @@ class PaliGemmaEngine:
         max_seq_len: int = 1024,
         cache_dtype=None,
         eos_token_id: int = 1,
+        use_flash: Optional[bool] = None,
     ):
         self.params = params
         self.config = config
         self.max_seq_len = max_seq_len
         self.eos_token_id = eos_token_id
         self.cache_dtype = cache_dtype or params["lm"]["embed"].dtype
+        if use_flash is None:
+            use_flash = jax.default_backend() == "tpu"
+        self.use_flash = use_flash
 
         cfg = config  # closed over statically (frozen dataclass)
 
         @jax.jit
         def _prefill(params, pixels, ids, mask, cache):
-            logits, cache = paligemma.prefill(params, cfg, pixels, ids, mask, cache)
+            logits, cache = paligemma.prefill(
+                params, cfg, pixels, ids, mask, cache, use_flash=use_flash
+            )
             b, s = ids.shape
             valid = jnp.zeros((b, cache["k"].shape[2]), bool)
             valid = jax.lax.dynamic_update_slice(

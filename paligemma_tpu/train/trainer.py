@@ -42,6 +42,7 @@ class TrainConfig:
     lora_alpha: float = 8.0
     freeze_vision: bool = True  # reference full-FT freezes vision+projector
     remat: bool = True
+    use_flash: Optional[bool] = None  # None => auto (Pallas kernel on TPU)
 
 
 def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
@@ -126,6 +127,11 @@ class Trainer:
         cfg = self.config
         tc = self.tc
         opt = self.opt
+        use_flash = (
+            tc.use_flash
+            if tc.use_flash is not None
+            else jax.default_backend() == "tpu"
+        )
 
         def loss_fn(trainable, params, lora, batch):
             p, l = self._with_trainable(params, lora, trainable)
@@ -133,7 +139,7 @@ class Trainer:
                 p, cfg,
                 batch["pixel_values"], batch["input_ids"],
                 batch["attention_mask"], batch["token_type_ids"],
-                lora=l, remat=tc.remat,
+                lora=l, remat=tc.remat, use_flash=use_flash,
             )
             return losses.causal_lm_loss(logits, batch["labels"], cfg.ignore_index)
 
