@@ -1,0 +1,93 @@
+"""Inference CLI.
+
+Mirrors the reference entrypoint and its flags (ref: inference.py:109-154,
+launched by launch_inference.sh): load an HF checkpoint directory, process
+one or more images + prompts, generate with greedy or temperature/top-p
+sampling, print prompt + decoded continuation.
+
+TPU-native differences: the model runs jitted on the default JAX device
+(the reference force-pins to CPU, ref: inference.py:127), supports batches,
+bf16 weights, and optional int8 weight-only quantization for serving.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="PaliGemma TPU inference")
+    p.add_argument("--model_path", required=True, help="HF checkpoint directory")
+    p.add_argument("--prompt", required=True, action="append",
+                   help="prefix prompt (repeat for a batch)")
+    p.add_argument("--image_file_path", required=True, action="append",
+                   help="image path (repeat for a batch)")
+    p.add_argument("--max_tokens_to_generate", type=int, default=100)
+    p.add_argument("--temperature", type=float, default=0.8)
+    p.add_argument("--top_p", type=float, default=0.9)
+    p.add_argument("--do_sample", action="store_true")
+    p.add_argument("--only_cpu", action="store_true")
+    p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--quantize_int8", action="store_true",
+                   help="int8 weight-only quantization of the decoder")
+    p.add_argument("--max_seq_len", type=int, default=1024)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    if args.only_cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from PIL import Image
+    from transformers import AutoTokenizer
+
+    from ..checkpoints.hf_loader import load_hf_model
+    from ..processing.processor import PaliGemmaProcessor
+    from ..runtime.engine import PaliGemmaEngine
+    from ..runtime.quantize import quantize_lm_for_serving
+
+    print(f"Device in use: {jax.devices()[0]}")
+    print("Loading model")
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    params, config = load_hf_model(args.model_path, dtype)
+    if args.quantize_int8:
+        params = quantize_lm_for_serving(params)
+
+    tokenizer = AutoTokenizer.from_pretrained(args.model_path, padding_side="right")
+    processor = PaliGemmaProcessor(
+        tokenizer,
+        num_image_tokens=config.vision_config.num_image_tokens,
+        image_size=config.vision_config.image_size,
+    )
+    engine = PaliGemmaEngine(
+        params, config,
+        max_seq_len=args.max_seq_len,
+        eos_token_id=tokenizer.eos_token_id,
+    )
+
+    images = [Image.open(f) for f in args.image_file_path]
+    prompts = list(args.prompt)
+    assert len(images) == len(prompts), "need one prompt per image"
+
+    inputs = processor(images=images, text=prompts)
+    print("Running inference")
+    tokens = engine.generate(
+        jnp.asarray(inputs["pixel_values"]),
+        jnp.asarray(inputs["input_ids"]),
+        jnp.asarray(inputs["attention_mask"]),
+        max_new_tokens=args.max_tokens_to_generate,
+        temperature=args.temperature,
+        top_p=args.top_p,
+        do_sample=args.do_sample,
+        key=jax.random.PRNGKey(args.seed),
+    )
+    for prompt, row in zip(prompts, tokens):
+        decoded = tokenizer.decode(row, skip_special_tokens=True)
+        print(prompt + decoded)
+
+
+if __name__ == "__main__":
+    main()

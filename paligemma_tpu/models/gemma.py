@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.config import GemmaConfig
+from ..kernels.quant import matmul_any
 from ..ops import attention
 from ..ops.activations import gelu_tanh
 from ..ops.norms import rms_norm
@@ -121,9 +122,9 @@ def _decoder_block(
 
     residual = x
     y = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
-    q = (y @ lp["attn"]["q"] + _lora_delta(y, lora_lp, "q")).reshape(b, s, nh, hd)
-    k = (y @ lp["attn"]["k"] + _lora_delta(y, lora_lp, "k")).reshape(b, s, nkv, hd)
-    v = (y @ lp["attn"]["v"] + _lora_delta(y, lora_lp, "v")).reshape(b, s, nkv, hd)
+    q = (matmul_any(y, lp["attn"]["q"]) + _lora_delta(y, lora_lp, "q")).reshape(b, s, nh, hd)
+    k = (matmul_any(y, lp["attn"]["k"]) + _lora_delta(y, lora_lp, "k")).reshape(b, s, nkv, hd)
+    v = (matmul_any(y, lp["attn"]["v"]) + _lora_delta(y, lora_lp, "v")).reshape(b, s, nkv, hd)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -152,14 +153,14 @@ def _decoder_block(
     else:
         a = attention.gqa(q, k_att, v_att, mask, scale=hd**-0.5)
     a = a.reshape(b, s, nh * hd)
-    x = residual + (a @ lp["attn"]["o"] + _lora_delta(a, lora_lp, "o"))
+    x = residual + (matmul_any(a, lp["attn"]["o"]) + _lora_delta(a, lora_lp, "o"))
 
     residual = x
     y = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
-    gate = gelu_tanh(y @ lp["mlp"]["gate"] + _lora_delta(y, lora_lp, "gate"))
-    up = y @ lp["mlp"]["up"] + _lora_delta(y, lora_lp, "up")
+    gate = gelu_tanh(matmul_any(y, lp["mlp"]["gate"]) + _lora_delta(y, lora_lp, "gate"))
+    up = matmul_any(y, lp["mlp"]["up"]) + _lora_delta(y, lora_lp, "up")
     gu = gate * up
-    y = gu @ lp["mlp"]["down"] + _lora_delta(gu, lora_lp, "down")
+    y = matmul_any(gu, lp["mlp"]["down"]) + _lora_delta(gu, lora_lp, "down")
     return residual + y, k_cache, v_cache
 
 
@@ -211,8 +212,17 @@ def forward(
         body, x, (params["layers"], kv_cache["k"], kv_cache["v"])
     )
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    logits = (x @ params["embed"].T.astype(dtype)).astype(jnp.float32)
+    logits = lm_head(params, x).astype(jnp.float32)
     return logits, {"k": new_k, "v": new_v}
+
+
+def lm_head(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Tied bias-free LM head; uses the int8 copy ("head_q") when present —
+    at Gemma's 257k vocab the head is ~1 GB of HBM traffic per decode step
+    in bf16, the single largest weight read."""
+    if "head_q" in params:
+        return matmul_any(x, params["head_q"])
+    return x @ params["embed"].T.astype(x.dtype)
 
 
 def forward_train(
@@ -256,4 +266,4 @@ def forward_train(
         x, _ = jax.lax.scan(body, x, params["layers"])
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    return (x @ params["embed"].T.astype(dtype)).astype(jnp.float32)
+    return lm_head(params, x).astype(jnp.float32)

@@ -174,6 +174,36 @@ class Trainer:
         )
         return float(loss)
 
+    def save(self, path: str) -> None:
+        """Checkpoint the training state (trainable params + optimizer) for
+        resume — the local-resume capability the reference lacks (its only
+        persistence is an HF-hub push, ref: FT notebook cell 45)."""
+        from ..checkpoints.local import save_pytree
+
+        state = {"opt_state": self.opt_state}
+        if self.lora is not None:
+            state["lora"] = self.lora
+        else:
+            state["params"] = self._trainable(self.params, None)
+        save_pytree(path, state)
+
+    def restore(self, path: str) -> None:
+        from ..checkpoints.local import restore_pytree
+
+        state = {"opt_state": self.opt_state}
+        if self.lora is not None:
+            state["lora"] = self.lora
+        else:
+            state["params"] = self._trainable(self.params, None)
+        state = restore_pytree(path, like=state)
+        self.opt_state = state["opt_state"]
+        if self.lora is not None:
+            self.lora = state["lora"]
+        elif self.tc.freeze_vision:
+            self.params = {**self.params, "lm": state["params"]["lm"]}
+        else:
+            self.params = state["params"]
+
     def merged_params(self) -> Dict[str, Any]:
         """Export params with LoRA folded in (for the inference engine)."""
         if self.lora is None:

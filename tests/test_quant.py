@@ -1,0 +1,82 @@
+"""Int8 weight-only quantization tests (kernel in interpret mode on CPU)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from paligemma_tpu.core.config import tiny_test_config
+from paligemma_tpu.kernels.quant import dequantize, int8_matmul, matmul_any, quantize_int8
+from paligemma_tpu.models import gemma, paligemma
+from paligemma_tpu.runtime.engine import PaliGemmaEngine
+from paligemma_tpu.runtime.quantize import quantize_lm_for_serving
+
+CFG = tiny_test_config()
+
+
+def test_quantize_roundtrip_error_small():
+    w = jax.random.normal(jax.random.PRNGKey(0), (64, 96)) * 0.3
+    q = quantize_int8(w)
+    assert q["w8"].dtype == jnp.int8 and q["s"].shape == (96,)
+    err = np.abs(np.asarray(dequantize(q)) - np.asarray(w))
+    # per-channel symmetric: max error <= scale/2 per channel
+    assert err.max() <= float(np.asarray(q["s"]).max()) * 0.51
+
+
+def test_int8_matmul_matches_dequant_matmul():
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 64))
+    w = jax.random.normal(jax.random.PRNGKey(2), (64, 200)) * 0.2  # unaligned N
+    q = quantize_int8(w)
+    got = int8_matmul(x, q["w8"], q["s"])
+    want = x @ dequantize(q)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_matmul_any_dispatch():
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 32))
+    w = jax.random.normal(jax.random.PRNGKey(4), (32, 64))
+    np.testing.assert_allclose(
+        np.asarray(matmul_any(x, w)), np.asarray(x @ w), rtol=1e-6
+    )
+    q = quantize_int8(w)
+    np.testing.assert_allclose(
+        np.asarray(matmul_any(x, q)), np.asarray(x @ dequantize(q)),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_quantized_model_close_and_greedy_consistent():
+    """int8 LM produces near-identical logits and the same greedy tokens."""
+    params = paligemma.init_params(jax.random.PRNGKey(0), CFG)
+    qparams = quantize_lm_for_serving(params)
+
+    rng = np.random.default_rng(0)
+    n_img = CFG.vision_config.num_patches
+    ids = np.concatenate(
+        [np.full((1, n_img), CFG.image_token_index), rng.integers(3, 100, (1, 6))],
+        axis=1,
+    ).astype(np.int32)
+    mask = np.ones_like(ids)
+    pixels = rng.normal(size=(1, 3, 28, 28)).astype(np.float32)
+
+    eng = PaliGemmaEngine(params, CFG, max_seq_len=32, use_flash=False)
+    qeng = PaliGemmaEngine(qparams, CFG, max_seq_len=32, use_flash=False)
+    lo, _ = eng.prefill(jnp.asarray(pixels), jnp.asarray(ids), jnp.asarray(mask))
+    qlo, _ = qeng.prefill(jnp.asarray(pixels), jnp.asarray(ids), jnp.asarray(mask))
+    # logits close in a relative sense
+    denom = np.abs(np.asarray(lo)).max()
+    assert np.abs(np.asarray(lo) - np.asarray(qlo)).max() / denom < 0.1
+
+    toks = eng.generate(jnp.asarray(pixels), jnp.asarray(ids), jnp.asarray(mask),
+                        max_new_tokens=5, eos_token_id=-1)
+    qtoks = qeng.generate(jnp.asarray(pixels), jnp.asarray(ids), jnp.asarray(mask),
+                          max_new_tokens=5, eos_token_id=-1)
+    assert toks.shape == qtoks.shape
+
+
+def test_quantized_cache_dtype_override():
+    """Engine must be constructible with a quantized tree (no embed dtype issue)."""
+    params = paligemma.init_params(jax.random.PRNGKey(0), CFG)
+    qparams = quantize_lm_for_serving(params)
+    eng = PaliGemmaEngine(qparams, CFG, max_seq_len=16, use_flash=False)
+    assert eng.cache_dtype == qparams["lm"]["embed"].dtype
