@@ -130,14 +130,21 @@ def _decoder_block(
 
     if k_cache is not None:
         # Cache write at a traced offset — replaces the torch.cat append
-        # (ref: modeling_gemma.py:54-55).
-        zero = jnp.zeros((), jnp.int32)
-        k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k.astype(k_cache.dtype), (zero, cache_pos, zero, zero)
-        )
-        v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v.astype(v_cache.dtype), (zero, cache_pos, zero, zero)
-        )
+        # (ref: modeling_gemma.py:54-55). A scalar offset writes the whole
+        # (B, S) block (prefill / lockstep decode); a (B,) vector scatters
+        # one token per row at per-row positions (continuous batching).
+        if cache_pos.ndim == 1:
+            bidx = jnp.arange(b)
+            k_cache = k_cache.at[bidx, cache_pos].set(k[:, 0].astype(k_cache.dtype))
+            v_cache = v_cache.at[bidx, cache_pos].set(v[:, 0].astype(v_cache.dtype))
+        else:
+            zero = jnp.zeros((), jnp.int32)
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, k.astype(k_cache.dtype), (zero, cache_pos, zero, zero)
+            )
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, v.astype(v_cache.dtype), (zero, cache_pos, zero, zero)
+            )
         k_att, v_att = k_cache.astype(q.dtype), v_cache.astype(q.dtype)
     else:
         k_att, v_att = k, v

@@ -1,0 +1,236 @@
+"""Continuous-batching serving engine.
+
+The reference serves exactly one request at a time with a hard B==1 assert
+(ref: processing_paligemma.py:174, inference.py:69). This engine keeps a
+fixed pool of sequence slots over a shared preallocated KV cache and runs
+one jitted lockstep decode over all active slots per tick:
+
+* ``submit`` queues a request (ids + pixels + sampling params);
+* free slots are filled by single-request prefills whose KV is scattered
+  into the slot's cache rows;
+* every ``step()`` decodes one token for every active slot (per-row cache
+  positions and RoPE positions — sequences are at different lengths);
+* rows retire on EOS or length budget and their slots are immediately
+  reusable — no head-of-line blocking on long generations.
+
+All shapes are static (max_slots, max_seq_len) so nothing recompiles as
+requests come and go. Works with bf16 or int8-quantized (runtime.quantize)
+parameters.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import PaliGemmaConfig
+from ..models import gemma, paligemma
+from ..ops import sampling
+
+
+@dataclasses.dataclass
+class Request:
+    request_id: int
+    input_ids: np.ndarray  # (S,) int32
+    pixel_values: np.ndarray  # (C, H, W)
+    max_new_tokens: int = 100
+    temperature: float = 0.8
+    top_p: float = 0.9
+    do_sample: bool = False
+    eos_token_id: int = 1
+    # filled by the engine
+    tokens: List[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+
+
+class ServingEngine:
+    def __init__(
+        self,
+        params: Dict[str, Any],
+        config: PaliGemmaConfig,
+        max_slots: int = 8,
+        max_seq_len: int = 1024,
+        cache_dtype=None,
+        use_flash: Optional[bool] = None,
+    ):
+        self.params = params
+        self.config = config
+        self.max_slots = max_slots
+        self.max_seq_len = max_seq_len
+        self.cache_dtype = cache_dtype or params["lm"]["embed"].dtype
+        if use_flash is None:
+            use_flash = jax.default_backend() == "tpu"
+
+        cfg = config
+        tcfg = config.text_config
+
+        @jax.jit
+        def _prefill_one(params, pixels, ids, mask, cache1):
+            logits, cache1 = paligemma.prefill(
+                params, cfg, pixels, ids, mask, cache1, use_flash=use_flash
+            )
+            n_valid = jnp.sum(mask, axis=-1).astype(jnp.int32)
+            last = jnp.take_along_axis(
+                logits, jnp.clip(n_valid - 1, 0)[:, None, None], axis=1
+            )[:, 0]
+            return last, cache1
+
+        @functools.partial(jax.jit, donate_argnums=(2, 3))
+        def _insert(slot, prompt_len, cache, state, cache1, mask1, last_logits):
+            # scatter the prefilled rows into the pool at `slot`
+            s1 = cache1["k"].shape[2]
+            cache = {
+                n: jax.lax.dynamic_update_slice(
+                    cache[n],
+                    cache1[n].astype(cache[n].dtype),
+                    (jnp.zeros((), jnp.int32), slot, jnp.zeros((), jnp.int32),
+                     jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)),
+                )
+                for n in ("k", "v")
+            }
+            valid_row = jnp.zeros((self.max_seq_len,), bool)
+            valid_row = jax.lax.dynamic_update_slice(
+                valid_row, mask1[0].astype(bool), (jnp.zeros((), jnp.int32),)
+            )
+            state = {
+                **state,
+                "valid": state["valid"].at[slot].set(valid_row),
+                "write_pos": state["write_pos"].at[slot].set(prompt_len),
+                "pos_ids": state["pos_ids"].at[slot].set(
+                    jnp.sum(mask1[0]).astype(jnp.int32) + 1
+                ),
+                "logits": state["logits"].at[slot].set(last_logits[0]),
+            }
+            return cache, state
+
+        @functools.partial(jax.jit, donate_argnums=(1, 2))
+        def _decode_all(params, cache, state, active, key, temps, top_ps, do_samples):
+            logits = state["logits"]
+            greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            sampled_tok = jax.vmap(
+                lambda k, lg, t, p: sampling.sample_top_p(k, lg[None], t, p)[0]
+            )(jax.random.split(key, self.max_slots), logits, temps, top_ps)
+            token = jnp.where(do_samples, sampled_tok, greedy_tok)
+
+            write_pos = state["write_pos"]
+            valid = state["valid"].at[jnp.arange(self.max_slots), write_pos].set(
+                active
+            )
+            new_logits, cache = paligemma.decode_step(
+                params, cfg, token, cache,
+                cache_pos=write_pos, kv_valid=valid,
+                position_ids=state["pos_ids"],
+            )
+            inc = active.astype(jnp.int32)
+            state = {
+                "valid": valid,
+                "write_pos": write_pos + inc,
+                "pos_ids": state["pos_ids"] + inc,
+                "logits": jnp.where(active[:, None], new_logits, state["logits"]),
+            }
+            return token, cache, state
+
+        self._prefill_one = _prefill_one
+        self._insert = _insert
+        self._decode_all = _decode_all
+
+        self.cache = gemma.init_kv_cache(
+            tcfg, max_slots, max_seq_len, self.cache_dtype
+        )
+        self.state = {
+            "valid": jnp.zeros((max_slots, max_seq_len), bool),
+            "write_pos": jnp.zeros((max_slots,), jnp.int32),
+            "pos_ids": jnp.ones((max_slots,), jnp.int32),
+            "logits": jnp.zeros((max_slots, cfg.vocab_size), jnp.float32),
+        }
+        self.slots: List[Optional[Request]] = [None] * max_slots
+        self.pending: List[Request] = []
+        self._key = jax.random.PRNGKey(0)
+        self._generated: Dict[int, int] = {}
+
+    # ------------------------------------------------------------------
+    def submit(self, req: Request) -> None:
+        self.pending.append(req)
+
+    def _fill_slots(self) -> None:
+        for slot in range(self.max_slots):
+            if self.slots[slot] is None and self.pending:
+                req = self.pending.pop(0)
+                s = len(req.input_ids)
+                # pad prompts into length buckets so prefill compiles once
+                # per bucket, not once per prompt length
+                bucket = min(((s + 63) // 64) * 64, self.max_seq_len)
+                ids_np = np.zeros((1, bucket), np.int32)
+                ids_np[0, :s] = req.input_ids
+                mask_np = np.zeros((1, bucket), np.int32)
+                mask_np[0, :s] = 1
+                ids = jnp.asarray(ids_np)
+                mask = jnp.asarray(mask_np)
+                pixels = jnp.asarray(req.pixel_values)[None]
+                cache1 = gemma.init_kv_cache(
+                    self.config.text_config, 1, self.max_seq_len, self.cache_dtype
+                )
+                last_logits, cache1 = self._prefill_one(
+                    self.params, pixels, ids, mask, cache1
+                )
+                self.cache, self.state = self._insert(
+                    jnp.asarray(slot, jnp.int32), jnp.asarray(s, jnp.int32),
+                    self.cache, self.state, cache1, mask, last_logits,
+                )
+                self.slots[slot] = req
+                self._generated[req.request_id] = 0
+
+    @property
+    def has_work(self) -> bool:
+        return bool(self.pending) or any(r is not None for r in self.slots)
+
+    def step(self) -> List[Request]:
+        """One scheduler tick: fill free slots, decode one token for every
+        active slot, retire finished requests. Returns newly finished ones."""
+        self._fill_slots()
+        active_np = np.asarray([r is not None for r in self.slots])
+        if not active_np.any():
+            return []
+
+        temps = np.asarray(
+            [r.temperature if r else 1.0 for r in self.slots], np.float32
+        )
+        top_ps = np.asarray([r.top_p if r else 1.0 for r in self.slots], np.float32)
+        do_s = np.asarray([bool(r.do_sample) if r else False for r in self.slots])
+
+        self._key, sub = jax.random.split(self._key)
+        token, self.cache, self.state = self._decode_all(
+            self.params, self.cache, self.state,
+            jnp.asarray(active_np), sub,
+            jnp.asarray(temps), jnp.asarray(top_ps), jnp.asarray(do_s),
+        )
+        token_np = np.asarray(token)
+
+        finished: List[Request] = []
+        for slot, req in enumerate(self.slots):
+            if req is None:
+                continue
+            tok = int(token_np[slot])
+            req.tokens.append(tok)
+            self._generated[req.request_id] += 1
+            out_of_budget = (
+                self._generated[req.request_id] >= req.max_new_tokens
+                or len(req.input_ids) + self._generated[req.request_id]
+                >= self.max_seq_len
+            )
+            if tok == req.eos_token_id or out_of_budget:
+                req.done = True
+                finished.append(req)
+                self.slots[slot] = None
+        return finished
+
+    def run_to_completion(self) -> List[Request]:
+        done: List[Request] = []
+        while self.has_work:
+            done.extend(self.step())
+        return done

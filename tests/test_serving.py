@@ -1,0 +1,81 @@
+"""Continuous-batching engine tests: slot reuse, queueing, and per-request
+token parity with the single-request engine."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from paligemma_tpu.core.config import tiny_test_config
+from paligemma_tpu.runtime.engine import PaliGemmaEngine
+from paligemma_tpu.runtime.serving import Request, ServingEngine
+from paligemma_tpu.models import paligemma
+
+CFG = tiny_test_config()
+
+
+def _req(rid, seed, n_txt, max_new):
+    rng = np.random.default_rng(seed)
+    n_img = CFG.vision_config.num_patches
+    ids = np.concatenate(
+        [np.full((n_img,), CFG.image_token_index), rng.integers(3, 100, (n_txt,))]
+    ).astype(np.int32)
+    pixels = rng.normal(size=(3, 28, 28)).astype(np.float32)
+    return Request(
+        request_id=rid, input_ids=ids, pixel_values=pixels,
+        max_new_tokens=max_new, do_sample=False, eos_token_id=-1,
+    )
+
+
+def test_continuous_batching_matches_single_request():
+    params = paligemma.init_params(jax.random.PRNGKey(0), CFG)
+    serving = ServingEngine(params, CFG, max_slots=2, max_seq_len=32,
+                            use_flash=False)
+    reqs = [_req(0, 1, 4, 6), _req(1, 2, 7, 4), _req(2, 3, 4, 5)]
+    for r in reqs:
+        serving.submit(r)
+    done = serving.run_to_completion()
+    assert len(done) == 3 and all(r.done for r in done)
+
+    single = PaliGemmaEngine(params, CFG, max_seq_len=32, use_flash=False)
+    for r in reqs:
+        want = single.generate(
+            jnp.asarray(r.pixel_values)[None],
+            jnp.asarray(r.input_ids)[None],
+            jnp.ones((1, len(r.input_ids)), jnp.int32),
+            max_new_tokens=r.max_new_tokens, do_sample=False, eos_token_id=-1,
+        )[0]
+        np.testing.assert_array_equal(np.asarray(r.tokens), want)
+
+
+def test_eos_retires_slot_early():
+    params = paligemma.init_params(jax.random.PRNGKey(0), CFG)
+    single = PaliGemmaEngine(params, CFG, max_seq_len=32, use_flash=False)
+    r0 = _req(0, 1, 4, 8)
+    # find what the 2nd greedy token is, then use it as the EOS id
+    probe = single.generate(
+        jnp.asarray(r0.pixel_values)[None], jnp.asarray(r0.input_ids)[None],
+        jnp.ones((1, len(r0.input_ids)), jnp.int32),
+        max_new_tokens=2, do_sample=False, eos_token_id=-1,
+    )[0]
+    eos = int(probe[1])
+
+    serving = ServingEngine(params, CFG, max_slots=1, max_seq_len=32,
+                            use_flash=False)
+    r = _req(0, 1, 4, 8)
+    r.eos_token_id = eos
+    serving.submit(r)
+    done = serving.run_to_completion()
+    assert done[0].tokens[-1] == eos
+    assert len(done[0].tokens) <= 3
+
+
+def test_queueing_beyond_slots():
+    params = paligemma.init_params(jax.random.PRNGKey(0), CFG)
+    serving = ServingEngine(params, CFG, max_slots=1, max_seq_len=32,
+                            use_flash=False)
+    for i in range(3):
+        serving.submit(_req(i, 10 + i, 4, 3))
+    done = serving.run_to_completion()
+    assert sorted(r.request_id for r in done) == [0, 1, 2]
+    assert all(len(r.tokens) == 3 for r in done)
