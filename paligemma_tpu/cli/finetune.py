@@ -1,0 +1,163 @@
+"""Fine-tuning CLI.
+
+Mirrors the reference fine-tune recipe (ref: Paligemma_FT.ipynb): LoRA r=8
+on q/k/v/o/gate/up/down (cell 41), AdamW lr=1e-4, grad-accum 8, clip 1.0
+(cells 43/47), JSON-extraction targets via json2token (cell 20), validation
+by generate + normalized edit distance (cell 38).
+
+TPU-native differences: the step is a single jit over a DP(xTP) mesh with
+remat (the gradient checkpointing README.md:20 advertises but never ships),
+optional int8 base (QLoRA analog), and orbax local checkpoints for resume
+(the reference can only push to the HF hub).
+
+Dataset format: a JSONL manifest with rows
+``{"image": <path>, "prompt": <str>, "target": <str-or-json>}``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="PaliGemma TPU fine-tuning")
+    p.add_argument("--model_path", required=True, help="HF checkpoint directory")
+    p.add_argument("--train_jsonl", required=True)
+    p.add_argument("--eval_jsonl", default=None)
+    p.add_argument("--prompt", default="extract JSON.")
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--resume_from", default=None)
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--batch_size", type=int, default=2)
+    p.add_argument("--grad_accum", type=int, default=8)
+    p.add_argument("--grad_clip", type=float, default=1.0)
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--warmup_steps", type=int, default=50)
+    p.add_argument("--lora_rank", type=int, default=8)
+    p.add_argument("--full_finetune", action="store_true",
+                   help="full LM fine-tune (vision frozen) instead of LoRA")
+    p.add_argument("--quantize_int8", action="store_true",
+                   help="int8 base + LoRA (QLoRA-style)")
+    p.add_argument("--max_length", type=int, default=512)
+    p.add_argument("--data_parallel", type=int, default=1)
+    p.add_argument("--model_parallel", type=int, default=1)
+    p.add_argument("--eval_every", type=int, default=200)
+    p.add_argument("--max_new_tokens_eval", type=int, default=512)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+    from transformers import AutoTokenizer
+
+    from ..checkpoints.hf_loader import load_hf_model
+    from ..core import mesh as mesh_lib
+    from ..processing.processor import PaliGemmaProcessor
+    from ..runtime.engine import PaliGemmaEngine
+    from ..runtime.quantize import quantize_lm_for_serving
+    from ..train.data import collate, json2token, normalized_edit_distance
+    from ..train.trainer import TrainConfig, Trainer
+
+    def load_manifest(path):
+        rows = []
+        with open(path) as f:
+            for line in f:
+                row = json.loads(line)
+                target = row["target"]
+                if not isinstance(target, str):
+                    target = json2token(target)
+                rows.append(
+                    {"image": row["image"],
+                     "prompt": row.get("prompt", args.prompt),
+                     "target": target}
+                )
+        return rows
+
+    params, config = load_hf_model(args.model_path, jnp.bfloat16)
+    if args.quantize_int8:
+        params = quantize_lm_for_serving(params)
+    tokenizer = AutoTokenizer.from_pretrained(args.model_path, padding_side="right")
+    processor = PaliGemmaProcessor(
+        tokenizer,
+        num_image_tokens=config.vision_config.num_image_tokens,
+        image_size=config.vision_config.image_size,
+    )
+
+    mesh = None
+    if args.data_parallel * args.model_parallel > 1:
+        mesh = mesh_lib.make_mesh(args.data_parallel, args.model_parallel)
+
+    tc = TrainConfig(
+        learning_rate=args.learning_rate,
+        grad_clip=args.grad_clip,
+        grad_accum_steps=args.grad_accum,
+        warmup_steps=args.warmup_steps,
+        lora_rank=None if args.full_finetune else args.lora_rank,
+    )
+    trainer = Trainer(params, config, tc, mesh=mesh)
+    if args.resume_from:
+        trainer.restore(args.resume_from)
+
+    train_rows = load_manifest(args.train_jsonl)
+    eval_rows = load_manifest(args.eval_jsonl) if args.eval_jsonl else []
+
+    def batches(rows, bs):
+        for i in range(0, len(rows) - bs + 1, bs):
+            chunk = rows[i : i + bs]
+            images = [Image.open(r["image"]) for r in chunk]
+            yield collate(
+                processor, images,
+                [r["prompt"] for r in chunk],
+                [r["target"] for r in chunk],
+                max_length=args.max_length,
+            )
+
+    step = 0
+    os.makedirs(args.output_dir, exist_ok=True)
+    for epoch in range(args.epochs):
+        for batch in batches(train_rows, args.batch_size):
+            t0 = time.perf_counter()
+            loss = trainer.train_step(batch)
+            dt = time.perf_counter() - t0
+            step += 1
+            print(f"epoch {epoch} step {step} loss {loss:.4f} ({dt*1e3:.0f} ms)")
+            if eval_rows and step % args.eval_every == 0:
+                _evaluate(trainer, processor, eval_rows, config, args)
+        trainer.save(os.path.join(args.output_dir, f"epoch_{epoch}"))
+    trainer.save(os.path.join(args.output_dir, "final"))
+    print("done")
+
+
+def _evaluate(trainer, processor, eval_rows, config, args):
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from ..runtime.engine import PaliGemmaEngine
+    from ..train.data import normalized_edit_distance
+
+    engine = PaliGemmaEngine(
+        trainer.merged_params(), config,
+        max_seq_len=args.max_length + args.max_new_tokens_eval,
+        eos_token_id=processor.tokenizer.eos_token_id,
+    )
+    scores = []
+    for row in eval_rows[:16]:
+        inputs = processor(images=[Image.open(row["image"])], text=[row["prompt"]])
+        toks = engine.generate(
+            jnp.asarray(inputs["pixel_values"]),
+            jnp.asarray(inputs["input_ids"]),
+            jnp.asarray(inputs["attention_mask"]),
+            max_new_tokens=args.max_new_tokens_eval, do_sample=False,
+        )
+        pred = processor.tokenizer.decode(toks[0], skip_special_tokens=True)
+        scores.append(normalized_edit_distance(pred, row["target"]))
+    print(f"val_edit_distance {float(np.mean(scores)):.4f}")
+
+
+if __name__ == "__main__":
+    main()

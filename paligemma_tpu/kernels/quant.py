@@ -183,10 +183,61 @@ def int8_matmul_nmajor(
     return out[:m, :n].reshape(*lead, n)
 
 
+@jax.custom_vjp
+def _int8_matmul_diffable(x, w8, s):
+    return int8_matmul(x, w8, s)
+
+
+def _int8_mm_fwd(x, w8, s):
+    return int8_matmul(x, w8, s), (w8, s)
+
+
+def _int8_mm_bwd(res, g):
+    # dx = g @ dequant(w).T = (g * s) @ w8.T. Weights are frozen in the
+    # quantized-base (QLoRA-style) training path, so no dw is produced.
+    w8, s = res
+    gs = g.astype(jnp.float32) * s  # s broadcasts over the last (N) axis
+    dx = jax.lax.dot_general(
+        gs, w8.astype(jnp.float32), (((g.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(g.dtype)
+    return dx, None, None
+
+
+_int8_matmul_diffable.defvjp(_int8_mm_fwd, _int8_mm_bwd)
+
+
+@jax.custom_vjp
+def _int8_matmul_nmajor_diffable(x, w8t, s):
+    return int8_matmul_nmajor(x, w8t, s)
+
+
+def _int8_nm_fwd(x, w8t, s):
+    return int8_matmul_nmajor(x, w8t, s), (w8t, s)
+
+
+def _int8_nm_bwd(res, g):
+    w8t, s = res  # (N, K)
+    gs = g.astype(jnp.float32) * s  # s broadcasts over the last (N) axis
+    dx = jax.lax.dot_general(
+        gs, w8t.astype(jnp.float32), (((g.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(g.dtype)
+    return dx, None, None
+
+
+_int8_matmul_nmajor_diffable.defvjp(_int8_nm_fwd, _int8_nm_bwd)
+
+
 def matmul_any(x: jnp.ndarray, w) -> jnp.ndarray:
-    """Dispatch: dense ``x @ w`` or int8 kernel when w is a quantized dict."""
+    """Dispatch: dense ``x @ w`` or int8 kernel when w is a quantized dict.
+
+    Int8 paths are differentiable w.r.t. activations (weights frozen) so a
+    LoRA fine-tune can run over an int8 base — the QLoRA-style setup of the
+    reference (ref: Paligemma_FT.ipynb cell 41, NF4 base + adapters).
+    """
     if isinstance(w, dict) and "w8t" in w:
-        return int8_matmul_nmajor(x, w["w8t"], w["s"])
+        return _int8_matmul_nmajor_diffable(x, w["w8t"], w["s"])
     if isinstance(w, dict) and "w8" in w:
-        return int8_matmul(x, w["w8"], w["s"])
+        return _int8_matmul_diffable(x, w["w8"], w["s"])
     return x @ w

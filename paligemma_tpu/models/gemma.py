@@ -101,7 +101,10 @@ def _lora_delta(y: jnp.ndarray, lora_lp: Optional[Params], name: str) -> jnp.nda
         return 0.0
     a, b = lora_lp[name]["a"], lora_lp[name]["b"]
     scale = lora_lp[name]["alpha"] / a.shape[-1]
-    return ((y @ a) @ b) * jnp.asarray(scale, y.dtype)
+    # adapters may be fp32 over a bf16 base: compute in adapter dtype for
+    # gradient quality, return in activation dtype
+    delta = ((y.astype(a.dtype) @ a) @ b) * scale.astype(a.dtype)
+    return delta.astype(y.dtype)
 
 
 def _decoder_block(

@@ -1,0 +1,126 @@
+"""End-to-end CLI tests against a fabricated tiny HF checkpoint directory
+(config.json + model.safetensors + fast tokenizer), exercising the same path
+a user takes with google/paligemma-3b-pt-224."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+VOCAB = 288
+
+
+@pytest.fixture(scope="module")
+def checkpoint_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ckpt")
+
+    # ---- tiny HF PaliGemma with real safetensors ----
+    cfg = transformers.PaliGemmaConfig(
+        vision_config=dict(
+            image_size=28, patch_size=14, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4, projection_dim=48,
+            vision_use_head=False,
+        ),
+        text_config=dict(
+            vocab_size=VOCAB, hidden_size=48, intermediate_size=96,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            head_dim=16, model_type="gemma",
+            bos_token_id=2, eos_token_id=1, pad_token_id=0,
+        ),
+        projection_dim=48, image_token_index=280, pad_token_id=0,
+        vocab_size=VOCAB,
+    )
+    torch.manual_seed(0)
+    model = transformers.PaliGemmaForConditionalGeneration(cfg).eval()
+    model.save_pretrained(str(d), safe_serialization=True)
+
+    # ---- tiny fast tokenizer (word-level) ----
+    from tokenizers import Tokenizer, models, pre_tokenizers
+
+    words = ["this", "building", "is", "a", "answer", "in", "english", "hello",
+             "world", "describe", "the", "image", "extract", "json"]
+    vocab = {"<pad>": 0, "<eos>": 1, "<bos>": 2, "\n": 3, "<unk>": 4}
+    for w in words:
+        vocab[w] = len(vocab)
+    tok = Tokenizer(models.WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    fast = transformers.PreTrainedTokenizerFast(
+        tokenizer_object=tok,
+        pad_token="<pad>", eos_token="<eos>", bos_token="<bos>", unk_token="<unk>",
+    )
+    fast.save_pretrained(str(d))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def image_path(tmp_path_factory):
+    from PIL import Image
+
+    p = tmp_path_factory.mktemp("img") / "pic1.png"
+    rng = np.random.default_rng(0)
+    Image.fromarray(rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)).save(p)
+    return str(p)
+
+
+def test_infer_cli_end_to_end(checkpoint_dir, image_path, capsys):
+    from paligemma_tpu.cli.infer import main
+
+    main([
+        "--model_path", checkpoint_dir,
+        "--prompt", "describe the image",
+        "--image_file_path", image_path,
+        "--max_tokens_to_generate", "5",
+        "--dtype", "float32",
+    ])
+    out = capsys.readouterr().out
+    assert "describe the image" in out
+    assert "Running inference" in out
+
+
+def test_infer_cli_batch_and_sampling(checkpoint_dir, image_path, capsys):
+    from paligemma_tpu.cli.infer import main
+
+    main([
+        "--model_path", checkpoint_dir,
+        "--prompt", "hello world",
+        "--prompt", "this building is",
+        "--image_file_path", image_path,
+        "--image_file_path", image_path,
+        "--max_tokens_to_generate", "4",
+        "--do_sample", "--temperature", "0.7", "--top_p", "0.9",
+        "--dtype", "float32",
+    ])
+    out = capsys.readouterr().out
+    assert "hello world" in out and "this building is" in out
+
+
+def test_finetune_cli_end_to_end(checkpoint_dir, image_path, tmp_path, capsys):
+    from paligemma_tpu.cli.finetune import main
+
+    manifest = tmp_path / "train.jsonl"
+    rows = [
+        {"image": image_path, "prompt": "extract json",
+         "target": {"total": "10"}},
+        {"image": image_path, "prompt": "extract json",
+         "target": {"total": "12"}},
+    ]
+    manifest.write_text("\n".join(json.dumps(r) for r in rows))
+
+    main([
+        "--model_path", checkpoint_dir,
+        "--train_jsonl", str(manifest),
+        "--output_dir", str(tmp_path / "out"),
+        "--batch_size", "2",
+        "--grad_accum", "1",
+        "--epochs", "2",
+        "--lora_rank", "2",
+        "--warmup_steps", "0",
+        "--max_length", "64",
+    ])
+    out = capsys.readouterr().out
+    assert "loss" in out and "done" in out
+    assert os.path.exists(tmp_path / "out" / "final")

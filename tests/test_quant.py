@@ -80,3 +80,22 @@ def test_quantized_cache_dtype_override():
     qparams = quantize_lm_for_serving(params)
     eng = PaliGemmaEngine(qparams, CFG, max_seq_len=16, use_flash=False)
     assert eng.cache_dtype == qparams["lm"]["embed"].dtype
+
+
+def test_qlora_train_over_int8_base():
+    """LoRA fine-tune over an int8-quantized base (reference QLoRA analog)."""
+    from paligemma_tpu.train.trainer import TrainConfig, Trainer
+    from test_train import _batch
+
+    params = paligemma.init_params(jax.random.PRNGKey(0), CFG)
+    qparams = quantize_lm_for_serving(params)
+    tr = Trainer(qparams, CFG, TrainConfig(lora_rank=4, learning_rate=5e-3,
+                                           use_flash=False))
+    b_before = np.asarray(tr.lora["layers"]["q"]["b"]).copy()
+    first = tr.train_step(_batch())
+    assert np.isfinite(first)
+    last = first
+    for _ in range(10):
+        last = tr.train_step(_batch())
+    assert not np.allclose(np.asarray(tr.lora["layers"]["q"]["b"]), b_before)
+    assert last < first
