@@ -63,11 +63,16 @@ def int8_matmul(
     w8: jnp.ndarray,  # (K, N) int8
     s: jnp.ndarray,  # (N,) fp32
     block_m: int = 256,
-    block_n: int = 512,
+    block_n: int = 2048,
     block_k: int = 2048,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
-    """``x @ dequant(w8, s)`` with in-kernel dequantization."""
+    """``x @ dequant(w8, s)`` with in-kernel dequantization.
+
+    Default 2048x2048 int8 blocks (4 MB) keep the per-grid-step fixed cost
+    amortized — with small blocks the kernel becomes launch-overhead-bound
+    and the bandwidth saving of int8 disappears.
+    """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     *lead, k = x.shape
@@ -140,7 +145,7 @@ def int8_matmul_nmajor(
     w8t: jnp.ndarray,  # (N, K) int8
     s: jnp.ndarray,  # (N,) fp32
     block_m: int = 256,
-    block_n: int = 1024,
+    block_n: int = 2048,
     block_k: int = 2048,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
