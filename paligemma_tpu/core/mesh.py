@@ -43,55 +43,60 @@ def single_device_mesh() -> Mesh:
 # ---------------------------------------------------------------------------
 # Sharding rules
 # ---------------------------------------------------------------------------
-def _vision_layer_specs() -> Dict[str, Any]:
-    col = {"kernel": P(None, None, "model"), "bias": P(None, "model")}
-    row = {"kernel": P(None, "model", None), "bias": P(None)}
-    rep = {"scale": P(None), "bias": P(None)}
-    return {
-        "ln1": rep,
-        "attn": {"q": col, "k": col, "v": col, "o": row},
-        "ln2": rep,
-        "mlp": {"fc1": col, "fc2": row},
-    }
+# Which matmul operand dimension is TP-sharded per projection:
+# "col" = output dim on "model" (q/k/v/gate/up/fc1), "row" = input dim on
+# "model" (o/down/fc2). Quantized entries (w8 / w8t / s) follow the same
+# logical dims.
+_COL_PROJ = {"q", "k", "v", "gate", "up", "fc1"}
+_ROW_PROJ = {"o", "down", "fc2"}
 
 
-def _lm_layer_specs() -> Dict[str, Any]:
-    return {
-        "input_norm": P(None),
-        "attn": {
-            "q": P(None, None, "model"),
-            "k": P(None, None, "model"),
-            "v": P(None, None, "model"),
-            "o": P(None, "model", None),
-        },
-        "post_norm": P(None),
-        "mlp": {
-            "gate": P(None, None, "model"),
-            "up": P(None, None, "model"),
-            "down": P(None, "model", None),
-        },
-    }
+def _spec_for_leaf(names, leaf) -> P:
+    """Sharding rule from the pytree path (works for dense + int8 trees)."""
+    nset = set(names)
+    ndim = leaf.ndim
+
+    def axis_spec(shard_dim_from_end: int) -> P:
+        spec = [None] * ndim
+        spec[ndim - 1 - shard_dim_from_end] = "model"
+        return P(*spec)
+
+    if "head_q" in nset:
+        if names[-1] == "s":
+            return P("model")
+        # w8 (H, V) -> vocab on model; w8t (V, H) -> vocab on model (dim 0)
+        return axis_spec(0) if names[-1] == "w8" else P("model", None)
+    if "embed" == names[-1]:
+        return P("model", None)  # vocab-sharded
+    if "pos_embed" == names[-1] or "final_norm" == names[-1]:
+        return P(*([None] * ndim))
+    if "patch_embed" in nset:
+        return axis_spec(0)  # kernel (ppc, D) / bias (D,) -> D on model
+
+    proj = next((n for n in names if n in _COL_PROJ | _ROW_PROJ), None)
+    if proj is None:
+        return P(*([None] * ndim))  # norms, projector, alphas
+
+    col = proj in _COL_PROJ
+    last = names[-1]
+    if last == "s":  # scales: per-output-channel
+        return axis_spec(0) if col else P(*([None] * ndim))
+    if last == "w8t":  # (..., N, K)
+        return axis_spec(1) if col else axis_spec(0)
+    if last == "bias":
+        return axis_spec(0) if col else P(*([None] * ndim))
+    # dense kernel or w8: (..., K, N)
+    return axis_spec(0) if col else axis_spec(1)
 
 
 def param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
-    """PartitionSpec pytree matching a paligemma params pytree."""
-    specs: Dict[str, Any] = {
-        "vision": {
-            "patch_embed": {"kernel": P(None, "model"), "bias": P("model")},
-            "pos_embed": P(None, None),
-            "layers": _vision_layer_specs(),
-            "post_ln": {"scale": P(None), "bias": P(None)},
-        },
-        "projector": {"kernel": P(None, None)},
-        "lm": {
-            "embed": P("model", None),  # vocab-sharded
-            "layers": _lm_layer_specs(),
-            "final_norm": P(None),
-        },
-    }
-    if "bias" in params.get("projector", {}):
-        specs["projector"]["bias"] = P(None)
-    return specs
+    """PartitionSpec pytree matching a (dense or int8-quantized) params tree."""
+
+    def rule(path, leaf):
+        names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        return _spec_for_leaf(names, leaf)
+
+    return jax.tree_util.tree_map_with_path(rule, params)
 
 
 def lora_specs(lora: Dict[str, Any]) -> Dict[str, Any]:

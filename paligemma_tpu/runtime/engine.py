@@ -56,15 +56,34 @@ class PaliGemmaEngine:
         cache_dtype=None,
         eos_token_id: int = 1,
         use_flash: Optional[bool] = None,
+        mesh=None,
     ):
-        self.params = params
+        """``mesh``: optional jax.sharding.Mesh("data","model") — weights get
+        Megatron-style TP shardings on "model" and the batch shards on
+        "data"; XLA inserts the ICI collectives. Same code path 1-chip and
+        v5e-8 (the reference's only parallelism is a DDP toy, ref: test.py)."""
         self.config = config
         self.max_seq_len = max_seq_len
         self.eos_token_id = eos_token_id
         self.cache_dtype = cache_dtype or params["lm"]["embed"].dtype
         if use_flash is None:
             use_flash = jax.default_backend() == "tpu"
+        if use_flash and mesh is not None:
+            # the Pallas kernel is not partitioned under a mesh yet; the XLA
+            # attention path shards cleanly
+            use_flash = False
         self.use_flash = use_flash
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+
+            from ..core import mesh as mesh_lib
+
+            pspecs = mesh_lib.param_specs(params)
+            params = jax.tree.map(
+                lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, pspecs
+            )
+        self.params = params
 
         cfg = config  # closed over statically (frozen dataclass)
 
@@ -112,12 +131,37 @@ class PaliGemmaEngine:
 
     # ------------------------------------------------------------------
     def init_state_cache(self, batch: int) -> Dict[str, jnp.ndarray]:
-        return gemma.init_kv_cache(
+        cache = gemma.init_kv_cache(
             self.config.text_config, batch, self.max_seq_len, self.cache_dtype
+        )
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding
+
+            from ..core import mesh as mesh_lib
+
+            cache = jax.tree.map(
+                lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)),
+                cache, mesh_lib.kv_cache_specs(),
+            )
+        return cache
+
+    def _shard_batch(self, *arrays):
+        if self.mesh is None:
+            return arrays
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return tuple(
+            jax.device_put(
+                a, NamedSharding(self.mesh, P("data", *([None] * (a.ndim - 1))))
+            )
+            for a in arrays
         )
 
     def prefill(self, pixel_values, input_ids, attention_mask):
         cache = self.init_state_cache(input_ids.shape[0])
+        pixel_values, input_ids, attention_mask = self._shard_batch(
+            pixel_values, input_ids, attention_mask
+        )
         return self._prefill_fn(
             self.params, pixel_values, input_ids, attention_mask, cache
         )
