@@ -92,6 +92,25 @@ def main():
     _sync(qlogits2)
     tok_per_s = time_decode(qengine, qlogits2, qstate)
 
+    # ---- batch-8 int8 decode throughput (BASELINE batch-8 VQA config) ----
+    b8 = 8
+    ids8 = np.tile(ids, (b8, 1))
+    mask8 = np.tile(mask, (b8, 1))
+    pixels8 = np.tile(pixels, (b8, 1, 1, 1))
+    lo8, st8 = qengine.prefill(
+        jnp.asarray(pixels8), jnp.asarray(ids8), jnp.asarray(mask8)
+    )
+    t8 = jnp.argmax(lo8, axis=-1).astype(jnp.int32)
+    lo8b, st8 = qengine.decode_step(t8, st8)
+    _sync(lo8b)
+    t0 = time.perf_counter()
+    l2, s2 = lo8b, st8
+    for _ in range(50):
+        tk = jnp.argmax(l2, axis=-1).astype(jnp.int32)
+        l2, s2 = qengine.decode_step(tk, s2)
+    _sync(l2)
+    b8_tok_per_s = 50 * b8 / (time.perf_counter() - t0)
+
     # Speed of light: HBM bandwidth / bytes per token (decode is BW-bound).
     # TPU v5e: ~819 GB/s HBM BW.
     hbm_bw = 819e9
@@ -111,6 +130,7 @@ def main():
                 "vs_baseline": round(tok_per_s / sol_tok_per_s, 4),
                 "extra": {
                     "bf16_decode_tokens_per_sec": round(bf16_tok_per_s, 2),
+                    "int8_batch8_decode_tokens_per_sec": round(b8_tok_per_s, 2),
                     "ttft_ms": round(ttft_ms, 2),
                     "param_bytes": param_bytes,
                     "sol_tokens_per_sec": round(sol_tok_per_s, 2),

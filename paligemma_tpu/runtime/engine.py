@@ -57,11 +57,18 @@ class PaliGemmaEngine:
         eos_token_id: int = 1,
         use_flash: Optional[bool] = None,
         mesh=None,
+        decode_params: Optional[Dict[str, Any]] = None,
     ):
         """``mesh``: optional jax.sharding.Mesh("data","model") — weights get
         Megatron-style TP shardings on "model" and the batch shards on
         "data"; XLA inserts the ICI collectives. Same code path 1-chip and
-        v5e-8 (the reference's only parallelism is a DDP toy, ref: test.py)."""
+        v5e-8 (the reference's only parallelism is a DDP toy, ref: test.py).
+
+        ``decode_params``: optional second weight set used only by
+        decode_step — e.g. int8-quantized weights (runtime.quantize) while
+        ``params`` stays bf16 for the compute-bound prefill. Splitting the
+        two phases this way gets the best TTFT *and* the best decode
+        tokens/s at the cost of holding both copies in HBM."""
         self.config = config
         self.max_seq_len = max_seq_len
         self.eos_token_id = eos_token_id
@@ -83,7 +90,14 @@ class PaliGemmaEngine:
             params = jax.tree.map(
                 lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, pspecs
             )
+            if decode_params is not None:
+                dspecs = mesh_lib.param_specs(decode_params)
+                decode_params = jax.tree.map(
+                    lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+                    decode_params, dspecs,
+                )
         self.params = params
+        self.decode_params = decode_params if decode_params is not None else params
 
         cfg = config  # closed over statically (frozen dataclass)
 
@@ -167,7 +181,7 @@ class PaliGemmaEngine:
         )
 
     def decode_step(self, token, state: KVState):
-        return self._decode_fn(self.params, token, state)
+        return self._decode_fn(self.decode_params, token, state)
 
     # ------------------------------------------------------------------
     def generate(
@@ -225,7 +239,8 @@ class PaliGemmaEngine:
             key = jax.random.PRNGKey(0)
         fn = self._get_fused(max_new_tokens, temperature, top_p, do_sample, eos)
         cache = self.init_state_cache(input_ids.shape[0])
-        return fn(self.params, pixel_values, input_ids, attention_mask, cache, key)
+        return fn(self.params, self.decode_params, pixel_values, input_ids,
+                  attention_mask, cache, key)
 
     def _get_fused(self, max_new_tokens, temperature, top_p, do_sample, eos):
         sig = (max_new_tokens, temperature, top_p, do_sample, eos)
@@ -235,7 +250,7 @@ class PaliGemmaEngine:
         prefill_fn = self._prefill_fn
 
         @jax.jit
-        def fused(params, pixels, ids, mask, cache, key):
+        def fused(params, decode_params, pixels, ids, mask, cache, key):
             logits, state = prefill_fn(params, pixels, ids, mask, cache)
             b = ids.shape[0]
 
@@ -246,7 +261,7 @@ class PaliGemmaEngine:
                 done = done | (token == eos)
                 valid = state.valid.at[:, state.write_pos].set(True)
                 new_logits, new_cache = paligemma.decode_step(
-                    params, cfg, token, state.cache,
+                    decode_params, cfg, token, state.cache,
                     cache_pos=state.write_pos, kv_valid=valid,
                     position_ids=state.pos_ids,
                 )

@@ -124,3 +124,18 @@ def test_finetune_cli_end_to_end(checkpoint_dir, image_path, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "loss" in out and "done" in out
     assert os.path.exists(tmp_path / "out" / "final")
+
+
+def test_infer_cli_int8(checkpoint_dir, image_path, capsys):
+    from paligemma_tpu.cli.infer import main
+
+    main([
+        "--model_path", checkpoint_dir,
+        "--prompt", "describe the image",
+        "--image_file_path", image_path,
+        "--max_tokens_to_generate", "3",
+        "--dtype", "float32",
+        "--quantize_int8",
+    ])
+    out = capsys.readouterr().out
+    assert "describe the image" in out
