@@ -39,8 +39,8 @@ NEG_INF = -1e30
 
 
 def _flash_kernel(
-    prefix_ref,  # SMEM (1,)
-    kvlen_ref,  # SMEM (1,)
+    prefix_ref,  # SMEM (B,) — indexed by the batch grid coordinate
+    kvlen_ref,  # SMEM (B,)
     q_ref,  # VMEM (1, 1, block_q, D) — (B, H, S, D) layout
     k_ref,  # VMEM (1, 1, Skv, D)
     v_ref,  # VMEM (1, 1, Skv, D)
@@ -54,13 +54,14 @@ def _flash_kernel(
     block_q = q_ref.shape[2]
     d = q_ref.shape[-1]
     skv = k_ref.shape[2]
+    bi = pl.program_id(0)
     qb = pl.program_id(2)
 
     # Keep q/k/v in their storage dtype (bf16) for the MXU — accumulation is
     # fp32 via preferred_element_type; only softmax math runs in fp32.
     q = q_ref[0, 0, :, :]  # (block_q, D)
-    prefix_len = prefix_ref[0]
-    kv_len = kvlen_ref[0]
+    prefix_len = prefix_ref[bi]
+    kv_len = kvlen_ref[bi]
     # Rows are (group, seq) flattened per KV head: all query heads sharing a
     # KV head are processed in ONE kernel instance so K/V stream from HBM
     # once per kv head, not once per q head (critical for Gemma's MQA).
@@ -150,8 +151,8 @@ def _flash_forward(
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1,), lambda bi, h, qb: (bi,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1,), lambda bi, h, qb: (bi,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((b,), lambda bi, h, qb: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((b,), lambda bi, h, qb: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (1, 1, block_q, d_pad),
                 lambda bi, h, qb: (bi, h, qb, 0),
