@@ -57,8 +57,12 @@ class ServingEngine:
         max_seq_len: int = 1024,
         cache_dtype=None,
         use_flash: Optional[bool] = None,
+        decode_params: Optional[Dict[str, Any]] = None,
     ):
+        """``decode_params``: optional int8-quantized weights used for the
+        lockstep decode while ``params`` (bf16) serves the prefills."""
         self.params = params
+        self.decode_params = decode_params if decode_params is not None else params
         self.config = config
         self.max_slots = max_slots
         self.max_seq_len = max_seq_len
@@ -205,7 +209,7 @@ class ServingEngine:
 
         self._key, sub = jax.random.split(self._key)
         token, self.cache, self.state = self._decode_all(
-            self.params, self.cache, self.state,
+            self.decode_params, self.cache, self.state,
             jnp.asarray(active_np), sub,
             jnp.asarray(temps), jnp.asarray(top_ps), jnp.asarray(do_s),
         )

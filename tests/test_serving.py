@@ -79,3 +79,18 @@ def test_queueing_beyond_slots():
     done = serving.run_to_completion()
     assert sorted(r.request_id for r in done) == [0, 1, 2]
     assert all(len(r.tokens) == 3 for r in done)
+
+
+def test_serving_with_int8_decode_params():
+    """Split precision in the server: bf16 prefill + int8 decode."""
+    from paligemma_tpu.runtime.quantize import quantize_lm_for_serving
+
+    params = paligemma.init_params(jax.random.PRNGKey(0), CFG)
+    qparams = quantize_lm_for_serving(params)
+    serving = ServingEngine(params, CFG, max_slots=2, max_seq_len=32,
+                            use_flash=False, decode_params=qparams)
+    reqs = [_req(0, 1, 4, 4), _req(1, 2, 6, 4)]
+    for r in reqs:
+        serving.submit(r)
+    done = serving.run_to_completion()
+    assert len(done) == 2 and all(len(r.tokens) == 4 for r in done)
