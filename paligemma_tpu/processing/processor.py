@@ -54,6 +54,23 @@ class PaliGemmaProcessor:
         """The gemma string (ref: processing_paligemma.py:77-89)."""
         return f"{IMAGE_TOKEN * self.image_seq_len}{self.tokenizer.bos_token}{prefix_prompt}\n"
 
+    def _pixel_values(self, images) -> "np.ndarray":
+        """PIL path by default; uniform-size batches go through the native
+        C++ preprocessor (threaded bicubic, off the GIL) when available."""
+        sizes = {getattr(im, "size", None) for im in images}
+        if len(sizes) == 1 and None not in sizes:
+            try:
+                from .native import native_available, preprocess_images_native
+
+                if native_available():
+                    raw = np.stack(
+                        [np.asarray(im.convert("RGB"), np.uint8) for im in images]
+                    )
+                    return preprocess_images_native(raw, self.image_size)
+            except Exception:
+                pass  # fall back to PIL
+        return process_images_host(images, self.image_size)
+
     def __call__(
         self,
         images: Sequence,
@@ -62,7 +79,7 @@ class PaliGemmaProcessor:
         truncation: bool = True,
     ) -> dict:
         assert len(images) == len(text), "images and prompts must pair 1:1"
-        pixel_values = process_images_host(images, self.image_size)
+        pixel_values = self._pixel_values(images)
 
         prompts = [self.build_prompt(t) for t in text]
         toks = self.tokenizer(
