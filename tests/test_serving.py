@@ -94,3 +94,21 @@ def test_serving_with_int8_decode_params():
         serving.submit(r)
     done = serving.run_to_completion()
     assert len(done) == 2 and all(len(r.tokens) == 4 for r in done)
+
+
+def test_timed_engine_metrics():
+    from paligemma_tpu.runtime.metrics import TimedEngine
+
+    params = paligemma.init_params(jax.random.PRNGKey(0), CFG)
+    eng = TimedEngine(PaliGemmaEngine(params, CFG, max_seq_len=32, use_flash=False))
+    r = _req(0, 1, 4, 3)
+    lo, st = eng.prefill(
+        jnp.asarray(r.pixel_values)[None], jnp.asarray(r.input_ids)[None],
+        jnp.ones((1, len(r.input_ids)), jnp.int32),
+    )
+    for _ in range(3):
+        tok = jnp.argmax(lo, -1).astype(jnp.int32)
+        lo, st = eng.decode_step(tok, st)
+    s = eng.stats.summary()
+    assert s["ttft_ms"] > 0 and s["steps"] == 3
+    assert s["decode_tokens_per_sec"] > 0
