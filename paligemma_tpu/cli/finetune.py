@@ -46,6 +46,10 @@ def main(argv=None):
     p.add_argument("--model_parallel", type=int, default=1)
     p.add_argument("--eval_every", type=int, default=200)
     p.add_argument("--max_new_tokens_eval", type=int, default=512)
+    p.add_argument("--export_hf", action="store_true",
+                   help="also export the final (LoRA-merged) model as an "
+                        "HF-format checkpoint directory (the offline analog "
+                        "of the reference's hub push)")
     args = p.parse_args(argv)
 
     import jax
@@ -129,6 +133,14 @@ def main(argv=None):
                 _evaluate(trainer, processor, eval_rows, config, args)
         trainer.save(os.path.join(args.output_dir, f"epoch_{epoch}"))
     trainer.save(os.path.join(args.output_dir, "final"))
+    if args.export_hf:
+        from ..checkpoints.hf_export import export_hf_checkpoint
+
+        export_hf_checkpoint(
+            config, trainer.merged_params(),
+            os.path.join(args.output_dir, "hf_export"),
+        )
+        print(f"exported HF checkpoint to {args.output_dir}/hf_export")
     print("done")
 
 

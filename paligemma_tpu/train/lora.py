@@ -70,13 +70,22 @@ def merge_lora(
     layers = dict(merged["layers"])
     attn = dict(layers["attn"])
     mlp = dict(layers["mlp"])
+
+    def add_delta(base, delta):
+        if isinstance(base, dict):  # int8-quantized base: dequantize to merge
+            from ..kernels.quant import dequantize
+
+            dense = dequantize(base, jnp.bfloat16)
+            return dense + delta.astype(dense.dtype)
+        return base + delta.astype(base.dtype)
+
     for name, p in lora["layers"].items():
         scale = (p["alpha"] / p["a"].shape[-1])[:, None, None]
         delta = jnp.einsum("lir,lro->lio", p["a"], p["b"]) * scale
         if name in ("q", "k", "v", "o"):
-            attn[name] = attn[name] + delta.astype(attn[name].dtype)
+            attn[name] = add_delta(attn[name], delta)
         else:
-            mlp[name] = mlp[name] + delta.astype(mlp[name].dtype)
+            mlp[name] = add_delta(mlp[name], delta)
     layers["attn"] = attn
     layers["mlp"] = mlp
     merged["layers"] = layers

@@ -139,3 +139,32 @@ def test_infer_cli_int8(checkpoint_dir, image_path, capsys):
     ])
     out = capsys.readouterr().out
     assert "describe the image" in out
+
+
+def test_finetune_cli_export_hf(checkpoint_dir, image_path, tmp_path):
+    from paligemma_tpu.cli.finetune import main
+
+    manifest = tmp_path / "train.jsonl"
+    manifest.write_text(json.dumps(
+        {"image": image_path, "prompt": "extract json", "target": {"a": "1"}}
+    ) + "\n" + json.dumps(
+        {"image": image_path, "prompt": "extract json", "target": {"a": "2"}}
+    ))
+    main([
+        "--model_path", checkpoint_dir,
+        "--train_jsonl", str(manifest),
+        "--output_dir", str(tmp_path / "out"),
+        "--batch_size", "2", "--grad_accum", "1", "--epochs", "1",
+        "--lora_rank", "2", "--warmup_steps", "0", "--max_length", "64",
+        "--export_hf",
+    ])
+    exp = tmp_path / "out" / "hf_export"
+    assert (exp / "model.safetensors").exists()
+    assert (exp / "config.json").exists()
+    # the exported dir loads back into the framework
+    import jax.numpy as jnp
+
+    from paligemma_tpu.checkpoints.hf_loader import load_hf_model
+
+    params, cfg = load_hf_model(str(exp), jnp.float32)
+    assert params["lm"]["embed"].shape[0] == VOCAB
