@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import glob
 import os
-import re
 from typing import Any, Dict, Mapping, Tuple
 
 import jax.numpy as jnp

@@ -52,7 +52,6 @@ def main(argv=None):
                         "of the reference's hub push)")
     args = p.parse_args(argv)
 
-    import jax
     import jax.numpy as jnp
     import numpy as np
     from PIL import Image

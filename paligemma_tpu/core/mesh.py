@@ -19,13 +19,12 @@ Sharding layout (Megatron-style TP):
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .config import PaliGemmaConfig
 
 
 def make_mesh(data: int = 1, model: int = 1, devices=None) -> Mesh:

@@ -14,8 +14,7 @@ Layout: weights (K, N) int8, scales (N,) fp32; per-channel symmetric
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

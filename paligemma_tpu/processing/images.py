@@ -15,7 +15,7 @@ mean=std=0.5 -> CHW; ref: processing_paligemma.py:13-73):
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ Outputs are numpy (host) — the engine moves them to device.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 
