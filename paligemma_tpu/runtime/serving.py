@@ -58,9 +58,15 @@ class ServingEngine:
         cache_dtype=None,
         use_flash: Optional[bool] = None,
         decode_params: Optional[Dict[str, Any]] = None,
+        sync_every: int = 4,
     ):
         """``decode_params``: optional int8-quantized weights used for the
-        lockstep decode while ``params`` (bf16) serves the prefills."""
+        lockstep decode while ``params`` (bf16) serves the prefills.
+
+        ``sync_every``: decode ticks per host synchronization. Each host
+        readback costs a full device round trip (expensive through a
+        tunneled TPU); batching K ticks amortizes it. EOS detection lags by
+        up to K-1 tokens — the overshoot tokens are discarded."""
         self.params = params
         self.decode_params = decode_params if decode_params is not None else params
         self.config = config
@@ -156,6 +162,7 @@ class ServingEngine:
         self.pending: List[Request] = []
         self._key = jax.random.PRNGKey(0)
         self._generated: Dict[int, int] = {}
+        self.sync_every = max(1, sync_every)
 
     # ------------------------------------------------------------------
     def submit(self, req: Request) -> None:
@@ -207,30 +214,43 @@ class ServingEngine:
         top_ps = np.asarray([r.top_p if r else 1.0 for r in self.slots], np.float32)
         do_s = np.asarray([bool(r.do_sample) if r else False for r in self.slots])
 
-        self._key, sub = jax.random.split(self._key)
-        token, self.cache, self.state = self._decode_all(
-            self.decode_params, self.cache, self.state,
-            jnp.asarray(active_np), sub,
-            jnp.asarray(temps), jnp.asarray(top_ps), jnp.asarray(do_s),
+        active = jnp.asarray(active_np)
+        temps_j, top_j, do_j = jnp.asarray(temps), jnp.asarray(top_ps), jnp.asarray(do_s)
+        # budget-aware window: don't overshoot the smallest remaining budget
+        min_left = min(
+            (r.max_new_tokens - self._generated[r.request_id]
+             for r in self.slots if r is not None),
+            default=1,
         )
-        token_np = np.asarray(token)
+        ticks = max(1, min(self.sync_every, min_left))
+        tokens = []
+        for _ in range(ticks):
+            self._key, sub = jax.random.split(self._key)
+            token, self.cache, self.state = self._decode_all(
+                self.decode_params, self.cache, self.state,
+                active, sub, temps_j, top_j, do_j,
+            )
+            tokens.append(token)
+        token_np = np.asarray(jnp.stack(tokens))  # ONE sync for all ticks
 
         finished: List[Request] = []
         for slot, req in enumerate(self.slots):
             if req is None:
                 continue
-            tok = int(token_np[slot])
-            req.tokens.append(tok)
-            self._generated[req.request_id] += 1
-            out_of_budget = (
-                self._generated[req.request_id] >= req.max_new_tokens
-                or len(req.input_ids) + self._generated[req.request_id]
-                >= self.max_seq_len
-            )
-            if tok == req.eos_token_id or out_of_budget:
-                req.done = True
-                finished.append(req)
-                self.slots[slot] = None
+            for t in range(ticks):
+                tok = int(token_np[t, slot])
+                req.tokens.append(tok)
+                self._generated[req.request_id] += 1
+                out_of_budget = (
+                    self._generated[req.request_id] >= req.max_new_tokens
+                    or len(req.input_ids) + self._generated[req.request_id]
+                    >= self.max_seq_len
+                )
+                if tok == req.eos_token_id or out_of_budget:
+                    req.done = True
+                    finished.append(req)
+                    self.slots[slot] = None
+                    break  # overshoot tokens within the window are discarded
         return finished
 
     def run_to_completion(self) -> List[Request]:

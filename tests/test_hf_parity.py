@@ -165,3 +165,48 @@ def test_batched_padded_decode_parity(hf_model, our_setup):
             )
         hf_new = hf_tokens[0, int(keep.sum()):].numpy()
         np.testing.assert_array_equal(ours[b], hf_new)
+
+
+def test_fused_generate_sampled_runs(our_setup):
+    """Sampling path under jit (sort+cumsum top-p + Gumbel draw) executes and
+    produces valid token ids."""
+    engine, cfg = our_setup
+    ids, mask, pixels = _inputs()
+    toks = engine.generate_fused(
+        jnp.asarray(pixels), jnp.asarray(ids, jnp.int32), jnp.asarray(mask, jnp.int32),
+        max_new_tokens=6, do_sample=True, temperature=0.8, top_p=0.9,
+        key=jax.random.PRNGKey(7), eos_token_id=-1,
+    )
+    toks = np.asarray(toks)
+    assert toks.shape == (1, 6)
+    assert ((toks >= 0) & (toks < VOCAB)).all()
+    # different keys -> (almost surely) different samples
+    toks2 = np.asarray(engine.generate_fused(
+        jnp.asarray(pixels), jnp.asarray(ids, jnp.int32), jnp.asarray(mask, jnp.int32),
+        max_new_tokens=6, do_sample=True, temperature=5.0, top_p=1.0,
+        key=jax.random.PRNGKey(8), eos_token_id=-1,
+    ))
+    assert not np.array_equal(toks, toks2)
+
+
+def test_generate_stops_at_eos(our_setup):
+    """EOS termination semantics: rows stop and pad with EOS."""
+    engine, cfg = our_setup
+    ids, mask, pixels = _inputs()
+    # discover the greedy continuation, use its 2nd token as EOS
+    probe = np.asarray(engine.generate(
+        jnp.asarray(pixels), jnp.asarray(ids, jnp.int32), jnp.asarray(mask, jnp.int32),
+        max_new_tokens=8, do_sample=False, eos_token_id=-1,
+    ))[0]
+    # pick as EOS a token whose first occurrence is not at step 0 (fall back
+    # to the first token if the tiny model repeats itself forever)
+    idx = next(
+        (i for i in range(1, len(probe)) if probe[i] not in probe[:i]), 0
+    )
+    eos = int(probe[idx])
+    out = engine.generate(
+        jnp.asarray(pixels), jnp.asarray(ids, jnp.int32), jnp.asarray(mask, jnp.int32),
+        max_new_tokens=8, do_sample=False, eos_token_id=eos,
+    )
+    assert out.shape[1] == idx + 1  # stopped right after emitting EOS
+    assert out[0, -1] == eos
