@@ -137,9 +137,17 @@ def _decoder_block(
         # (B, S) block (prefill / lockstep decode); a (B,) vector scatters
         # one token per row at per-row positions (continuous batching).
         if cache_pos.ndim == 1:
-            bidx = jnp.arange(b)
-            k_cache = k_cache.at[bidx, cache_pos].set(k[:, 0].astype(k_cache.dtype))
-            v_cache = v_cache.at[bidx, cache_pos].set(v[:, 0].astype(v_cache.dtype))
+            # per-row writes (continuous batching: sequences at different
+            # lengths): unrolled dynamic_update_slice per row — in-place
+            # updates XLA can alias, unlike a gather/scatter (slow on TPU)
+            # or a one-hot full-cache select (defeats aliasing in the scan).
+            zero = jnp.zeros((), jnp.int32)
+            for r in range(b):
+                kr = k[r : r + 1, 0:1].astype(k_cache.dtype)
+                vr = v[r : r + 1, 0:1].astype(v_cache.dtype)
+                idx = (jnp.asarray(r, jnp.int32), cache_pos[r], zero, zero)
+                k_cache = jax.lax.dynamic_update_slice(k_cache, kr, idx)
+                v_cache = jax.lax.dynamic_update_slice(v_cache, vr, idx)
         else:
             zero = jnp.zeros((), jnp.int32)
             k_cache = jax.lax.dynamic_update_slice(

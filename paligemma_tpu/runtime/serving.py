@@ -58,7 +58,7 @@ class ServingEngine:
         cache_dtype=None,
         use_flash: Optional[bool] = None,
         decode_params: Optional[Dict[str, Any]] = None,
-        sync_every: int = 4,
+        sync_every: int = 8,
     ):
         """``decode_params``: optional int8-quantized weights used for the
         lockstep decode while ``params`` (bf16) serves the prefills.
@@ -118,14 +118,22 @@ class ServingEngine:
             }
             return cache, state
 
-        @functools.partial(jax.jit, donate_argnums=(1, 2))
-        def _decode_all(params, cache, state, active, key, temps, top_ps, do_samples):
+        @functools.partial(
+            jax.jit, donate_argnums=(1, 2), static_argnames=("with_sampling",)
+        )
+        def _decode_all(params, cache, state, active, key, temps, top_ps,
+                        do_samples, with_sampling=False):
             logits = state["logits"]
             greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            sampled_tok = jax.vmap(
-                lambda k, lg, t, p: sampling.sample_top_p(k, lg[None], t, p)[0]
-            )(jax.random.split(key, self.max_slots), logits, temps, top_ps)
-            token = jnp.where(do_samples, sampled_tok, greedy_tok)
+            if with_sampling:
+                # full-vocab sort per sampled row — only compiled in when
+                # some active request actually samples
+                sampled_tok = jax.vmap(
+                    lambda k, lg, t, p: sampling.sample_top_p(k, lg[None], t, p)[0]
+                )(jax.random.split(key, self.max_slots), logits, temps, top_ps)
+                token = jnp.where(do_samples, sampled_tok, greedy_tok)
+            else:
+                token = greedy_tok
 
             write_pos = state["write_pos"]
             valid = state["valid"].at[jnp.arange(self.max_slots), write_pos].set(
@@ -163,6 +171,7 @@ class ServingEngine:
         self._key = jax.random.PRNGKey(0)
         self._generated: Dict[int, int] = {}
         self.sync_every = max(1, sync_every)
+        self._sched_cache = None  # (fingerprint, device arrays)
 
     # ------------------------------------------------------------------
     def submit(self, req: Request) -> None:
@@ -208,14 +217,26 @@ class ServingEngine:
         if not active_np.any():
             return []
 
-        temps = np.asarray(
-            [r.temperature if r else 1.0 for r in self.slots], np.float32
-        )
-        top_ps = np.asarray([r.top_p if r else 1.0 for r in self.slots], np.float32)
-        do_s = np.asarray([bool(r.do_sample) if r else False for r in self.slots])
-
-        active = jnp.asarray(active_np)
-        temps_j, top_j, do_j = jnp.asarray(temps), jnp.asarray(top_ps), jnp.asarray(do_s)
+        # device copies of the scheduling arrays, re-uploaded only when the
+        # slot composition changes (host->device transfers are expensive on
+        # tunneled platforms)
+        fingerprint = tuple(r.request_id if r else None for r in self.slots)
+        if self._sched_cache is None or self._sched_cache[0] != fingerprint:
+            temps = np.asarray(
+                [r.temperature if r else 1.0 for r in self.slots], np.float32
+            )
+            top_ps = np.asarray(
+                [r.top_p if r else 1.0 for r in self.slots], np.float32
+            )
+            do_s = np.asarray(
+                [bool(r.do_sample) if r else False for r in self.slots]
+            )
+            self._sched_cache = (
+                fingerprint,
+                (jnp.asarray(active_np), jnp.asarray(temps),
+                 jnp.asarray(top_ps), jnp.asarray(do_s)),
+            )
+        active, temps_j, top_j, do_j = self._sched_cache[1]
         # budget-aware window: don't overshoot the smallest remaining budget
         min_left = min(
             (r.max_new_tokens - self._generated[r.request_id]
@@ -223,12 +244,16 @@ class ServingEngine:
             default=1,
         )
         ticks = max(1, min(self.sync_every, min_left))
+        with_sampling = any(
+            r is not None and r.do_sample for r in self.slots
+        )
         tokens = []
         for _ in range(ticks):
             self._key, sub = jax.random.split(self._key)
             token, self.cache, self.state = self._decode_all(
                 self.decode_params, self.cache, self.state,
                 active, sub, temps_j, top_j, do_j,
+                with_sampling=with_sampling,
             )
             tokens.append(token)
         token_np = np.asarray(jnp.stack(tokens))  # ONE sync for all ticks
