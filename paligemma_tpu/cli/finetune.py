@@ -119,19 +119,27 @@ def main(argv=None):
                 max_length=args.max_length,
             )
 
+    from ..runtime.logging import MetricsLogger
+
     step = 0
     os.makedirs(args.output_dir, exist_ok=True)
+    metrics = MetricsLogger(os.path.join(args.output_dir, "metrics.jsonl"))
     for epoch in range(args.epochs):
         for batch in batches(train_rows, args.batch_size):
             t0 = time.perf_counter()
             loss = trainer.train_step(batch)
             dt = time.perf_counter() - t0
             step += 1
+            tokens = int(batch["attention_mask"].sum())
             print(f"epoch {epoch} step {step} loss {loss:.4f} ({dt*1e3:.0f} ms)")
+            metrics.log(step, epoch=epoch, train_loss=loss, step_ms=dt * 1e3,
+                        tokens_per_sec=tokens / dt)
             if eval_rows and step % args.eval_every == 0:
-                _evaluate(trainer, processor, eval_rows, config, args)
+                dist = _evaluate(trainer, processor, eval_rows, config, args)
+                metrics.log(step, val_edit_distance=dist)
         trainer.save(os.path.join(args.output_dir, f"epoch_{epoch}"))
     trainer.save(os.path.join(args.output_dir, "final"))
+    metrics.close()
     if args.export_hf:
         from ..checkpoints.hf_export import export_hf_checkpoint
 
@@ -167,7 +175,9 @@ def _evaluate(trainer, processor, eval_rows, config, args):
         )
         pred = processor.tokenizer.decode(toks[0], skip_special_tokens=True)
         scores.append(normalized_edit_distance(pred, row["target"]))
-    print(f"val_edit_distance {float(np.mean(scores)):.4f}")
+    dist = float(np.mean(scores))
+    print(f"val_edit_distance {dist:.4f}")
+    return dist
 
 
 if __name__ == "__main__":

@@ -168,3 +168,22 @@ def test_finetune_cli_export_hf(checkpoint_dir, image_path, tmp_path):
 
     params, cfg = load_hf_model(str(exp), jnp.float32)
     assert params["lm"]["embed"].shape[0] == VOCAB
+
+
+def test_finetune_writes_metrics_jsonl(checkpoint_dir, image_path, tmp_path):
+    from paligemma_tpu.cli.finetune import main
+
+    manifest = tmp_path / "t.jsonl"
+    manifest.write_text(json.dumps(
+        {"image": image_path, "prompt": "x", "target": {"a": "1"}}
+    ) + "\n" + json.dumps(
+        {"image": image_path, "prompt": "x", "target": {"a": "2"}}
+    ))
+    out = tmp_path / "out"
+    main(["--model_path", checkpoint_dir, "--train_jsonl", str(manifest),
+          "--output_dir", str(out), "--batch_size", "2", "--grad_accum", "1",
+          "--epochs", "1", "--lora_rank", "2", "--warmup_steps", "0",
+          "--max_length", "64"])
+    lines = (out / "metrics.jsonl").read_text().strip().splitlines()
+    rec = json.loads(lines[0])
+    assert "train_loss" in rec and "tokens_per_sec" in rec and rec["step"] == 1
