@@ -46,7 +46,7 @@ def single_device_mesh() -> Mesh:
 # "col" = output dim on "model" (q/k/v/gate/up/fc1), "row" = input dim on
 # "model" (o/down/fc2). Quantized entries (w8 / w8t / s) follow the same
 # logical dims.
-_COL_PROJ = {"q", "k", "v", "gate", "up", "fc1"}
+_COL_PROJ = {"q", "k", "v", "gate", "up", "fc1", "qkv", "gateup"}
 _ROW_PROJ = {"o", "down", "fc2"}
 
 

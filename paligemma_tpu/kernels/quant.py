@@ -22,13 +22,28 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def quantize_int8(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-    """(..., K, N) weights -> {"w8": int8, "s": fp32 per-N-channel scales}."""
+def _quantize_int8_one(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     wf = w.astype(jnp.float32)
     absmax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)  # (..., 1, N)
     scale = jnp.maximum(absmax, 1e-8) / 127.0
     w8 = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
     return {"w8": w8, "s": scale[..., 0, :]}
+
+
+def quantize_int8(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """(..., K, N) weights -> {"w8": int8, "s": fp32 per-N-channel scales}.
+
+    Stacked (L, K, N) tensors are quantized one layer at a time: the fp32
+    temporary of a whole multi-GB stack would otherwise OOM HBM during
+    serving preparation.
+    """
+    if w.ndim == 3 and w.size > 64 * 1024 * 1024:
+        outs = [jax.jit(_quantize_int8_one)(w[i]) for i in range(w.shape[0])]
+        return {
+            "w8": jnp.stack([o["w8"] for o in outs]),
+            "s": jnp.stack([o["s"] for o in outs]),
+        }
+    return _quantize_int8_one(w)
 
 
 def dequantize(q: Dict[str, jnp.ndarray], dtype=jnp.float32) -> jnp.ndarray:

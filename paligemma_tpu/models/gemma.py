@@ -125,9 +125,20 @@ def _decoder_block(
 
     residual = x
     y = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
-    q = (matmul_any(y, lp["attn"]["q"]) + _lora_delta(y, lora_lp, "q")).reshape(b, s, nh, hd)
-    k = (matmul_any(y, lp["attn"]["k"]) + _lora_delta(y, lora_lp, "k")).reshape(b, s, nkv, hd)
-    v = (matmul_any(y, lp["attn"]["v"]) + _lora_delta(y, lora_lp, "v")).reshape(b, s, nkv, hd)
+    if "qkv" in lp["attn"]:
+        # fused projection (serving weights, see runtime.quantize.fuse_qkv):
+        # one weight stream instead of three kernel launches per layer
+        qkv = matmul_any(y, lp["attn"]["qkv"])
+        nq = nh * hd
+        q = qkv[..., :nq] + _lora_delta(y, lora_lp, "q")
+        k = qkv[..., nq : nq + nkv * hd] + _lora_delta(y, lora_lp, "k")
+        v = qkv[..., nq + nkv * hd :] + _lora_delta(y, lora_lp, "v")
+        q, k, v = (q.reshape(b, s, nh, hd), k.reshape(b, s, nkv, hd),
+                   v.reshape(b, s, nkv, hd))
+    else:
+        q = (matmul_any(y, lp["attn"]["q"]) + _lora_delta(y, lora_lp, "q")).reshape(b, s, nh, hd)
+        k = (matmul_any(y, lp["attn"]["k"]) + _lora_delta(y, lora_lp, "k")).reshape(b, s, nkv, hd)
+        v = (matmul_any(y, lp["attn"]["v"]) + _lora_delta(y, lora_lp, "v")).reshape(b, s, nkv, hd)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -175,8 +186,14 @@ def _decoder_block(
 
     residual = x
     y = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
-    gate = gelu_tanh(matmul_any(y, lp["mlp"]["gate"]) + _lora_delta(y, lora_lp, "gate"))
-    up = matmul_any(y, lp["mlp"]["up"]) + _lora_delta(y, lora_lp, "up")
+    if "gateup" in lp["mlp"]:
+        gu_fused = matmul_any(y, lp["mlp"]["gateup"])
+        inter = gu_fused.shape[-1] // 2
+        gate = gelu_tanh(gu_fused[..., :inter] + _lora_delta(y, lora_lp, "gate"))
+        up = gu_fused[..., inter:] + _lora_delta(y, lora_lp, "up")
+    else:
+        gate = gelu_tanh(matmul_any(y, lp["mlp"]["gate"]) + _lora_delta(y, lora_lp, "gate"))
+        up = matmul_any(y, lp["mlp"]["up"]) + _lora_delta(y, lora_lp, "up")
     gu = gate * up
     y = matmul_any(gu, lp["mlp"]["down"]) + _lora_delta(gu, lora_lp, "down")
     return residual + y, k_cache, v_cache

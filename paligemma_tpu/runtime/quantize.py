@@ -18,11 +18,37 @@ import jax.numpy as jnp
 from ..kernels.quant import quantize_int8
 
 
-def quantize_lm_for_serving(params: Dict[str, Any]) -> Dict[str, Any]:
+def quantize_lm_for_serving(
+    params: Dict[str, Any], fuse: bool = True
+) -> Dict[str, Any]:
+    """int8-quantize the decoder for serving.
+
+    ``fuse=True`` additionally concatenates q/k/v into one "qkv" weight and
+    gate/up into one "gateup" weight (decode is launch-overhead-sensitive:
+    7 -> 4 weight streams per layer). Quantization happens per fused matrix
+    with per-output-channel scales, so numerics equal the unfused path.
+    """
     lm = params["lm"]
     layers = lm["layers"]
-    q_attn = {name: quantize_int8(w) for name, w in layers["attn"].items()}
-    q_mlp = {name: quantize_int8(w) for name, w in layers["mlp"].items()}
+    attn, mlp = layers["attn"], layers["mlp"]
+    if fuse:
+        def fuse_quant(*ws):
+            # quantize per matrix, then concatenate the int8 results — the
+            # scales are per-output-channel so this equals quantizing the
+            # fused matrix, without materializing a multi-GB bf16 concat
+            qs = [quantize_int8(w) for w in ws]
+            return {
+                "w8": jnp.concatenate([q["w8"] for q in qs], axis=-1),
+                "s": jnp.concatenate([q["s"] for q in qs], axis=-1),
+            }
+
+        q_attn = {"qkv": fuse_quant(attn["q"], attn["k"], attn["v"]),
+                  "o": quantize_int8(attn["o"])}
+        q_mlp = {"gateup": fuse_quant(mlp["gate"], mlp["up"]),
+                 "down": quantize_int8(mlp["down"])}
+    else:
+        q_attn = {name: quantize_int8(w) for name, w in attn.items()}
+        q_mlp = {name: quantize_int8(w) for name, w in mlp.items()}
     new_layers = {**layers, "attn": q_attn, "mlp": q_mlp}
     head_q = quantize_int8(jnp.swapaxes(lm["embed"], 0, 1))  # (H, V)
     new_lm = {**lm, "layers": new_layers, "head_q": head_q}
