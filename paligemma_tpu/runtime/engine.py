@@ -172,6 +172,9 @@ class PaliGemmaEngine:
         )
 
     def prefill(self, pixel_values, input_ids, attention_mask):
+        """Prefill the cache. Note: jit compiles once per distinct
+        (batch, prompt_len) shape — for high request rates use the serving
+        engine, which buckets prompt lengths."""
         cache = self.init_state_cache(input_ids.shape[0])
         pixel_values, input_ids, attention_mask = self._shard_batch(
             pixel_values, input_ids, attention_mask
