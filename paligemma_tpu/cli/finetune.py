@@ -143,11 +143,11 @@ def main(argv=None):
     if args.export_hf:
         from ..checkpoints.hf_export import export_hf_checkpoint
 
-        export_hf_checkpoint(
-            config, trainer.merged_params(),
-            os.path.join(args.output_dir, "hf_export"),
-        )
-        print(f"exported HF checkpoint to {args.output_dir}/hf_export")
+        export_dir = os.path.join(args.output_dir, "hf_export")
+        export_hf_checkpoint(config, trainer.merged_params(), export_dir)
+        # ship the tokenizer along so the export is directly servable
+        tokenizer.save_pretrained(export_dir)
+        print(f"exported HF checkpoint to {export_dir}")
     print("done")
 
 
