@@ -1,0 +1,20 @@
+import sys; sys.path.insert(0, "/root/repo")
+import numpy as np, jax, jax.numpy as jnp
+from paligemma_tpu.core.config import paligemma_3b_224
+from paligemma_tpu.models import paligemma
+from paligemma_tpu.runtime.engine import PaliGemmaEngine
+def sync(x): return np.asarray(jax.device_get(x[(0,)*x.ndim]))
+cfg = paligemma_3b_224()
+params = paligemma.init_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+eng = PaliGemmaEngine(params, cfg, max_seq_len=512)
+b=1; n_img = cfg.vision_config.num_patches
+ids = np.concatenate([np.full((b,n_img), cfg.image_token_index), np.full((b,10),5)],1).astype(np.int32)
+mask = np.ones_like(ids); pixels = np.zeros((b,3,224,224), np.float32)
+pj, ij, mj = jnp.asarray(pixels), jnp.asarray(ids), jnp.asarray(mask)
+lo, st = eng.prefill(pj, ij, mj); sync(lo)
+jax.profiler.start_trace("/tmp/jaxtrace_prefill")
+for _ in range(5):
+    lo, st = eng.prefill(pj, ij, mj)
+sync(lo)
+jax.profiler.stop_trace()
+print("done", flush=True)

@@ -209,6 +209,7 @@ def forward(
     kv_valid: jnp.ndarray,  # (B, max_seq) bool: attendable cache slots AFTER write
     remat: bool = False,
     flash_lens: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    logits_idx: Optional[jnp.ndarray] = None,  # (B,) positions to project
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Run the decoder stack. Returns (fp32 logits (B,S,vocab), new cache).
 
@@ -247,6 +248,11 @@ def forward(
         body, x, (params["layers"], kv_cache["k"], kv_cache["v"])
     )
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    if logits_idx is not None:
+        # project only the requested positions — at prefill the engine needs
+        # just each row's last valid token, and the 257k-vocab head over the
+        # full prompt is ~15% of prefill time
+        x = jnp.take_along_axis(x, logits_idx[:, None, None], axis=1)
     logits = lm_head(params, x).astype(jnp.float32)
     return logits, {"k": new_k, "v": new_v}
 

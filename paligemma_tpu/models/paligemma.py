@@ -101,8 +101,12 @@ def prefill(
     attention_mask: jnp.ndarray,  # (B, S) 1=real token
     kv_cache: gemma.KVCache,
     use_flash: bool = False,
+    last_only: bool = False,
 ) -> Tuple[jnp.ndarray, gemma.KVCache]:
-    """Vision encode + merge + decoder prefill. Returns (logits, cache)."""
+    """Vision encode + merge + decoder prefill. Returns (logits, cache).
+
+    ``last_only=True`` projects logits only at each row's last valid token
+    (shape (B, 1, vocab)) — what generation needs."""
     dtype = params["lm"]["embed"].dtype
     image_features = siglip.encode(
         params["vision"], cfg.vision_config, pixel_values.astype(dtype),
@@ -126,6 +130,11 @@ def prefill(
         flash_lens = (n_valid, n_valid)  # prefill: whole prompt is prefix
     else:
         flash_lens = None
+    logits_idx = None
+    if last_only:
+        logits_idx = jnp.clip(
+            jnp.sum(attention_mask, axis=-1).astype(jnp.int32) - 1, 0
+        )
     logits, kv_cache = gemma.forward(
         params["lm"],
         cfg.text_config,
@@ -135,6 +144,7 @@ def prefill(
         cache_pos=jnp.zeros((), jnp.int32),
         kv_valid=kv_valid,
         flash_lens=flash_lens,
+        logits_idx=logits_idx,
     )
     return logits, kv_cache
 

@@ -103,8 +103,10 @@ class PaliGemmaEngine:
 
         @jax.jit
         def _prefill(params, pixels, ids, mask, cache):
+            # last_only: the head projects just each row's last valid token
             logits, cache = paligemma.prefill(
-                params, cfg, pixels, ids, mask, cache, use_flash=use_flash
+                params, cfg, pixels, ids, mask, cache, use_flash=use_flash,
+                last_only=True,
             )
             b, s = ids.shape
             valid = jnp.zeros((b, cache["k"].shape[2]), bool)
@@ -118,12 +120,7 @@ class PaliGemmaEngine:
                 write_pos=jnp.asarray(s, jnp.int32),
                 pos_ids=n_valid + 1,  # positions are 1-indexed cumsum
             )
-            # logits of the last *valid* token per row (right padding)
-            last_idx = jnp.clip(n_valid - 1, 0)
-            last_logits = jnp.take_along_axis(
-                logits, last_idx[:, None, None], axis=1
-            )[:, 0]
-            return last_logits, state
+            return logits[:, 0], state
 
         @functools.partial(jax.jit, donate_argnums=(2,))
         def _decode(params, token, state: KVState):

@@ -82,13 +82,10 @@ class ServingEngine:
         @jax.jit
         def _prefill_one(params, pixels, ids, mask, cache1):
             logits, cache1 = paligemma.prefill(
-                params, cfg, pixels, ids, mask, cache1, use_flash=use_flash
+                params, cfg, pixels, ids, mask, cache1, use_flash=use_flash,
+                last_only=True,
             )
-            n_valid = jnp.sum(mask, axis=-1).astype(jnp.int32)
-            last = jnp.take_along_axis(
-                logits, jnp.clip(n_valid - 1, 0)[:, None, None], axis=1
-            )[:, 0]
-            return last, cache1
+            return logits[:, 0], cache1
 
         @functools.partial(jax.jit, donate_argnums=(2, 3))
         def _insert(slot, prompt_len, cache, state, cache1, mask1, last_logits):
