@@ -195,11 +195,14 @@ class PaliGemmaEngine:
         do_sample: bool = False,
         key: Optional[jax.Array] = None,
         eos_token_id: Optional[int] = None,
+        on_token=None,
     ) -> np.ndarray:
         """Reference-compatible generation loop (ref: inference.py:51-87).
 
         Returns (B, <=max_new_tokens) int32; rows stop contributing after EOS
-        (post-EOS slots filled with EOS).
+        (post-EOS slots filled with EOS). ``on_token(step, tokens)`` is
+        called per step for streaming consumers (the reference's per-token
+        decode print, ref: inference.py:80-81).
         """
         eos = self.eos_token_id if eos_token_id is None else eos_token_id
         if key is None:
@@ -208,12 +211,14 @@ class PaliGemmaEngine:
         b = input_ids.shape[0]
         done = np.zeros((b,), bool)
         out = []
-        for _ in range(max_new_tokens):
+        for step in range(max_new_tokens):
             key, sub = jax.random.split(key)
             token = sampling.sample(sub, logits, temperature, top_p, do_sample)
             token_np = np.asarray(token)
             token_np = np.where(done, eos, token_np)
             out.append(token_np)
+            if on_token is not None:
+                on_token(step, token_np)
             done |= token_np == eos
             if done.all():
                 break

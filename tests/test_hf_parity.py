@@ -210,3 +210,16 @@ def test_generate_stops_at_eos(our_setup):
     )
     assert out.shape[1] == idx + 1  # stopped right after emitting EOS
     assert out[0, -1] == eos
+
+
+def test_generate_streaming_callback(our_setup):
+    engine, cfg = our_setup
+    ids, mask, pixels = _inputs()
+    seen = []
+    out = engine.generate(
+        jnp.asarray(pixels), jnp.asarray(ids, jnp.int32), jnp.asarray(mask, jnp.int32),
+        max_new_tokens=4, do_sample=False, eos_token_id=-1,
+        on_token=lambda step, toks: seen.append((step, toks.copy())),
+    )
+    assert [s for s, _ in seen] == [0, 1, 2, 3]
+    np.testing.assert_array_equal(np.stack([t for _, t in seen], 1), out)
