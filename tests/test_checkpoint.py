@@ -99,3 +99,18 @@ def test_hf_export_loads_in_transformers(tmp_path):
         out, torch_dtype=torch.float32
     )
     assert model is not None
+
+
+def test_full_ft_resume(tmp_path):
+    """Save/restore for the full-FT (non-LoRA) path."""
+    params = paligemma.init_params(jax.random.PRNGKey(0), CFG)
+    batch = _batch()
+    tr = Trainer(params, CFG, TrainConfig(lora_rank=None, learning_rate=1e-3))
+    tr.train_step(batch)
+    tr.save(str(tmp_path / "s1"))
+    loss_a = tr.train_step(batch)
+
+    tr2 = Trainer(params, CFG, TrainConfig(lora_rank=None, learning_rate=1e-3))
+    tr2.restore(str(tmp_path / "s1"))
+    loss_b = tr2.train_step(batch)
+    np.testing.assert_allclose(loss_a, loss_b, rtol=1e-6)

@@ -164,3 +164,21 @@ def test_sharded_train_matches_unsharded(data, model):
         np.asarray(sharded.lora["layers"]["q"]["b"]),
         atol=1e-5,
     )
+
+
+def test_sharded_full_ft_matches_unsharded():
+    """Full fine-tune (non-LoRA) under DP mesh == single device."""
+    params = paligemma.init_params(jax.random.PRNGKey(0), CFG)
+    batch = _batch(batch_size=4, seed=9)
+    plain = Trainer(params, CFG, TrainConfig(lora_rank=None, learning_rate=1e-3))
+    loss_plain = plain.train_step(batch)
+    mesh = mesh_lib.make_mesh(data=4, model=2)
+    sharded = Trainer(params, CFG, TrainConfig(lora_rank=None, learning_rate=1e-3),
+                      mesh=mesh)
+    loss_sharded = sharded.train_step(batch)
+    np.testing.assert_allclose(loss_plain, loss_sharded, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(plain.params["lm"]["layers"]["attn"]["q"]),
+        np.asarray(sharded.params["lm"]["layers"]["attn"]["q"]),
+        atol=2e-5,
+    )
