@@ -46,12 +46,20 @@ def main(argv=None):
     p.add_argument("--model_parallel", type=int, default=1)
     p.add_argument("--eval_every", type=int, default=200)
     p.add_argument("--max_new_tokens_eval", type=int, default=512)
+    p.add_argument("--early_stopping_patience", type=int, default=0,
+                   help="stop when val_edit_distance hasn't improved for N "
+                        "evals (0 = off; ref: FT notebook EarlyStopping cell 45)")
     p.add_argument("--export_hf", action="store_true",
                    help="also export the final (LoRA-merged) model as an "
                         "HF-format checkpoint directory (the offline analog "
                         "of the reference's hub push)")
+    p.add_argument("--only_cpu", action="store_true")
     args = p.parse_args(argv)
 
+    import jax
+
+    if args.only_cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
     from PIL import Image
@@ -82,7 +90,10 @@ def main(argv=None):
 
     params, config = load_hf_model(args.model_path, jnp.bfloat16)
     if args.quantize_int8:
-        params = quantize_lm_for_serving(params)
+        # fuse=False: the fused qkv/gateup layout is a serving-side
+        # transform; training needs per-projection weights so LoRA deltas
+        # can be merged back for eval/export
+        params = quantize_lm_for_serving(params, fuse=False)
     tokenizer = AutoTokenizer.from_pretrained(args.model_path, padding_side="right")
     processor = PaliGemmaProcessor(
         tokenizer,
@@ -124,7 +135,10 @@ def main(argv=None):
     step = 0
     os.makedirs(args.output_dir, exist_ok=True)
     metrics = MetricsLogger(os.path.join(args.output_dir, "metrics.jsonl"))
+    best_dist, evals_since_best, stop = float("inf"), 0, False
     for epoch in range(args.epochs):
+        if stop:
+            break
         for batch in batches(train_rows, args.batch_size):
             t0 = time.perf_counter()
             loss = trainer.train_step(batch)
@@ -137,6 +151,16 @@ def main(argv=None):
             if eval_rows and step % args.eval_every == 0:
                 dist = _evaluate(trainer, processor, eval_rows, config, args)
                 metrics.log(step, val_edit_distance=dist)
+                if dist < best_dist - 1e-6:
+                    best_dist, evals_since_best = dist, 0
+                else:
+                    evals_since_best += 1
+                if (args.early_stopping_patience
+                        and evals_since_best >= args.early_stopping_patience):
+                    print(f"early stopping: no val improvement for "
+                          f"{evals_since_best} evals")
+                    stop = True
+                    break
         trainer.save(os.path.join(args.output_dir, f"epoch_{epoch}"))
     trainer.save(os.path.join(args.output_dir, "final"))
     metrics.close()

@@ -187,3 +187,40 @@ def test_finetune_writes_metrics_jsonl(checkpoint_dir, image_path, tmp_path):
     lines = (out / "metrics.jsonl").read_text().strip().splitlines()
     rec = json.loads(lines[0])
     assert "train_loss" in rec and "tokens_per_sec" in rec and rec["step"] == 1
+
+
+def test_finetune_early_stopping(checkpoint_dir, image_path, tmp_path, capsys):
+    from paligemma_tpu.cli.finetune import main
+
+    manifest = tmp_path / "t.jsonl"
+    manifest.write_text("\n".join(json.dumps(
+        {"image": image_path, "prompt": "x", "target": {"a": str(i)}}
+    ) for i in range(2)))
+    main(["--model_path", checkpoint_dir, "--train_jsonl", str(manifest),
+          "--eval_jsonl", str(manifest), "--eval_every", "1",
+          "--early_stopping_patience", "1", "--max_new_tokens_eval", "4",
+          "--output_dir", str(tmp_path / "out"), "--batch_size", "2",
+          "--grad_accum", "1", "--epochs", "50", "--lora_rank", "2",
+          "--warmup_steps", "0", "--max_length", "64"])
+    out = capsys.readouterr().out
+    assert "early stopping" in out
+    # stopped long before 50 epochs
+    assert out.count("epoch 49") == 0
+
+
+def test_finetune_qlora_int8_with_eval(checkpoint_dir, image_path, tmp_path, capsys):
+    """int8-base LoRA fine-tune with eval (exercises merge over quantized base)."""
+    from paligemma_tpu.cli.finetune import main
+
+    manifest = tmp_path / "t.jsonl"
+    manifest.write_text("\n".join(json.dumps(
+        {"image": image_path, "prompt": "x", "target": {"a": str(i)}}
+    ) for i in range(2)))
+    main(["--model_path", checkpoint_dir, "--train_jsonl", str(manifest),
+          "--eval_jsonl", str(manifest), "--eval_every", "1",
+          "--max_new_tokens_eval", "3",
+          "--output_dir", str(tmp_path / "out"), "--batch_size", "2",
+          "--grad_accum", "1", "--epochs", "1", "--lora_rank", "2",
+          "--warmup_steps", "0", "--max_length", "64", "--quantize_int8"])
+    out = capsys.readouterr().out
+    assert "val_edit_distance" in out and "done" in out
