@@ -36,6 +36,10 @@ def main(argv=None):
                    help="int8 weight-only quantization of the decoder")
     p.add_argument("--max_seq_len", type=int, default=1024)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--data_parallel", type=int, default=1)
+    p.add_argument("--model_parallel", type=int, default=1,
+                   help="tensor-parallel over a Mesh('data','model'); on a "
+                        "v5e-8 slice use --model_parallel 8")
     args = p.parse_args(argv)
 
     if args.only_cpu:
@@ -63,11 +67,17 @@ def main(argv=None):
         num_image_tokens=config.vision_config.num_image_tokens,
         image_size=config.vision_config.image_size,
     )
+    mesh = None
+    if args.data_parallel * args.model_parallel > 1:
+        from ..core.mesh import make_mesh
+
+        mesh = make_mesh(args.data_parallel, args.model_parallel)
     engine = PaliGemmaEngine(
         params, config,
         max_seq_len=args.max_seq_len,
         eos_token_id=tokenizer.eos_token_id,
         decode_params=decode_params,
+        mesh=mesh,
     )
 
     images = [Image.open(f) for f in args.image_file_path]

@@ -250,3 +250,40 @@ def reference_attention(q, k, v, prefix_len, kv_len, scale=None, q_offset=0):
     if scale is None:
         scale = q.shape[-1] ** -0.5
     return _reference(q, k, v, prefix_len, kv_len, scale, q_offset)
+
+
+def flash_attention_sharded(
+    q, k, v, prefix_len, kv_len, mesh, scale=None, **kwargs
+):
+    """flash_attention under a Mesh("data","model"): batch shards on "data",
+    query heads on "model" (heads are embarrassingly parallel).
+
+    KV heads shard on "model" too when divisible by the axis size (grouped
+    heads stay on one shard because groups are contiguous); MQA (1 KV head)
+    replicates KV across "model". Other head counts fall back to replicated
+    KV only when the query-head chunk covers whole groups.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    m = mesh.shape["model"]
+    hq, hkv = q.shape[2], k.shape[2]
+    assert hq % m == 0, (hq, m)
+    if hkv % m == 0:
+        kv_spec = P("data", None, "model", None)
+    else:
+        # replicated KV: each shard's local grouping must match the global
+        # one — true iff every shard holds whole KV groups
+        assert (hq // m) % hkv == 0, (
+            f"cannot shard {hq} q heads / {hkv} kv heads over model={m}"
+        )
+        kv_spec = P("data", None, None, None)
+
+    fn = jax.shard_map(
+        lambda q, k, v, p, l: flash_attention(q, k, v, p, l, scale=scale, **kwargs),
+        mesh=mesh,
+        in_specs=(P("data", None, "model", None), kv_spec, kv_spec,
+                  P("data"), P("data")),
+        out_specs=P("data", None, "model", None),
+        check_vma=False,
+    )
+    return fn(q, k, v, prefix_len, kv_len)

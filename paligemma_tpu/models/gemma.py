@@ -119,6 +119,7 @@ def _decoder_block(
     mask: Optional[jnp.ndarray],  # (B, 1, S, Sk) additive fp32 (XLA path)
     lora_lp: Optional[Params] = None,
     flash_lens: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    mesh=None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
     b, s, _ = x.shape
     nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -175,10 +176,14 @@ def _decoder_block(
         # Pallas flash path. During prefill the fresh k/v cover exactly the
         # cache slots [0, S) so attending over them (not the whole max_seq
         # cache) is equivalent and cheaper.
-        from ..kernels.flash_attention import flash_attention
+        from ..kernels.flash_attention import flash_attention, flash_attention_sharded
 
         prefix_lens, seq_lens = flash_lens
-        a = flash_attention(q, k, v, prefix_lens, seq_lens, scale=hd**-0.5)
+        if mesh is not None:
+            a = flash_attention_sharded(q, k, v, prefix_lens, seq_lens, mesh,
+                                        scale=hd**-0.5)
+        else:
+            a = flash_attention(q, k, v, prefix_lens, seq_lens, scale=hd**-0.5)
     else:
         a = attention.gqa(q, k_att, v_att, mask, scale=hd**-0.5)
     a = a.reshape(b, s, nh * hd)
@@ -210,6 +215,7 @@ def forward(
     remat: bool = False,
     flash_lens: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     logits_idx: Optional[jnp.ndarray] = None,  # (B,) positions to project
+    mesh=None,
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Run the decoder stack. Returns (fp32 logits (B,S,vocab), new cache).
 
@@ -241,7 +247,7 @@ def forward(
     def body(h, layer):
         lp, kc, vc = layer
         h, kc, vc = block(h, lp, cos, sin, kc, vc, cache_pos, mask,
-                          flash_lens=flash_lens)
+                          flash_lens=flash_lens, mesh=mesh)
         return h, (kc, vc)
 
     x, (new_k, new_v) = jax.lax.scan(
@@ -275,6 +281,7 @@ def forward_train(
     lora: Optional[Params] = None,
     remat: bool = True,
     flash_lens: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    mesh=None,
 ) -> jnp.ndarray:
     """No-cache forward for training (prefix-LM mask: bidirectional prefix +
     causal suffix, built by the caller). Returns fp32 logits (B, S, vocab).
@@ -290,7 +297,7 @@ def forward_train(
 
     def block(h, lp, lora_lp):
         h, _, _ = _decoder_block(cfg, h, lp, cos, sin, None, None, None, mask,
-                                 lora_lp, flash_lens=flash_lens)
+                                 lora_lp, flash_lens=flash_lens, mesh=mesh)
         return h
 
     if remat:

@@ -102,6 +102,7 @@ def prefill(
     kv_cache: gemma.KVCache,
     use_flash: bool = False,
     last_only: bool = False,
+    mesh=None,
 ) -> Tuple[jnp.ndarray, gemma.KVCache]:
     """Vision encode + merge + decoder prefill. Returns (logits, cache).
 
@@ -110,7 +111,7 @@ def prefill(
     dtype = params["lm"]["embed"].dtype
     image_features = siglip.encode(
         params["vision"], cfg.vision_config, pixel_values.astype(dtype),
-        use_flash=use_flash,
+        use_flash=use_flash, mesh=mesh,
     )
     image_embeds = project_image_features(params, image_features)
 
@@ -145,6 +146,7 @@ def prefill(
         kv_valid=kv_valid,
         flash_lens=flash_lens,
         logits_idx=logits_idx,
+        mesh=mesh,
     )
     return logits, kv_cache
 

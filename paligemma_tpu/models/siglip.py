@@ -89,7 +89,8 @@ def patchify(pixel_values: jnp.ndarray, patch_size: int) -> jnp.ndarray:
 
 
 def _encoder_block(
-    cfg: SiglipVisionConfig, x: jnp.ndarray, lp: Params, use_flash: bool = False
+    cfg: SiglipVisionConfig, x: jnp.ndarray, lp: Params, use_flash: bool = False,
+    mesh=None,
 ) -> jnp.ndarray:
     b, s, d = x.shape
     h = cfg.num_attention_heads
@@ -102,10 +103,13 @@ def _encoder_block(
     k = (y @ lp["attn"]["k"]["kernel"] + lp["attn"]["k"]["bias"]).reshape(b, s, h, hd)
     v = (y @ lp["attn"]["v"]["kernel"] + lp["attn"]["v"]["bias"]).reshape(b, s, h, hd)
     if use_flash:
-        from ..kernels.flash_attention import flash_attention
+        from ..kernels.flash_attention import flash_attention, flash_attention_sharded
 
         full = jnp.full((b,), s, jnp.int32)  # all patches, fully bidirectional
-        a = flash_attention(q, k, v, full, full)
+        if mesh is not None:
+            a = flash_attention_sharded(q, k, v, full, full, mesh)
+        else:
+            a = flash_attention(q, k, v, full, full)
     else:
         a = attention.mha(q, k, v)  # non-causal full attention over patches
     a = a.reshape(b, s, d) @ lp["attn"]["o"]["kernel"] + lp["attn"]["o"]["bias"]
@@ -123,6 +127,7 @@ def encode(
     cfg: SiglipVisionConfig,
     pixel_values: jnp.ndarray,
     use_flash: bool = False,
+    mesh=None,
 ):
     """Vision forward: (B, C, H, W) pixels -> (B, num_patches, hidden).
 
@@ -136,7 +141,7 @@ def encode(
     emb = emb + params["pos_embed"][None]
 
     def body(h, lp):
-        return _encoder_block(cfg, h, lp, use_flash=use_flash), None
+        return _encoder_block(cfg, h, lp, use_flash=use_flash, mesh=mesh), None
 
     h, _ = jax.lax.scan(body, emb, params["layers"])
     return layer_norm(

@@ -76,9 +76,17 @@ class PaliGemmaEngine:
         if use_flash is None:
             use_flash = jax.default_backend() == "tpu"
         if use_flash and mesh is not None:
-            # the Pallas kernel is not partitioned under a mesh yet; the XLA
-            # attention path shards cleanly
-            use_flash = False
+            # the flash kernel runs under a mesh via shard_map (heads on
+            # "model"); fall back to XLA attention for head counts the
+            # sharding can't express
+            hq = config.text_config.num_attention_heads
+            hkv = config.text_config.num_key_value_heads
+            m = mesh.shape["model"]
+            ok_lm = hq % m == 0 and (hkv % m == 0 or (hq // m) % hkv == 0)
+            hv = config.vision_config.num_attention_heads
+            ok_vis = hv % m == 0
+            if not (ok_lm and ok_vis):
+                use_flash = False
         self.use_flash = use_flash
         self.mesh = mesh
         if mesh is not None:
@@ -106,7 +114,7 @@ class PaliGemmaEngine:
             # last_only: the head projects just each row's last valid token
             logits, cache = paligemma.prefill(
                 params, cfg, pixels, ids, mask, cache, use_flash=use_flash,
-                last_only=True,
+                last_only=True, mesh=mesh if use_flash else None,
             )
             b, s = ids.shape
             valid = jnp.zeros((b, cache["k"].shape[2]), bool)

@@ -58,3 +58,20 @@ def test_sharded_int8_generate():
                               mesh=mesh)
     got = sharded.generate(pixels, ids, mask, max_new_tokens=4, eos_token_id=-1)
     np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_flash_generate_matches_unsharded():
+    """Flash attention under a TP mesh (shard_map, heads on "model")."""
+    params = paligemma.init_params(jax.random.PRNGKey(0), CFG)
+    pixels, ids, mask = _inputs(batch=2)
+
+    plain = PaliGemmaEngine(params, CFG, max_seq_len=32, use_flash=True)
+    want = plain.generate(pixels, ids, mask, max_new_tokens=5, eos_token_id=-1)
+
+    # tiny cfg: 4 LM q heads / 2 kv heads, 4 vision heads -> model axis of 2
+    mesh = mesh_lib.make_mesh(data=2, model=2)
+    sharded = PaliGemmaEngine(params, CFG, max_seq_len=32, use_flash=True,
+                              mesh=mesh)
+    assert sharded.use_flash  # supported geometry must not silently fall back
+    got = sharded.generate(pixels, ids, mask, max_new_tokens=5, eos_token_id=-1)
+    np.testing.assert_array_equal(got, want)
