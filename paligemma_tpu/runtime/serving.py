@@ -59,6 +59,7 @@ class ServingEngine:
         use_flash: Optional[bool] = None,
         decode_params: Optional[Dict[str, Any]] = None,
         sync_every: int = 8,
+        mesh=None,
     ):
         """``decode_params``: optional int8-quantized weights used for the
         lockstep decode while ``params`` (bf16) serves the prefills.
@@ -66,7 +67,30 @@ class ServingEngine:
         ``sync_every``: decode ticks per host synchronization. Each host
         readback costs a full device round trip (expensive through a
         tunneled TPU); batching K ticks amortizes it. EOS detection lags by
-        up to K-1 tokens — the overshoot tokens are discarded."""
+        up to K-1 tokens — the overshoot tokens are discarded.
+
+        ``mesh``: optional tensor-parallel Mesh("data","model") with
+        data == 1 (the slot pool is the batch; requests shard over "model"
+        via the weights). This is the BASELINE "int8 continuous-batched
+        serving sharded over chips" configuration."""
+        if mesh is not None:
+            assert mesh.shape["data"] == 1, (
+                "serving mesh must be pure TP (data=1); slots are the batch"
+            )
+            from jax.sharding import NamedSharding
+
+            from ..core import mesh as mesh_lib
+
+            params = jax.tree.map(
+                lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+                params, mesh_lib.param_specs(params),
+            )
+            if decode_params is not None:
+                decode_params = jax.tree.map(
+                    lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+                    decode_params, mesh_lib.param_specs(decode_params),
+                )
+        self.mesh = mesh
         self.params = params
         self.decode_params = decode_params if decode_params is not None else params
         self.config = config
@@ -75,6 +99,8 @@ class ServingEngine:
         self.cache_dtype = cache_dtype or params["lm"]["embed"].dtype
         if use_flash is None:
             use_flash = jax.default_backend() == "tpu"
+        if use_flash and mesh is not None:
+            use_flash = False  # serving prefills are B=1; keep XLA attention under TP
 
         cfg = config
         tcfg = config.text_config

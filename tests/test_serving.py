@@ -112,3 +112,29 @@ def test_timed_engine_metrics():
     s = eng.stats.summary()
     assert s["ttft_ms"] > 0 and s["steps"] == 3
     assert s["decode_tokens_per_sec"] > 0
+
+
+def test_serving_under_tp_mesh():
+    """int8 continuous-batched serving sharded over a TP mesh (the BASELINE
+    v5e-8 serving configuration, tested on the virtual CPU mesh)."""
+    from paligemma_tpu.core import mesh as mesh_lib
+    from paligemma_tpu.runtime.quantize import quantize_lm_for_serving
+
+    params = paligemma.init_params(jax.random.PRNGKey(0), CFG)
+    qparams = quantize_lm_for_serving(params)
+
+    plain = ServingEngine(params, CFG, max_slots=2, max_seq_len=32,
+                          use_flash=False, decode_params=qparams)
+    reqs = [_req(0, 1, 4, 4), _req(1, 2, 6, 4), _req(2, 3, 5, 3)]
+    for r in reqs:
+        plain.submit(r)
+    want = {r.request_id: list(r.tokens) for r in plain.run_to_completion()}
+
+    mesh = mesh_lib.make_mesh(data=1, model=4)
+    sharded = ServingEngine(params, CFG, max_slots=2, max_seq_len=32,
+                            use_flash=False, decode_params=qparams, mesh=mesh)
+    reqs2 = [_req(0, 1, 4, 4), _req(1, 2, 6, 4), _req(2, 3, 5, 3)]
+    for r in reqs2:
+        sharded.submit(r)
+    got = {r.request_id: list(r.tokens) for r in sharded.run_to_completion()}
+    assert got == want
