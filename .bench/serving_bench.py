@@ -39,8 +39,9 @@ def main():
                        pixel_values=rng.normal(size=(3, 224, 224)).astype(np.float32),
                        max_new_tokens=n_new, do_sample=False, eos_token_id=-1)
 
-    # warm up compiles: one short request
-    eng.submit(req(-1, 2))
+    # warm up compiles: one full wave (prefill batch shapes + decode)
+    for i in range(16):
+        eng.submit(req(-100 - i, 4))
     eng.run_to_completion()
 
     n_req, n_new = 16, 64

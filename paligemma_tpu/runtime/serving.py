@@ -106,38 +106,43 @@ class ServingEngine:
         tcfg = config.text_config
 
         @jax.jit
-        def _prefill_one(params, pixels, ids, mask, cache1):
+        def _prefill_batch(params, pixels, ids, mask, cache1):
+            # pending requests in the same length bucket prefill as ONE call
             logits, cache1 = paligemma.prefill(
                 params, cfg, pixels, ids, mask, cache1, use_flash=use_flash,
                 last_only=True,
             )
             return logits[:, 0], cache1
 
-        @functools.partial(jax.jit, donate_argnums=(2, 3))
-        def _insert(slot, prompt_len, cache, state, cache1, mask1, last_logits):
-            # scatter the prefilled rows into the pool at `slot`
-            s1 = cache1["k"].shape[2]
+        @functools.partial(jax.jit, donate_argnums=(3, 4))
+        def _insert(slot, prompt_len, row, cache, state, cache1, mask1,
+                    last_logits):
+            # scatter row `row` of the batched prefill into pool slot `slot`
+            zero = jnp.zeros((), jnp.int32)
             cache = {
                 n: jax.lax.dynamic_update_slice(
                     cache[n],
-                    cache1[n].astype(cache[n].dtype),
-                    (jnp.zeros((), jnp.int32), slot, jnp.zeros((), jnp.int32),
-                     jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)),
+                    jax.lax.dynamic_slice_in_dim(cache1[n], row, 1, axis=1)
+                    .astype(cache[n].dtype),
+                    (zero, slot, zero, zero, zero),
                 )
                 for n in ("k", "v")
             }
+            mask_row = jax.lax.dynamic_slice_in_dim(mask1, row, 1, axis=0)[0]
             valid_row = jnp.zeros((self.max_seq_len,), bool)
             valid_row = jax.lax.dynamic_update_slice(
-                valid_row, mask1[0].astype(bool), (jnp.zeros((), jnp.int32),)
+                valid_row, mask_row.astype(bool), (zero,)
             )
             state = {
                 **state,
                 "valid": state["valid"].at[slot].set(valid_row),
                 "write_pos": state["write_pos"].at[slot].set(prompt_len),
                 "pos_ids": state["pos_ids"].at[slot].set(
-                    jnp.sum(mask1[0]).astype(jnp.int32) + 1
+                    jnp.sum(mask_row).astype(jnp.int32) + 1
                 ),
-                "logits": state["logits"].at[slot].set(last_logits[0]),
+                "logits": state["logits"].at[slot].set(
+                    jax.lax.dynamic_slice_in_dim(last_logits, row, 1, axis=0)[0]
+                ),
             }
             return cache, state
 
@@ -176,7 +181,7 @@ class ServingEngine:
             }
             return token, cache, state
 
-        self._prefill_one = _prefill_one
+        self._prefill_batch = _prefill_batch
         self._insert = _insert
         self._decode_all = _decode_all
 
@@ -201,28 +206,51 @@ class ServingEngine:
         self.pending.append(req)
 
     def _fill_slots(self) -> None:
-        for slot in range(self.max_slots):
-            if self.slots[slot] is None and self.pending:
-                req = self.pending.pop(0)
+        free = [i for i in range(self.max_slots) if self.slots[i] is None]
+        if not free or not self.pending:
+            return
+        take = self.pending[: len(free)]
+        del self.pending[: len(take)]
+
+        # group by prompt-length bucket so each group prefills as one batch;
+        # batch sizes are rounded up to powers of two (rows replicated) to
+        # bound the number of compiled (batch, bucket) shapes
+        groups: Dict[int, list] = {}
+        for req in take:
+            bucket = min(
+                ((len(req.input_ids) + 63) // 64) * 64, self.max_seq_len
+            )
+            groups.setdefault(bucket, []).append(req)
+
+        for bucket, reqs in groups.items():
+            n = len(reqs)
+            n_pad = 1 << (n - 1).bit_length()  # next power of two
+            ids_np = np.zeros((n_pad, bucket), np.int32)
+            mask_np = np.zeros((n_pad, bucket), np.int32)
+            pix_np = np.zeros((n_pad,) + tuple(reqs[0].pixel_values.shape),
+                              np.float32)
+            for r, req in enumerate(reqs):
                 s = len(req.input_ids)
-                # pad prompts into length buckets so prefill compiles once
-                # per bucket, not once per prompt length
-                bucket = min(((s + 63) // 64) * 64, self.max_seq_len)
-                ids_np = np.zeros((1, bucket), np.int32)
-                ids_np[0, :s] = req.input_ids
-                mask_np = np.zeros((1, bucket), np.int32)
-                mask_np[0, :s] = 1
-                ids = jnp.asarray(ids_np)
-                mask = jnp.asarray(mask_np)
-                pixels = jnp.asarray(req.pixel_values)[None]
-                cache1 = gemma.init_kv_cache(
-                    self.config.text_config, 1, self.max_seq_len, self.cache_dtype
-                )
-                last_logits, cache1 = self._prefill_one(
-                    self.params, pixels, ids, mask, cache1
-                )
+                ids_np[r, :s] = req.input_ids
+                mask_np[r, :s] = 1
+                pix_np[r] = req.pixel_values
+            for r in range(n, n_pad):  # replicate to fill the pow2 batch
+                ids_np[r], mask_np[r], pix_np[r] = ids_np[0], mask_np[0], pix_np[0]
+
+            mask = jnp.asarray(mask_np)
+            cache1 = gemma.init_kv_cache(
+                self.config.text_config, n_pad, self.max_seq_len, self.cache_dtype
+            )
+            last_logits, cache1 = self._prefill_batch(
+                self.params, jnp.asarray(pix_np), jnp.asarray(ids_np), mask,
+                cache1,
+            )
+            for r, req in enumerate(reqs):
+                slot = free.pop(0)
                 self.cache, self.state = self._insert(
-                    jnp.asarray(slot, jnp.int32), jnp.asarray(s, jnp.int32),
+                    jnp.asarray(slot, jnp.int32),
+                    jnp.asarray(len(req.input_ids), jnp.int32),
+                    jnp.asarray(r, jnp.int32),
                     self.cache, self.state, cache1, mask, last_logits,
                 )
                 self.slots[slot] = req
