@@ -201,6 +201,32 @@ class ServingEngine:
         self.sync_every = max(1, sync_every)
         self._sched_cache = None  # (fingerprint, device arrays)
 
+    def warmup(self, prompt_lens, batch_sizes=(1, 2, 4, 8)) -> None:
+        """Pre-compile prefill for the expected (batch, length-bucket)
+        shapes and the decode step, so the first real wave doesn't pay
+        multi-second XLA compiles. ``prompt_lens``: representative prompt
+        lengths (token counts incl. image tokens)."""
+        buckets = sorted({
+            min(((s + 63) // 64) * 64, self.max_seq_len) for s in prompt_lens
+        })
+        c = self.config.vision_config
+        for bucket in buckets:
+            for n in batch_sizes:
+                if n > self.max_slots:
+                    continue
+                ids = np.zeros((n, bucket), np.int32)
+                ids[:, 0] = self.config.image_token_index
+                mask = np.ones((n, bucket), np.int32)
+                cache1 = gemma.init_kv_cache(
+                    self.config.text_config, n, self.max_seq_len,
+                    self.cache_dtype,
+                )
+                pixels = np.zeros((n, 3, c.image_size, c.image_size), np.float32)
+                self._prefill_batch(
+                    self.params, jnp.asarray(pixels), jnp.asarray(ids),
+                    jnp.asarray(mask), cache1,
+                )
+
     # ------------------------------------------------------------------
     def submit(self, req: Request) -> None:
         self.pending.append(req)

@@ -138,3 +138,14 @@ def test_serving_under_tp_mesh():
         sharded.submit(r)
     got = {r.request_id: list(r.tokens) for r in sharded.run_to_completion()}
     assert got == want
+
+
+def test_warmup_compiles_shapes():
+    params = paligemma.init_params(jax.random.PRNGKey(0), CFG)
+    eng = ServingEngine(params, CFG, max_slots=2, max_seq_len=32,
+                        use_flash=False)
+    eng.warmup(prompt_lens=[10, 20], batch_sizes=(1, 2))
+    r = _req(0, 1, 4, 3)
+    eng.submit(r)
+    done = eng.run_to_completion()
+    assert len(done) == 1 and len(done[0].tokens) == 3
