@@ -40,7 +40,11 @@ def main():
     params = paligemma.init_params(key, cfg, jnp.bfloat16)
     param_bytes = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
 
-    engine = PaliGemmaEngine(params, cfg, max_seq_len=512, eos_token_id=1)
+    # 2048-slot cache: the reference's launcher decodes up to 1000 tokens
+    # after a 266-token prompt (ref: launch_inference.sh:6), so the honest
+    # cache size is >1266. Cache length costs <3% here (docs/PERFORMANCE.md).
+    MAX_SEQ = 2048
+    engine = PaliGemmaEngine(params, cfg, max_seq_len=MAX_SEQ, eos_token_id=1)
 
     b = 1
     n_img = cfg.vision_config.num_patches  # 256
@@ -64,36 +68,55 @@ def main():
         dt = (time.perf_counter() - t0) * 1e3
         ttft_ms = dt if ttft_ms is None else min(ttft_ms, dt)
 
-    # ---- decode ----
-    token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    logits2, state = engine.decode_step(token, state)  # compile
-    _sync(logits2)
+    # ---- decode (chunked: greedy token selection fused into the decode
+    # jit, CHUNK steps per device dispatch, one host sync per rep — the
+    # production path, engine.decode_chunk / generate(sync_every=K)) ----
+    CHUNK = 64
 
-    def time_decode(eng, lg, st, n_steps=100):
+    def time_decode(eng, lg, st, n_chunks=6, reps=3):
+        lg, st, toks, done = eng.decode_chunk(  # compile
+            lg, st, CHUNK, do_sample=False, eos_token_id=-1
+        )
+        _sync(toks)
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for _ in range(n_chunks):
+                lg, st, toks, done = eng.decode_chunk(
+                    lg, st, CHUNK, do_sample=False, eos_token_id=-1
+                )
+            _sync(toks)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return n_chunks * CHUNK * lg.shape[0] / best
+
+    def time_decode_per_step(eng, lg, st, n_steps=100):
+        """Round-1 methodology: argmax dispatch + decode dispatch per token
+        (kept for comparability; the tunnel adds ~0.3 ms/step here)."""
+        l2, s2 = eng.decode_step(jnp.argmax(lg, -1).astype(jnp.int32), st)
+        _sync(l2)
         best = None
         for _ in range(2):
             t0 = time.perf_counter()
-            l2, s2 = lg, st
             for _ in range(n_steps):
                 tok = jnp.argmax(l2, axis=-1).astype(jnp.int32)
                 l2, s2 = eng.decode_step(tok, s2)
             _sync(l2)
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
-            lg, st = l2, s2
-        return n_steps * b / best
+        return n_steps * lg.shape[0] / best
 
-    bf16_tok_per_s = time_decode(engine, logits2, state)
+    bf16_tok_per_s = time_decode(engine, logits, state)
 
     # ---- int8 weight-only serving path ----
     qparams = quantize_lm_for_serving(params)
     del params
-    qengine = PaliGemmaEngine(qparams, cfg, max_seq_len=512, eos_token_id=1)
+    qengine = PaliGemmaEngine(qparams, cfg, max_seq_len=MAX_SEQ, eos_token_id=1)
     qlogits, qstate = qengine.prefill(pixels_j, ids_j, mask_j)
-    qtok = jnp.argmax(qlogits, axis=-1).astype(jnp.int32)
-    qlogits2, qstate = qengine.decode_step(qtok, qstate)
-    _sync(qlogits2)
-    tok_per_s = time_decode(qengine, qlogits2, qstate)
+    _sync(qlogits)
+    tok_per_s = time_decode(qengine, qlogits, qstate)
+    qlogits, qstate = qengine.prefill(pixels_j, ids_j, mask_j)
+    per_step_tok_per_s = time_decode_per_step(qengine, qlogits, qstate)
 
     # ---- batch-8 int8 decode throughput (BASELINE batch-8 VQA config) ----
     b8 = 8
@@ -103,18 +126,8 @@ def main():
     lo8, st8 = qengine.prefill(
         jnp.asarray(pixels8), jnp.asarray(ids8), jnp.asarray(mask8)
     )
-    t8 = jnp.argmax(lo8, axis=-1).astype(jnp.int32)
-    lo8b, st8 = qengine.decode_step(t8, st8)
-    _sync(lo8b)
-    b8_tok_per_s = 0.0
-    l2, s2 = lo8b, st8
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(50):
-            tk = jnp.argmax(l2, axis=-1).astype(jnp.int32)
-            l2, s2 = qengine.decode_step(tk, s2)
-        _sync(l2)
-        b8_tok_per_s = max(b8_tok_per_s, 50 * b8 / (time.perf_counter() - t0))
+    _sync(lo8)
+    b8_tok_per_s = time_decode(qengine, lo8, st8, n_chunks=3)
 
     # Speed of light: HBM bandwidth / bytes per token (decode is BW-bound).
     # TPU v5e: ~819 GB/s HBM BW.
@@ -136,11 +149,16 @@ def main():
                 "extra": {
                     "bf16_decode_tokens_per_sec": round(bf16_tok_per_s, 2),
                     "int8_batch8_decode_tokens_per_sec": round(b8_tok_per_s, 2),
+                    "int8_per_step_dispatch_tokens_per_sec": round(
+                        per_step_tok_per_s, 2
+                    ),
                     "ttft_ms": round(ttft_ms, 2),
                     "param_bytes": param_bytes,
                     "sol_tokens_per_sec": round(sol_tok_per_s, 2),
                     "device": str(jax.devices()[0]),
                     "prefill_len": s,
+                    "max_seq_len": MAX_SEQ,
+                    "decode_chunk": CHUNK,
                 },
             }
         )

@@ -72,19 +72,23 @@ def main(argv=None):
         from ..core.mesh import make_mesh
 
         mesh = make_mesh(args.data_parallel, args.model_parallel)
+    images = [Image.open(f) for f in args.image_file_path]
+    prompts = list(args.prompt)
+    assert len(images) == len(prompts), "need one prompt per image"
+    inputs = processor(images=images, text=prompts)
+
+    # grow the cache to fit prompt + budget (the reference's torch.cat cache
+    # grows unboundedly, ref: modeling_gemma.py:54-55; ours is preallocated,
+    # so size it up front instead of silently clamping writes)
+    need = inputs["input_ids"].shape[1] + args.max_tokens_to_generate
+    max_seq_len = max(args.max_seq_len, ((need + 127) // 128) * 128)
     engine = PaliGemmaEngine(
         params, config,
-        max_seq_len=args.max_seq_len,
+        max_seq_len=max_seq_len,
         eos_token_id=tokenizer.eos_token_id,
         decode_params=decode_params,
         mesh=mesh,
     )
-
-    images = [Image.open(f) for f in args.image_file_path]
-    prompts = list(args.prompt)
-    assert len(images) == len(prompts), "need one prompt per image"
-
-    inputs = processor(images=images, text=prompts)
     print("Running inference")
     tokens = engine.generate(
         jnp.asarray(inputs["pixel_values"]),

@@ -35,6 +35,12 @@ class PaliGemmaProcessor:
         self.image_seq_len = num_image_tokens
         self.image_size = image_size
 
+        # Right padding is a framework invariant (last-valid-token logits at
+        # prefill, contiguous-prefix flash masks, engine write_pos math); the
+        # reference asserts it at checkpoint load (ref: utils.py:12) — we
+        # enforce it at the source so library users can't silently get
+        # left-padded garbage.
+        self.tokenizer.padding_side = "right"
         self._add_new_tokens_to_tokenizer()
         self.tokenizer.add_eos_token = False
         self.tokenizer.add_bos_token = False

@@ -72,7 +72,13 @@ class ServingEngine:
         ``mesh``: optional tensor-parallel Mesh("data","model") with
         data == 1 (the slot pool is the batch; requests shard over "model"
         via the weights). This is the BASELINE "int8 continuous-batched
-        serving sharded over chips" configuration."""
+        serving sharded over chips" configuration. Pure TP is deliberate:
+        lockstep decode is HBM-bandwidth-bound, and TP shards the weight
+        stream across chips (aggregate bandwidth scales with the axis),
+        whereas a data axis would *replicate* the weights and re-read them
+        once per data shard every tick — more slots but zero per-token
+        speedup and N x the HBM footprint. Scale slot count with
+        ``max_slots`` (lockstep decode is batch-cheap) instead."""
         if mesh is not None:
             assert mesh.shape["data"] == 1, (
                 "serving mesh must be pure TP (data=1); slots are the batch"
@@ -100,7 +106,17 @@ class ServingEngine:
         if use_flash is None:
             use_flash = jax.default_backend() == "tpu"
         if use_flash and mesh is not None:
-            use_flash = False  # serving prefills are B=1; keep XLA attention under TP
+            # flash prefill runs under the TP mesh via shard_map (query heads
+            # on "model"); fall back to XLA attention only for head counts
+            # the head sharding cannot express
+            hq = config.text_config.num_attention_heads
+            hkv = config.text_config.num_key_value_heads
+            m = mesh.shape["model"]
+            ok_lm = hq % m == 0 and (hkv % m == 0 or (hq // m) % hkv == 0)
+            ok_vis = config.vision_config.num_attention_heads % m == 0
+            if not (ok_lm and ok_vis):
+                use_flash = False
+        self.use_flash = use_flash
 
         cfg = config
         tcfg = config.text_config
@@ -110,7 +126,7 @@ class ServingEngine:
             # pending requests in the same length bucket prefill as ONE call
             logits, cache1 = paligemma.prefill(
                 params, cfg, pixels, ids, mask, cache1, use_flash=use_flash,
-                last_only=True,
+                last_only=True, mesh=mesh if use_flash else None,
             )
             return logits[:, 0], cache1
 
@@ -188,12 +204,7 @@ class ServingEngine:
         self.cache = gemma.init_kv_cache(
             tcfg, max_slots, max_seq_len, self.cache_dtype
         )
-        self.state = {
-            "valid": jnp.zeros((max_slots, max_seq_len), bool),
-            "write_pos": jnp.zeros((max_slots,), jnp.int32),
-            "pos_ids": jnp.ones((max_slots,), jnp.int32),
-            "logits": jnp.zeros((max_slots, cfg.vocab_size), jnp.float32),
-        }
+        self.state = self._zero_state()
         self.slots: List[Optional[Request]] = [None] * max_slots
         self.pending: List[Request] = []
         self._key = jax.random.PRNGKey(0)
@@ -201,15 +212,29 @@ class ServingEngine:
         self.sync_every = max(1, sync_every)
         self._sched_cache = None  # (fingerprint, device arrays)
 
-    def warmup(self, prompt_lens, batch_sizes=(1, 2, 4, 8)) -> None:
-        """Pre-compile prefill for the expected (batch, length-bucket)
-        shapes and the decode step, so the first real wave doesn't pay
-        multi-second XLA compiles. ``prompt_lens``: representative prompt
-        lengths (token counts incl. image tokens)."""
+    def _zero_state(self) -> Dict[str, jnp.ndarray]:
+        return {
+            "valid": jnp.zeros((self.max_slots, self.max_seq_len), bool),
+            "write_pos": jnp.zeros((self.max_slots,), jnp.int32),
+            "pos_ids": jnp.ones((self.max_slots,), jnp.int32),
+            "logits": jnp.zeros(
+                (self.max_slots, self.config.vocab_size), jnp.float32
+            ),
+        }
+
+    def warmup(self, prompt_lens, batch_sizes=(1, 2, 4, 8),
+               sampling: bool = False) -> None:
+        """Pre-compile every jit the serving loop hits — prefill for the
+        expected (batch, length-bucket) shapes, the per-row cache insert,
+        and the lockstep decode tick — so the first real wave pays zero
+        XLA compiles. ``prompt_lens``: representative prompt lengths
+        (token counts incl. image tokens); ``sampling=True`` additionally
+        compiles the top-p decode variant."""
         buckets = sorted({
             min(((s + 63) // 64) * 64, self.max_seq_len) for s in prompt_lens
         })
         c = self.config.vision_config
+        last_logits = None
         for bucket in buckets:
             for n in batch_sizes:
                 if n > self.max_slots:
@@ -222,13 +247,52 @@ class ServingEngine:
                     self.cache_dtype,
                 )
                 pixels = np.zeros((n, 3, c.image_size, c.image_size), np.float32)
-                self._prefill_batch(
+                last_logits, cache1 = self._prefill_batch(
                     self.params, jnp.asarray(pixels), jnp.asarray(ids),
                     jnp.asarray(mask), cache1,
                 )
+                # _insert compiles per prefill-batch shape; run it on
+                # throwaway pool buffers (donated args) with the real shapes
+                scratch_cache = gemma.init_kv_cache(
+                    self.config.text_config, self.max_slots, self.max_seq_len,
+                    self.cache_dtype,
+                )
+                scratch_state = self._zero_state()
+                mask1 = jnp.asarray(np.ones((n, bucket), np.int32))
+                self._insert(
+                    jnp.zeros((), jnp.int32), jnp.asarray(bucket, jnp.int32),
+                    jnp.zeros((), jnp.int32), scratch_cache, scratch_state,
+                    cache1, mask1, last_logits,
+                )
+        # decode tick: compiles once per with_sampling variant
+        variants = (False, True) if sampling else (False,)
+        for with_sampling in variants:
+            scratch_cache = gemma.init_kv_cache(
+                self.config.text_config, self.max_slots, self.max_seq_len,
+                self.cache_dtype,
+            )
+            scratch_state = self._zero_state()
+            zeros_f = jnp.zeros((self.max_slots,), jnp.float32)
+            self._decode_all(
+                self.decode_params, scratch_cache, scratch_state,
+                jnp.zeros((self.max_slots,), bool), jax.random.PRNGKey(0),
+                zeros_f + 1.0, zeros_f + 1.0,
+                jnp.zeros((self.max_slots,), bool),
+                with_sampling=with_sampling,
+            )
 
     # ------------------------------------------------------------------
     def submit(self, req: Request) -> None:
+        """Queue a request. Rejects (raises) over-long prompts here, at the
+        submission boundary, so one bad request can't crash the scheduler
+        loop mid-``step()`` for everyone else."""
+        budget = self.max_seq_len - 1  # >= 1 decode slot must remain
+        if len(req.input_ids) > budget:
+            raise ValueError(
+                f"request {req.request_id}: prompt of {len(req.input_ids)} "
+                f"tokens exceeds the per-slot budget ({budget} = max_seq_len "
+                f"{self.max_seq_len} - 1 decode slot)"
+            )
         self.pending.append(req)
 
     def _fill_slots(self) -> None:

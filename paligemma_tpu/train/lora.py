@@ -70,6 +70,12 @@ def merge_lora(
     layers = dict(merged["layers"])
     attn = dict(layers["attn"])
     mlp = dict(layers["mlp"])
+    if "qkv" in attn or "gateup" in mlp:
+        raise ValueError(
+            "merge_lora requires an unfused base (found fused 'qkv'/'gateup' "
+            "weights); quantize with fuse=False when training — fusion is a "
+            "serving-side transform (runtime.quantize.quantize_lm_for_serving)"
+        )
 
     def add_delta(base, delta):
         if isinstance(base, dict):  # int8-quantized base: dequantize to merge

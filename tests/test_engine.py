@@ -1,0 +1,95 @@
+"""Engine-level tests: chunked decode parity, cache-budget validation.
+
+The chunked decode (``decode_chunk`` / ``generate(sync_every=K)``) fuses
+token selection into the decode jit and runs K steps per dispatch — it must
+produce token-for-token the same output as the per-step reference loop
+(ref: inference.py:51-87 semantics)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from paligemma_tpu.core.config import tiny_test_config
+from paligemma_tpu.models import paligemma
+from paligemma_tpu.runtime.engine import PaliGemmaEngine
+
+CFG = tiny_test_config()
+
+
+def _inputs(seed=0, b=1, n_txt=5):
+    rng = np.random.default_rng(seed)
+    n_img = CFG.vision_config.num_patches
+    ids = np.concatenate(
+        [np.full((b, n_img), CFG.image_token_index),
+         rng.integers(3, 100, (b, n_txt))], axis=1,
+    ).astype(np.int32)
+    mask = np.ones_like(ids)
+    pixels = rng.normal(size=(b, 3, 28, 28)).astype(np.float32)
+    return jnp.asarray(pixels), jnp.asarray(ids), jnp.asarray(mask)
+
+
+def test_generate_chunked_matches_per_token_greedy():
+    params = paligemma.init_params(jax.random.PRNGKey(0), CFG)
+    eng = PaliGemmaEngine(params, CFG, max_seq_len=48, use_flash=False)
+    pixels, ids, mask = _inputs(b=2)
+    want = eng.generate(pixels, ids, mask, max_new_tokens=10, do_sample=False,
+                        eos_token_id=-1)
+    got = eng.generate(pixels, ids, mask, max_new_tokens=10, do_sample=False,
+                       eos_token_id=-1, sync_every=4)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_generate_chunked_eos_semantics():
+    """Post-EOS slots are filled with EOS in both paths, and the chunked
+    path stops dispatching once every row is done."""
+    params = paligemma.init_params(jax.random.PRNGKey(0), CFG)
+    eng = PaliGemmaEngine(params, CFG, max_seq_len=48, use_flash=False)
+    pixels, ids, mask = _inputs()
+    probe = eng.generate(pixels, ids, mask, max_new_tokens=3, do_sample=False,
+                         eos_token_id=-1)
+    eos = int(probe[0, 2])  # a token greedy decode actually emits
+    k = int(np.argmax(np.asarray(probe[0]) == eos))  # first occurrence
+
+    want = eng.generate(pixels, ids, mask, max_new_tokens=9, do_sample=False,
+                        eos_token_id=eos)
+    got = eng.generate(pixels, ids, mask, max_new_tokens=9, do_sample=False,
+                       eos_token_id=eos, sync_every=4)
+    # per-token loop stops right at EOS; chunked emits whole chunks with
+    # post-EOS slots masked to EOS — identical prefix, EOS padding after
+    assert want.shape[1] == k + 1
+    np.testing.assert_array_equal(got[:, : k + 1], want)
+    assert (got[:, k + 1 :] == eos).all()
+
+
+def test_generate_chunked_sampling_runs():
+    params = paligemma.init_params(jax.random.PRNGKey(0), CFG)
+    eng = PaliGemmaEngine(params, CFG, max_seq_len=48, use_flash=False)
+    pixels, ids, mask = _inputs()
+    got = eng.generate(pixels, ids, mask, max_new_tokens=8, do_sample=True,
+                       temperature=0.7, top_p=0.9, eos_token_id=-1,
+                       sync_every=3, key=jax.random.PRNGKey(7))
+    assert got.shape == (1, 8)
+    assert ((got >= 0) & (got < CFG.vocab_size)).all()
+
+
+def test_generate_rejects_overflow_budget():
+    params = paligemma.init_params(jax.random.PRNGKey(0), CFG)
+    eng = PaliGemmaEngine(params, CFG, max_seq_len=16, use_flash=False)
+    pixels, ids, mask = _inputs(n_txt=5)  # 4 img + 5 txt = 9 tokens
+    with pytest.raises(ValueError, match="exceeds max_seq_len"):
+        eng.generate(pixels, ids, mask, max_new_tokens=8)
+    with pytest.raises(ValueError, match="exceeds max_seq_len"):
+        eng.generate_fused(pixels, ids, mask, max_new_tokens=8)
+
+
+def test_on_token_streaming_chunked():
+    params = paligemma.init_params(jax.random.PRNGKey(0), CFG)
+    eng = PaliGemmaEngine(params, CFG, max_seq_len=48, use_flash=False)
+    pixels, ids, mask = _inputs()
+    seen = []
+    eng.generate(pixels, ids, mask, max_new_tokens=6, do_sample=False,
+                 eos_token_id=-1, sync_every=4,
+                 on_token=lambda step, toks: seen.append((step, int(toks[0]))))
+    assert [s for s, _ in seen] == list(range(6))

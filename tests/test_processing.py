@@ -129,3 +129,33 @@ def test_processor_batch_padding():
     assert out["input_ids"].shape[0] == 2
     assert out["attention_mask"][0].all()
     assert out["attention_mask"][1].sum() < out["attention_mask"][0].sum()
+
+
+def test_processor_forces_right_padding():
+    """A real HF tokenizer configured for LEFT padding must not leak
+    left-padded batches into the engine (write_pos / last-token logits /
+    flash contiguous-prefix all assume right padding; the reference asserts
+    padding_side at load, ref: utils.py:12 — we enforce it at the source)."""
+    transformers = pytest.importorskip("transformers")
+    from tokenizers import Tokenizer, models, pre_tokenizers
+
+    vocab = {"<pad>": 0, "<eos>": 1, "<bos>": 2, "\n": 3, "<unk>": 4,
+             "hello": 5, "world": 6, "building": 7}
+    t = Tokenizer(models.WordLevel(vocab, unk_token="<unk>"))
+    t.pre_tokenizer = pre_tokenizers.Whitespace()
+    tok = transformers.PreTrainedTokenizerFast(
+        tokenizer_object=t, pad_token="<pad>", eos_token="<eos>",
+        bos_token="<bos>", unk_token="<unk>", padding_side="left",
+    )
+    proc = PaliGemmaProcessor(tok, num_image_tokens=4, image_size=28)
+    assert proc.tokenizer.padding_side == "right"
+
+    out = proc(
+        images=[_random_image(0), _random_image(1)],
+        text=["hello", "hello world building"],
+    )
+    mask = out["attention_mask"]
+    for row in mask:  # right padding: every row is 1...1 0...0
+        nz = np.nonzero(row)[0]
+        assert nz[0] == 0 and (np.diff(nz) == 1).all()
+    assert mask[0].sum() < mask[1].sum()

@@ -149,3 +149,71 @@ def test_warmup_compiles_shapes():
     eng.submit(r)
     done = eng.run_to_completion()
     assert len(done) == 1 and len(done[0].tokens) == 3
+
+
+def test_warmup_precompiles_everything():
+    """After warmup() covering the request's (batch, bucket) shape, the
+    first real wave — prefill, insert, AND the decode tick — triggers
+    zero new XLA compiles."""
+    params = paligemma.init_params(jax.random.PRNGKey(0), CFG)
+    eng = ServingEngine(params, CFG, max_slots=2, max_seq_len=64,
+                        use_flash=False)
+    # prompt is 4 image + 4 text = 8 tokens -> bucket 64 (rounded to 64 cap),
+    # batch 1; warm exactly that shape
+    eng.warmup(prompt_lens=[8], batch_sizes=(1,))
+    sizes = {
+        "prefill": eng._prefill_batch._cache_size(),
+        "insert": eng._insert._cache_size(),
+        "decode": eng._decode_all._cache_size(),
+    }
+    assert all(v > 0 for v in sizes.values()), sizes
+
+    eng.submit(_req(0, 1, 4, 3))
+    done = eng.run_to_completion()
+    assert len(done) == 1 and len(done[0].tokens) == 3
+    after = {
+        "prefill": eng._prefill_batch._cache_size(),
+        "insert": eng._insert._cache_size(),
+        "decode": eng._decode_all._cache_size(),
+    }
+    assert after == sizes, (sizes, after)
+
+
+def test_submit_rejects_overlong_prompt():
+    import pytest
+
+    params = paligemma.init_params(jax.random.PRNGKey(0), CFG)
+    eng = ServingEngine(params, CFG, max_slots=1, max_seq_len=16,
+                        use_flash=False)
+    bad = _req(0, 1, 20, 2)  # 4 image + 20 text = 24 > 16-1
+    with pytest.raises(ValueError, match="exceeds the per-slot budget"):
+        eng.submit(bad)
+    assert not eng.has_work  # scheduler never sees the bad request
+
+
+def test_serving_tp_mesh_flash_prefill_parity():
+    """Flash prefill runs under the serving TP mesh (no silent XLA-attention
+    downgrade) and produces the same tokens as the unsharded XLA path."""
+    from paligemma_tpu.core import mesh as mesh_lib
+    from paligemma_tpu.runtime.quantize import quantize_lm_for_serving
+
+    params = paligemma.init_params(jax.random.PRNGKey(0), CFG)
+    qparams = quantize_lm_for_serving(params)
+
+    plain = ServingEngine(params, CFG, max_slots=2, max_seq_len=32,
+                          use_flash=False, decode_params=qparams)
+    reqs = [_req(0, 1, 4, 4), _req(1, 2, 6, 4)]
+    for r in reqs:
+        plain.submit(r)
+    want = {r.request_id: list(r.tokens) for r in plain.run_to_completion()}
+
+    # tiny config: 4 q / 2 kv text heads, 4 vision heads -> model=2 shards
+    mesh = mesh_lib.make_mesh(data=1, model=2)
+    sharded = ServingEngine(params, CFG, max_slots=2, max_seq_len=32,
+                            use_flash=True, decode_params=qparams, mesh=mesh)
+    assert sharded.use_flash, "mesh must not downgrade the flash prefill"
+    reqs2 = [_req(0, 1, 4, 4), _req(1, 2, 6, 4)]
+    for r in reqs2:
+        sharded.submit(r)
+    got = {r.request_id: list(r.tokens) for r in sharded.run_to_completion()}
+    assert got == want

@@ -182,3 +182,23 @@ def test_sharded_full_ft_matches_unsharded():
         np.asarray(sharded.params["lm"]["layers"]["attn"]["q"]),
         atol=2e-5,
     )
+
+
+def test_merge_lora_fused_base_raises():
+    """merge_lora must refuse a fused-qkv/gateup base with a clear error
+    (fusion is a serving-side transform; training bases stay unfused)."""
+    import pytest
+
+    from paligemma_tpu.models import paligemma
+    from paligemma_tpu.runtime.quantize import quantize_lm_for_serving
+    from paligemma_tpu.train import lora as lora_lib
+
+    cfg = tiny_test_config()
+    params = paligemma.init_params(jax.random.PRNGKey(0), cfg)
+    fused = quantize_lm_for_serving(params, fuse=True)
+    lora = lora_lib.init_lora(
+        jax.random.PRNGKey(1), cfg.text_config, rank=2,
+        targets=("q", "v"),
+    )
+    with pytest.raises(ValueError, match="unfused base"):
+        lora_lib.merge_lora(fused["lm"], lora)
