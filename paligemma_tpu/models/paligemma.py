@@ -216,8 +216,13 @@ def decode_step(
     cache_pos: jnp.ndarray,  # scalar int32: index this token is written at
     kv_valid: jnp.ndarray,  # (B, max_seq) bool incl. this token's slot
     position_ids: jnp.ndarray,  # (B,) int32 RoPE position of this token
+    kv_bucket: Optional[int] = None,  # static attend-window (<= max_seq)
 ) -> Tuple[jnp.ndarray, gemma.KVCache]:
-    """Single-token decode. Returns ((B, vocab) logits, new cache)."""
+    """Single-token decode. Returns ((B, vocab) logits, new cache).
+
+    ``kv_bucket``: static bound on the attended cache prefix — must satisfy
+    bucket > every row's write position. Identical numerics, bounded HBM
+    reads (see gemma._decoder_block)."""
     embeds = params["lm"]["embed"][token][:, None, :]  # (B, 1, H)
     logits, kv_cache = gemma.forward(
         params["lm"],
@@ -227,5 +232,6 @@ def decode_step(
         kv_cache,
         cache_pos=cache_pos,
         kv_valid=kv_valid,
+        kv_bucket=kv_bucket,
     )
     return logits[:, 0, :], kv_cache

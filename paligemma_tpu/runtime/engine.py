@@ -109,7 +109,7 @@ class PaliGemmaEngine:
 
         cfg = config  # closed over statically (frozen dataclass)
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(4,))
         def _prefill(params, pixels, ids, mask, cache):
             # last_only: the head projects just each row's last valid token
             logits, cache = paligemma.prefill(
@@ -203,6 +203,7 @@ class PaliGemmaEngine:
         key: Optional[jax.Array] = None,
         eos_token_id: Optional[int] = None,
         done: Optional[jnp.ndarray] = None,
+        kv_bucket: Optional[int] = None,
     ):
         """``n_steps`` decode steps in ONE device dispatch (lax.scan), with
         token selection fused into the jit and per-row EOS masking.
@@ -212,17 +213,32 @@ class PaliGemmaEngine:
         between ~250 and ~270+ tok/s at 3B int8 b1 (docs/PERFORMANCE.md).
         Returns ``(logits, state, tokens (B, n_steps), done)`` — post-EOS
         slots are filled with EOS, exactly like ``generate``.
+
+        ``kv_bucket``: static attended-cache window; MUST cover the highest
+        write position this chunk reaches (write_pos + n_steps). Use
+        :meth:`kv_bucket_for`. None attends the full cache.
         """
         eos = self.eos_token_id if eos_token_id is None else eos_token_id
         if key is None:
             key = jax.random.PRNGKey(0)
         if done is None:
             done = jnp.zeros((logits.shape[0],), bool)
-        fn = self._get_chunk(n_steps, temperature, top_p, do_sample, eos)
+        fn = self._get_chunk(n_steps, temperature, top_p, do_sample, eos,
+                             kv_bucket)
         return fn(self.decode_params, logits, state, done, key)
 
-    def _get_chunk(self, n_steps, temperature, top_p, do_sample, eos):
-        sig = (n_steps, temperature, top_p, do_sample, eos)
+    def kv_bucket_for(self, highest_write_pos: int) -> Optional[int]:
+        """Smallest power-of-two cache window (>=512) covering the given
+        write position; None when only the full cache fits. One compiled
+        decode variant exists per distinct bucket (log2(max_seq) of them)."""
+        b = 512
+        while b < highest_write_pos + 1:
+            b *= 2
+        return b if b < self.max_seq_len else None
+
+    def _get_chunk(self, n_steps, temperature, top_p, do_sample, eos,
+                   kv_bucket=None):
+        sig = (n_steps, temperature, top_p, do_sample, eos, kv_bucket)
         if sig in self._chunk_cache:
             return self._chunk_cache[sig]
         cfg = self.config
@@ -240,7 +256,7 @@ class PaliGemmaEngine:
                 new_logits, cache = paligemma.decode_step(
                     params, cfg, token, state.cache,
                     cache_pos=state.write_pos, kv_valid=valid,
-                    position_ids=state.pos_ids,
+                    position_ids=state.pos_ids, kv_bucket=kv_bucket,
                 )
                 new_state = KVState(cache, valid, state.write_pos + 1,
                                     state.pos_ids + 1)
@@ -298,12 +314,14 @@ class PaliGemmaEngine:
             done = jnp.zeros((b,), bool)
             chunks = []
             emitted = 0
+            prompt_len = input_ids.shape[1]
             while emitted < max_new_tokens:
                 n = min(sync_every, max_new_tokens - emitted)
                 key, sub = jax.random.split(key)
                 logits, state, tokens, done = self.decode_chunk(
                     logits, state, n, temperature, top_p, do_sample,
                     key=sub, eos_token_id=eos, done=done,
+                    kv_bucket=self.kv_bucket_for(prompt_len + emitted + n),
                 )
                 tokens_np = np.asarray(tokens)
                 chunks.append(tokens_np)

@@ -121,7 +121,7 @@ class ServingEngine:
         cfg = config
         tcfg = config.text_config
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(4,))
         def _prefill_batch(params, pixels, ids, mask, cache1):
             # pending requests in the same length bucket prefill as ONE call
             logits, cache1 = paligemma.prefill(
@@ -163,10 +163,11 @@ class ServingEngine:
             return cache, state
 
         @functools.partial(
-            jax.jit, donate_argnums=(1, 2), static_argnames=("with_sampling",)
+            jax.jit, donate_argnums=(1, 2),
+            static_argnames=("with_sampling", "kv_bucket"),
         )
         def _decode_all(params, cache, state, active, key, temps, top_ps,
-                        do_samples, with_sampling=False):
+                        do_samples, with_sampling=False, kv_bucket=None):
             logits = state["logits"]
             greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             if with_sampling:
@@ -186,7 +187,7 @@ class ServingEngine:
             new_logits, cache = paligemma.decode_step(
                 params, cfg, token, cache,
                 cache_pos=write_pos, kv_valid=valid,
-                position_ids=state["pos_ids"],
+                position_ids=state["pos_ids"], kv_bucket=kv_bucket,
             )
             inc = active.astype(jnp.int32)
             state = {
@@ -211,6 +212,14 @@ class ServingEngine:
         self._generated: Dict[int, int] = {}
         self.sync_every = max(1, sync_every)
         self._sched_cache = None  # (fingerprint, device arrays)
+
+    def _kv_bucket(self, highest_write_pos: int):
+        """Smallest power-of-two cache window (>=512) covering the position;
+        None = full cache (see gemma._decoder_block kv_bucket)."""
+        b = 512
+        while b < highest_write_pos + 1:
+            b *= 2
+        return b if b < self.max_seq_len else None
 
     def _zero_state(self) -> Dict[str, jnp.ndarray]:
         return {
@@ -264,8 +273,10 @@ class ServingEngine:
                     jnp.zeros((), jnp.int32), scratch_cache, scratch_state,
                     cache1, mask1, last_logits,
                 )
-        # decode tick: compiles once per with_sampling variant
+        # decode tick: compiles once per (with_sampling, kv_bucket) variant;
+        # warm the window the first wave will hit
         variants = (False, True) if sampling else (False,)
+        kv_bucket = self._kv_bucket(max(buckets, default=0) + self.sync_every)
         for with_sampling in variants:
             scratch_cache = gemma.init_kv_cache(
                 self.config.text_config, self.max_slots, self.max_seq_len,
@@ -278,7 +289,7 @@ class ServingEngine:
                 jnp.zeros((self.max_slots,), bool), jax.random.PRNGKey(0),
                 zeros_f + 1.0, zeros_f + 1.0,
                 jnp.zeros((self.max_slots,), bool),
-                with_sampling=with_sampling,
+                with_sampling=with_sampling, kv_bucket=kv_bucket,
             )
 
     # ------------------------------------------------------------------
@@ -388,13 +399,23 @@ class ServingEngine:
         with_sampling = any(
             r is not None and r.do_sample for r in self.slots
         )
+        # static attended-cache window covering every active slot's write
+        # positions for this window (host-side bookkeeping: prompt length +
+        # tokens generated so far) — one compiled tick per power-of-two
+        kv_bucket = self._kv_bucket(
+            max(
+                (len(r.input_ids) + self._generated[r.request_id]
+                 for r in self.slots if r is not None),
+                default=0,
+            ) + ticks
+        )
         tokens = []
         for _ in range(ticks):
             self._key, sub = jax.random.split(self._key)
             token, self.cache, self.state = self._decode_all(
                 self.decode_params, self.cache, self.state,
                 active, sub, temps_j, top_j, do_j,
-                with_sampling=with_sampling,
+                with_sampling=with_sampling, kv_bucket=kv_bucket,
             )
             tokens.append(token)
         token_np = np.asarray(jnp.stack(tokens))  # ONE sync for all ticks

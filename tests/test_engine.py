@@ -93,3 +93,32 @@ def test_on_token_streaming_chunked():
                  eos_token_id=-1, sync_every=4,
                  on_token=lambda step, toks: seen.append((step, int(toks[0]))))
     assert [s for s, _ in seen] == list(range(6))
+
+
+def test_kv_bucket_decode_identical():
+    """Attending over a static cache-prefix bucket must give bit-identical
+    logits/tokens to full-cache attention (masked tail contributes exactly
+    zero), while reading a fraction of the cache."""
+    params = paligemma.init_params(jax.random.PRNGKey(0), CFG)
+    eng = PaliGemmaEngine(params, CFG, max_seq_len=1024, use_flash=False)
+    pixels, ids, mask = _inputs()
+    logits, state = eng.prefill(pixels, ids, mask)
+    l_full, s_full, t_full, _ = eng.decode_chunk(
+        logits, state, 6, do_sample=False, eos_token_id=-1, kv_bucket=None)
+    logits2, state2 = eng.prefill(pixels, ids, mask)
+    l_b, s_b, t_b, _ = eng.decode_chunk(
+        logits2, state2, 6, do_sample=False, eos_token_id=-1, kv_bucket=64)
+    np.testing.assert_array_equal(np.asarray(t_b), np.asarray(t_full))
+    np.testing.assert_allclose(np.asarray(l_b), np.asarray(l_full),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_kv_bucket_for():
+    params = paligemma.init_params(jax.random.PRNGKey(0), CFG)
+    eng = PaliGemmaEngine(params, CFG, max_seq_len=4096, use_flash=False)
+    assert eng.kv_bucket_for(100) == 512
+    assert eng.kv_bucket_for(511) == 512
+    assert eng.kv_bucket_for(512) == 1024
+    assert eng.kv_bucket_for(2047) == 2048
+    assert eng.kv_bucket_for(2048) is None  # next pow2 == max_seq -> full
+    assert eng.kv_bucket_for(3000) is None  # full cache
