@@ -17,9 +17,11 @@ key ``j`` is attendable by query at absolute position ``i`` iff
   prompt length, ``kv_len`` = total valid length.
 * pure causal: ``prefix_len = 0``.
 
-Backward pass: ``jax.custom_vjp`` whose VJP is the XLA reference attention's
-(numerically identical semantics) — training gets correct grads while the
-forward runs the Pallas kernel.
+Backward pass: blockwise FlashAttention-2 Pallas kernels (``_bwd_dq_kernel``
++ ``_bwd_dkv_kernel``) that recompute the probabilities from (q, k, lse)
+saved by the forward — neither direction ever materializes the
+(rows, Skv) logits in HBM. GQA folding is shared with the forward, so dk/dv
+accumulate over all query heads of a KV head inside one kernel instance.
 """
 
 from __future__ import annotations
@@ -45,7 +47,7 @@ def _flash_kernel(
     k_ref,  # VMEM (1, 1, Skv, D)
     v_ref,  # VMEM (1, 1, Skv, D)
     o_ref,  # VMEM (1, 1, block_q, D)
-    *,
+    *maybe_lse_ref,  # optional VMEM (1, 1, block_q, 128) — logsumexp rows
     scale: float,
     block_k: int,
     q_offset: int,
@@ -101,6 +103,13 @@ def _flash_kernel(
 
     out = acc / jnp.where(l_i == 0.0, 1.0, l_i)  # fully-masked rows -> 0
     o_ref[0, 0, :, :] = out.astype(o_ref.dtype)
+    if maybe_lse_ref:
+        # logsumexp per row for the backward pass; 0 for fully-masked rows
+        # so exp(NEG_INF - lse) underflows to exactly 0 there
+        lse = jnp.where(l_i == 0.0, 0.0, m_i + jnp.log(l_i))  # (block_q, 1)
+        maybe_lse_ref[0][0, 0, :, :] = jnp.broadcast_to(
+            lse, (block_q, maybe_lse_ref[0].shape[-1])
+        )
 
 
 def _pad_to(x: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
@@ -113,38 +122,69 @@ def _pad_to(x: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
     return jnp.pad(x, pad)
 
 
-def _flash_forward(
-    q, k, v, prefix_len, kv_len, scale, q_offset, block_q, block_k, interpret
-):
+def _fold_rows(x, block, d_pad):
+    """(B, S, H, D) -> (B, H, S_pad, d_pad): transpose so (seq, head_dim)
+    land in the tiled (sublane, lane) positions, pad both."""
+    x = x.transpose(0, 2, 1, 3)
+    if d_pad != x.shape[3]:
+        x = _pad_to(x, 3, d_pad)
+    return _pad_to(x, 2, ((x.shape[2] + block - 1) // block) * block)
+
+
+def _prep(q, k, v, block_q, block_k):
+    """Shared forward/backward layout. q is folded to
+    (B, Hkv, group*Sq_p, Dp) — query heads sharing a KV head stack in the
+    row dim so one kernel instance streams K/V once per KV head — and K/V
+    pad to (B, Hkv, Skv_p, Dp). Returns (q_p, k_p, v_p, dims)."""
     b, sq, hq, d = q.shape
-    skv, hkv = k.shape[1], k.shape[2]
+    hkv = k.shape[2]
     group = hq // hkv
-
-    # (B, S, H, D) -> (B, H, S, D) so blocks put (seq, head_dim) in the
-    # tiled (sublane, lane) positions.
-    q = q.transpose(0, 2, 1, 3)
-    k = k.transpose(0, 2, 1, 3)
-    v = v.transpose(0, 2, 1, 3)
-
     d_pad = max(128, ((d + 127) // 128) * 128)
-    if d_pad != d:
-        q = _pad_to(q, 3, d_pad)
-        k = _pad_to(k, 3, d_pad)
-        v = _pad_to(v, 3, d_pad)
-    sq_p = ((sq + block_q - 1) // block_q) * block_q
-    q_p = _pad_to(q, 2, sq_p)
-    k_p = _pad_to(k, 2, block_k)
-    v_p = _pad_to(v, 2, block_k)
-    skv_p = k_p.shape[2]
-
-    # Fold the query heads that share a KV head into the row dim: one kernel
-    # instance per (batch, kv head) streams K/V once for `group` q heads.
+    q_p = _fold_rows(q, block_q, d_pad)
+    sq_p = q_p.shape[2]
+    k_p = _fold_rows(k, block_k, d_pad)
+    v_p = _fold_rows(v, block_k, d_pad)
     rows = group * sq_p
     q_p = q_p.reshape(b, hkv, rows, d_pad)
+    dims = dict(b=b, sq=sq, hq=hq, d=d, hkv=hkv, group=group, sq_p=sq_p,
+                d_pad=d_pad, skv_p=k_p.shape[2], rows=rows)
+    return q_p, k_p, v_p, dims
+
+
+def _unfold_out(out, dims):
+    """Folded (B, Hkv, rows, Dp) -> (B, Sq, Hq, D)."""
+    out = out.reshape(dims["b"], dims["hq"], dims["sq_p"], dims["d_pad"])
+    return out[:, :, : dims["sq"], : dims["d"]].transpose(0, 2, 1, 3)
+
+
+def _flash_forward(
+    q, k, v, prefix_len, kv_len, scale, q_offset, block_q, block_k, interpret,
+    return_lse=False,
+):
+    q_p, k_p, v_p, dims = _prep(q, k, v, block_q, block_k)
+    b, hkv, rows = dims["b"], dims["hkv"], dims["rows"]
+    d_pad, skv_p, sq_p = dims["d_pad"], dims["skv_p"], dims["sq_p"]
 
     grid = (b, hkv, rows // block_q)
+    out_shape = [jax.ShapeDtypeStruct((b, hkv, rows, d_pad), q.dtype)]
+    out_specs = [
+        pl.BlockSpec(
+            (1, 1, block_q, d_pad),
+            lambda bi, h, qb: (bi, h, qb, 0),
+            memory_space=pltpu.VMEM,
+        )
+    ]
+    if return_lse:
+        out_shape.append(jax.ShapeDtypeStruct((b, hkv, rows, 128), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec(
+                (1, 1, block_q, 128),
+                lambda bi, h, qb: (bi, h, qb, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
 
-    out = pl.pallas_call(
+    res = pl.pallas_call(
         functools.partial(
             _flash_kernel, scale=scale, block_k=block_k, q_offset=q_offset,
             seq_p=sq_p,
@@ -169,17 +209,221 @@ def _flash_forward(
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, block_q, d_pad),
-            lambda bi, h, qb: (bi, h, qb, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, hkv, rows, d_pad), q.dtype),
+        out_specs=out_specs if return_lse else out_specs[0],
+        out_shape=out_shape if return_lse else out_shape[0],
         interpret=interpret,
     )(prefix_len.astype(jnp.int32), kv_len.astype(jnp.int32), q_p, k_p, v_p)
 
-    out = out.reshape(b, hq, sq_p, d_pad)
-    return out[:, :, :sq, :d].transpose(0, 2, 1, 3)
+    if return_lse:
+        out, lse = res
+        return _unfold_out(out, dims), lse
+    return _unfold_out(res, dims)
+
+
+def _bwd_dq_kernel(
+    prefix_ref, kvlen_ref,  # SMEM (B,)
+    q_ref,  # (1, 1, block_q, D)
+    k_ref,  # (1, 1, block_k, D)
+    v_ref,  # (1, 1, block_k, D)
+    do_ref,  # (1, 1, block_q, D)
+    lse_ref,  # (1, 1, block_q, 128)
+    delta_ref,  # (1, 1, block_q, 128)
+    dq_ref,  # (1, 1, block_q, D)
+    acc_ref,  # scratch (block_q, D) f32
+    *,
+    scale: float,
+    block_q: int,
+    block_k: int,
+    q_offset: int,
+    seq_p: int,
+):
+    """dQ: grid (b, hkv, q_blocks, k_blocks), kv innermost; dq accumulates
+    in VMEM scratch across the kv sweep (FlashAttention-2 backward)."""
+    bi = pl.program_id(0)
+    qb = pl.program_id(2)
+    kb = pl.program_id(3)
+
+    @pl.when(kb == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
+    lse = lse_ref[0, 0][:, :1]
+    delta = delta_ref[0, 0][:, :1]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (block_q, block_k)
+    row = (
+        jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        + qb * block_q
+    ) % seq_p + q_offset
+    col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + kb * block_k
+    allowed = (col < kvlen_ref[bi]) & ((col < prefix_ref[bi]) | (col <= row))
+    s = jnp.where(allowed, s, NEG_INF)
+    p = jnp.exp(s - lse)  # fp32; 0 at masked slots
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta)
+    acc_ref[...] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(kb == pl.num_programs(3) - 1)
+    def _finish():
+        dq_ref[0, 0] = (acc_ref[...] * scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(
+    prefix_ref, kvlen_ref,  # SMEM (B,)
+    q_ref,  # (1, 1, block_q, D)
+    k_ref,  # (1, 1, block_k, D)
+    v_ref,  # (1, 1, block_k, D)
+    do_ref,  # (1, 1, block_q, D)
+    lse_ref,  # (1, 1, block_q, 128)
+    delta_ref,  # (1, 1, block_q, 128)
+    dk_ref,  # (1, 1, block_k, D)
+    dv_ref,  # (1, 1, block_k, D)
+    dk_acc_ref,  # scratch (block_k, D) f32
+    dv_acc_ref,  # scratch (block_k, D) f32
+    *,
+    scale: float,
+    block_q: int,
+    block_k: int,
+    q_offset: int,
+    seq_p: int,
+):
+    """dK/dV: grid (b, hkv, k_blocks, q_blocks), q innermost; dk/dv
+    accumulate across the q sweep. Zero-padded dO rows make padded /
+    out-of-range query rows contribute exactly nothing."""
+    bi = pl.program_id(0)
+    kb = pl.program_id(2)
+    qb = pl.program_id(3)
+
+    @pl.when(qb == 0)
+    def _init():
+        dk_acc_ref[...] = jnp.zeros_like(dk_acc_ref)
+        dv_acc_ref[...] = jnp.zeros_like(dv_acc_ref)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
+    lse = lse_ref[0, 0][:, :1]
+    delta = delta_ref[0, 0][:, :1]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (block_q, block_k)
+    row = (
+        jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        + qb * block_q
+    ) % seq_p + q_offset
+    col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + kb * block_k
+    allowed = (col < kvlen_ref[bi]) & ((col < prefix_ref[bi]) | (col <= row))
+    s = jnp.where(allowed, s, NEG_INF)
+    p = jnp.exp(s - lse)
+    dv_acc_ref[...] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (block_k, D)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta)
+    dk_acc_ref[...] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(qb == pl.num_programs(3) - 1)
+    def _finish():
+        dk_ref[0, 0] = (dk_acc_ref[...] * scale).astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc_ref[...].astype(dv_ref.dtype)
+
+
+def _flash_backward(
+    q, k, v, out, lse, g, prefix_len, kv_len, scale, q_offset,
+    block_q, block_k, interpret,
+):
+    """Blockwise FA2 backward: recompute p from (q, k, lse); never
+    materializes the (rows, Skv) logits in HBM."""
+    q_p, k_p, v_p, dims = _prep(q, k, v, block_q, block_k)
+    b, hkv, rows = dims["b"], dims["hkv"], dims["rows"]
+    d_pad, skv_p, sq_p = dims["d_pad"], dims["skv_p"], dims["sq_p"]
+    do_p = _fold_rows(g, block_q, d_pad).reshape(b, hkv, rows, d_pad)
+    out_p = _fold_rows(out, block_q, d_pad).reshape(b, hkv, rows, d_pad)
+    n_qb, n_kb = rows // block_q, skv_p // block_k
+
+    # delta_i = sum_d dO_i * O_i, broadcast on the 128-lane minor dim like lse
+    delta = jnp.sum(
+        do_p.astype(jnp.float32) * out_p.astype(jnp.float32), axis=-1
+    )  # (b, hkv, rows)
+    delta = jnp.broadcast_to(delta[..., None], (b, hkv, rows, 128))
+
+    smem = lambda: pl.BlockSpec(  # noqa: E731
+        (b,), lambda bi, h, x, y: (0,), memory_space=pltpu.SMEM
+    )
+    q_spec = pl.BlockSpec((1, 1, block_q, d_pad),
+                          lambda bi, h, qb, kb: (bi, h, qb, 0))
+    k_spec = pl.BlockSpec((1, 1, block_k, d_pad),
+                          lambda bi, h, qb, kb: (bi, h, kb, 0))
+    lse_spec = pl.BlockSpec((1, 1, block_q, 128),
+                            lambda bi, h, qb, kb: (bi, h, qb, 0))
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _bwd_dq_kernel, scale=scale, block_q=block_q, block_k=block_k,
+            q_offset=q_offset, seq_p=sq_p,
+        ),
+        grid=(b, hkv, n_qb, n_kb),
+        in_specs=[smem(), smem(), q_spec, k_spec, k_spec, q_spec, lse_spec,
+                  lse_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, rows, d_pad), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d_pad), jnp.float32)],
+        interpret=interpret,
+    )(prefix_len.astype(jnp.int32), kv_len.astype(jnp.int32), q_p, k_p, v_p,
+      do_p, lse, delta)
+
+    # swap the two inner grid axes: k blocks outer, q blocks inner
+    q_spec_t = pl.BlockSpec((1, 1, block_q, d_pad),
+                            lambda bi, h, kb, qb: (bi, h, qb, 0))
+    k_spec_t = pl.BlockSpec((1, 1, block_k, d_pad),
+                            lambda bi, h, kb, qb: (bi, h, kb, 0))
+    lse_spec_t = pl.BlockSpec((1, 1, block_q, 128),
+                              lambda bi, h, kb, qb: (bi, h, qb, 0))
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_dkv_kernel, scale=scale, block_q=block_q, block_k=block_k,
+            q_offset=q_offset, seq_p=sq_p,
+        ),
+        grid=(b, hkv, n_kb, n_qb),
+        in_specs=[smem(), smem(), q_spec_t, k_spec_t, k_spec_t, q_spec_t,
+                  lse_spec_t, lse_spec_t],
+        out_specs=[k_spec_t, k_spec_t],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hkv, skv_p, d_pad), k.dtype),
+            jax.ShapeDtypeStruct((b, hkv, skv_p, d_pad), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d_pad), jnp.float32),
+            pltpu.VMEM((block_k, d_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(prefix_len.astype(jnp.int32), kv_len.astype(jnp.int32), q_p, k_p, v_p,
+      do_p, lse, delta)
+
+    dq = _unfold_out(dq, dims)  # (B, Sq, Hq, D)
+    skv, d = k.shape[1], k.shape[3]
+    dk = dk[:, :, :skv, :d].transpose(0, 2, 1, 3)  # (B, Skv, Hkv, D)
+    dv = dv[:, :, :skv, :d].transpose(0, 2, 1, 3)
+    return dq, dk, dv
 
 
 def _reference(q, k, v, prefix_len, kv_len, scale, q_offset):
@@ -205,19 +449,19 @@ def _flash(q, k, v, prefix_len, kv_len, scale, q_offset, block_q, block_k, inter
 
 
 def _flash_fwd(q, k, v, prefix_len, kv_len, scale, q_offset, block_q, block_k, interpret):
-    out = _flash_forward(
-        q, k, v, prefix_len, kv_len, scale, q_offset, block_q, block_k, interpret
+    out, lse = _flash_forward(
+        q, k, v, prefix_len, kv_len, scale, q_offset, block_q, block_k,
+        interpret, return_lse=True,
     )
-    return out, (q, k, v, prefix_len, kv_len)
+    return out, (q, k, v, out, lse, prefix_len, kv_len)
 
 
 def _flash_bwd(scale, q_offset, block_q, block_k, interpret, res, g):
-    q, k, v, prefix_len, kv_len = res
-    _, vjp = jax.vjp(
-        lambda q, k, v: _reference(q, k, v, prefix_len, kv_len, scale, q_offset),
-        q, k, v,
+    q, k, v, out, lse, prefix_len, kv_len = res
+    dq, dk, dv = _flash_backward(
+        q, k, v, out, lse, g, prefix_len, kv_len, scale, q_offset,
+        block_q, block_k, interpret,
     )
-    dq, dk, dv = vjp(g)
     return dq, dk, dv, None, None
 
 

@@ -181,22 +181,18 @@ def _decoder_block(
             v_all = jax.lax.dynamic_update_slice(
                 v_all, v[None].astype(v_all.dtype), idx
             )
-        k_layer = jax.lax.dynamic_index_in_dim(k_all, layer_idx, 0,
-                                               keepdims=False)
-        v_layer = jax.lax.dynamic_index_in_dim(v_all, layer_idx, 0,
-                                               keepdims=False)
-        if kv_bucket is not None and kv_bucket < k_all.shape[2]:
-            # Length-aware decode: attend over a *static* prefix view of the
-            # cache (no copy — XLA reads only these slots). The caller picks
-            # the bucket >= write_pos+1 host-side; masked tail positions
-            # contribute exp(NEG_INF) == 0 exactly, so numerics are
-            # identical to attending over the whole cache. This replaces the
-            # reference's ever-growing torch.cat cache reads
-            # (ref: modeling_gemma.py:54-55) with bounded, mostly-live reads.
-            k_att = k_layer[:, :kv_bucket].astype(q.dtype)
-            v_att = v_layer[:, :kv_bucket].astype(q.dtype)
-        else:
-            k_att, v_att = k_layer.astype(q.dtype), v_layer.astype(q.dtype)
+        # Length-aware decode: slice only (layer, :, :bucket) out of the
+        # stacked cache in ONE dynamic_slice — the caller picks the static
+        # bucket >= write_pos+1 host-side; masked tail positions contribute
+        # exp(NEG_INF) == 0 exactly, so numerics are identical to attending
+        # over the whole cache. This replaces the reference's ever-growing
+        # torch.cat cache reads (ref: modeling_gemma.py:54-55) with bounded,
+        # mostly-live reads.
+        window = min(kv_bucket or k_all.shape[2], k_all.shape[2])
+        sizes = (1, b, window, nkv, hd)
+        start = (layer_idx, zero, zero, zero, zero)
+        k_att = jax.lax.dynamic_slice(k_all, start, sizes)[0].astype(q.dtype)
+        v_att = jax.lax.dynamic_slice(v_all, start, sizes)[0].astype(q.dtype)
     else:
         k_att, v_att = k, v
 

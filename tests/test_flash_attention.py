@@ -79,3 +79,67 @@ def test_flash_gradients_flow():
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(g_flash, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize(
+    "b,sq,skv,hq,hkv,d,prefix",
+    [
+        (1, 32, 32, 2, 1, 64, 16),    # MQA, prefix+causal
+        (2, 80, 80, 4, 2, 72, 40),    # GQA, unaligned shapes, padded kv
+        (1, 260, 260, 8, 1, 256, 260),  # Gemma prefill (bidirectional)
+    ],
+)
+def test_flash_backward_kernel_matches_reference(b, sq, skv, hq, hkv, d, prefix):
+    """The Pallas FA2 backward (dq/dk/dv blockwise, lse recompute) must match
+    the XLA reference attention's VJP on every mask phase."""
+    q, k, v = _rand((b, sq, hq, d), 20), _rand((b, skv, hkv, d), 21), _rand((b, skv, hkv, d), 22)
+    kvl = jnp.asarray([skv - 5] * b, jnp.int32)
+    pfx = jnp.asarray([min(prefix, skv - 5)] * b, jnp.int32)
+
+    # cotangent with structure (not all-ones) to catch transposition bugs
+    g = _rand((b, sq, hq, d), 23)
+
+    def flash_fn(q, k, v):
+        return flash_attention(q, k, v, pfx, kvl, block_q=128, block_k=128)
+
+    def ref_fn(q, k, v):
+        return reference_attention(q, k, v, pfx, kvl)
+
+    # zero the cotangent at invalid query rows (their forward output is
+    # garbage by contract in both implementations)
+    valid_q = (np.arange(sq) < int(kvl[0]))[None, :, None, None]
+    g = g * jnp.asarray(valid_q)
+
+    _, vjp_flash = jax.vjp(flash_fn, q, k, v)
+    _, vjp_ref = jax.vjp(ref_fn, q, k, v)
+    got = vjp_flash(g)
+    want = vjp_ref(g)
+    for name, a, w in zip(("dq", "dk", "dv"), got, want):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(w), rtol=2e-3, atol=2e-3,
+            err_msg=name,
+        )
+
+
+def test_flash_backward_bf16_close():
+    b, s, hq, hkv, d = 1, 64, 4, 1, 128
+    q = _rand((b, s, hq, d), 30).astype(jnp.bfloat16)
+    k = _rand((b, s, hkv, d), 31).astype(jnp.bfloat16)
+    v = _rand((b, s, hkv, d), 32).astype(jnp.bfloat16)
+    pfx = jnp.asarray([32], jnp.int32)
+    kvl = jnp.asarray([64], jnp.int32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, pfx, kvl, block_q=128,
+                                       block_k=128).astype(jnp.float32) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(reference_attention(q, k, v, pfx, kvl).astype(jnp.float32) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, w in zip(gf, gr):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(w, np.float32),
+            rtol=5e-2, atol=5e-2,
+        )

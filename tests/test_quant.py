@@ -67,11 +67,33 @@ def test_quantized_model_close_and_greedy_consistent():
     denom = np.abs(np.asarray(lo)).max()
     assert np.abs(np.asarray(lo) - np.asarray(qlo)).max() / denom < 0.1
 
-    toks = eng.generate(jnp.asarray(pixels), jnp.asarray(ids), jnp.asarray(mask),
-                        max_new_tokens=5, eos_token_id=-1)
-    qtoks = qeng.generate(jnp.asarray(pixels), jnp.asarray(ids), jnp.asarray(mask),
-                          max_new_tokens=5, eos_token_id=-1)
-    assert toks.shape == qtoks.shape
+    # Token-level contract: int8 greedy tokens must equal bf16 greedy tokens
+    # at every step where the bf16 top-2 logit margin exceeds the observed
+    # int8 logit error (teacher-forced on the bf16 token so steps stay
+    # aligned). A tiny random-weight model has near-tie logits, so a raw
+    # array_equal would test tie-breaking luck, not quantization quality;
+    # the margin-aware assert is the precise statement of the contract.
+    # Strict full-sequence equality is covered at real-geometry scale in
+    # test_hf_parity.py::test_midsize_int8_token_agreement.
+    lo_b, st_b = lo, None
+    lo_b, st_b = eng.prefill(jnp.asarray(pixels), jnp.asarray(ids),
+                             jnp.asarray(mask))
+    lo_q, st_q = qeng.prefill(jnp.asarray(pixels), jnp.asarray(ids),
+                              jnp.asarray(mask))
+    checked = 0
+    for _ in range(5):
+        lb, lq = np.asarray(lo_b)[0], np.asarray(lo_q)[0]
+        t_b, t_q = int(lb.argmax()), int(lq.argmax())
+        err = np.abs(lb - lq).max()
+        top2 = np.partition(lb, -2)[-2:]
+        margin = float(top2[1] - top2[0])
+        if margin > 2 * err:
+            assert t_q == t_b, (t_b, t_q, margin, err)
+            checked += 1
+        tok = jnp.asarray([t_b], jnp.int32)  # teacher-force the bf16 token
+        lo_b, st_b = eng.decode_step(tok, st_b)
+        lo_q, st_q = qeng.decode_step(tok, st_q)
+    assert checked >= 1  # the margin gate must not vacuously pass everything
 
 
 def test_quantized_cache_dtype_override():
