@@ -25,8 +25,22 @@ import time
 def main(argv=None):
     p = argparse.ArgumentParser(description="PaliGemma TPU fine-tuning")
     p.add_argument("--model_path", required=True, help="HF checkpoint directory")
-    p.add_argument("--train_jsonl", required=True)
+    p.add_argument("--train_jsonl", default=None)
     p.add_argument("--eval_jsonl", default=None)
+    p.add_argument("--hf_dataset", default=None,
+                   help="HF dataset (hub name or local save_to_disk dir) of "
+                        "CORD-style rows (image + ground_truth JSON) — the "
+                        "reference's naver-clova-ix/cord-v2 path "
+                        "(ref: Paligemma_FT.ipynb cell 20)")
+    p.add_argument("--hf_train_split", default="train")
+    p.add_argument("--hf_eval_split", default=None,
+                   help="e.g. 'validation' to also eval from --hf_dataset")
+    p.add_argument("--shuffle_seed", type=int, default=0,
+                   help="seed for per-epoch training-order shuffling "
+                        "(-1 disables shuffling)")
+    p.add_argument("--eval_subset", type=int, default=16,
+                   help="number of eval rows scored per evaluation "
+                        "(0 = all rows)")
     p.add_argument("--prompt", default="extract JSON.")
     p.add_argument("--output_dir", required=True)
     p.add_argument("--resume_from", default=None)
@@ -116,19 +130,51 @@ def main(argv=None):
     if args.resume_from:
         trainer.restore(args.resume_from)
 
-    train_rows = load_manifest(args.train_jsonl)
-    eval_rows = load_manifest(args.eval_jsonl) if args.eval_jsonl else []
+    if not args.train_jsonl and not args.hf_dataset:
+        p.error("provide --train_jsonl or --hf_dataset")
+    if args.hf_dataset:
+        from ..train.hf_dataset import load_hf_rows
 
-    def batches(rows, bs):
-        for i in range(0, len(rows) - bs + 1, bs):
-            chunk = rows[i : i + bs]
-            images = [Image.open(r["image"]) for r in chunk]
-            yield collate(
-                processor, images,
+        train_rows = list(load_hf_rows(
+            args.hf_dataset, split=args.hf_train_split, prompt=args.prompt
+        ).rows())
+        eval_rows = (
+            list(load_hf_rows(args.hf_dataset, split=args.hf_eval_split,
+                              prompt=args.prompt).rows())
+            if args.hf_eval_split else []
+        )
+    else:
+        train_rows = load_manifest(args.train_jsonl)
+        eval_rows = []
+    if args.eval_jsonl:
+        eval_rows = load_manifest(args.eval_jsonl)
+
+    def _image(r):
+        return Image.open(r["image"]) if isinstance(r["image"], str) else r["image"]
+
+    def batches(rows, bs, epoch):
+        """Seeded per-epoch shuffle; the tail partial batch is KEPT by
+        replicating rows up to ``bs`` with their labels blanked to -100, so
+        the padding rows contribute zero gradient and the step keeps one
+        compiled shape (the reference's loader shuffles and drops nothing;
+        round-1 silently dropped the tail)."""
+        order = list(range(len(rows)))
+        if args.shuffle_seed >= 0:
+            np.random.default_rng(args.shuffle_seed + epoch).shuffle(order)
+        for i in range(0, len(order), bs):
+            idx = order[i : i + bs]
+            n_real = len(idx)
+            idx = idx + [idx[0]] * (bs - n_real)  # replicate to full batch
+            chunk = [rows[j] for j in idx]
+            batch = collate(
+                processor, [_image(r) for r in chunk],
                 [r["prompt"] for r in chunk],
                 [r["target"] for r in chunk],
                 max_length=args.max_length,
             )
+            if n_real < bs:
+                batch["labels"][n_real:] = -100  # padding rows: no gradient
+            yield batch
 
     from ..runtime.logging import MetricsLogger
 
@@ -139,7 +185,7 @@ def main(argv=None):
     for epoch in range(args.epochs):
         if stop:
             break
-        for batch in batches(train_rows, args.batch_size):
+        for batch in batches(train_rows, args.batch_size, epoch):
             t0 = time.perf_counter()
             loss = trainer.train_step(batch)
             dt = time.perf_counter() - t0
@@ -189,8 +235,10 @@ def _evaluate(trainer, processor, eval_rows, config, args):
         eos_token_id=processor.tokenizer.eos_token_id,
     )
     scores = []
-    for row in eval_rows[:16]:
-        inputs = processor(images=[Image.open(row["image"])], text=[row["prompt"]])
+    subset = eval_rows[: args.eval_subset] if args.eval_subset else eval_rows
+    for row in subset:
+        img = Image.open(row["image"]) if isinstance(row["image"], str) else row["image"]
+        inputs = processor(images=[img], text=[row["prompt"]])
         toks = engine.generate(
             jnp.asarray(inputs["pixel_values"]),
             jnp.asarray(inputs["input_ids"]),

@@ -1,7 +1,10 @@
 """Dataset utility tests: json2token/token2json round trip, edit distance,
 and the train collate (token types, labels, padding)."""
 
+import json
+
 import numpy as np
+import pytest
 
 from paligemma_tpu.train.data import (
     collate,
@@ -67,3 +70,34 @@ def test_collate_eval_mode_no_labels():
     batch = collate(proc, [_random_image(0)], ["caption"], targets=None)
     assert "labels" not in batch
     assert (batch["token_type_ids"] == 0).all()
+
+
+def test_hf_dataset_adapter_targets():
+    """CORD-convention ground_truth handling: gt_parse, gt_parses (first
+    parse wins), and plain target columns (ref: Paligemma_FT.ipynb cell 20)."""
+    datasets = pytest.importorskip("datasets")
+    from paligemma_tpu.train.hf_dataset import HFDatasetAdapter
+
+    ds = datasets.Dataset.from_dict({
+        "image": ["a.png", "b.png", "c.png"],
+        "ground_truth": [
+            json.dumps({"gt_parse": {"total": "10", "menu": {"nm": "x"}}}),
+            json.dumps({"gt_parses": [{"total": "11"}, {"total": "zz"}]}),
+            json.dumps({"unwrapped": "raw"}),  # no gt_parse key -> whole dict
+        ],
+    })
+    ad = HFDatasetAdapter(ds, prompt="extract JSON.")
+    assert len(ad) == 3
+    r0 = ad[0]
+    assert r0["prompt"] == "extract JSON."
+    assert r0["target"] == "<s_total>10</s_total><s_menu><s_nm>x</s_nm></s_menu>"
+    assert ad[1]["target"] == "<s_total>11</s_total>"  # first parse wins
+    assert ad[2]["target"] == "<s_unwrapped>raw</s_unwrapped>"
+
+    ds2 = datasets.Dataset.from_dict({
+        "image": ["a.png"], "target": ["already a string"],
+    })
+    assert HFDatasetAdapter(ds2)[0]["target"] == "already a string"
+    assert [r["target"] for r in HFDatasetAdapter(ds2).rows()] == [
+        "already a string"
+    ]
