@@ -1,0 +1,244 @@
+"""Pallas paged decode attention: single-token attention over a shared
+physical page pool addressed through a per-sequence page table.
+
+Why paging: the slot-pool serving engine (runtime/serving.py) preallocates
+``max_slots x max_seq_len`` KV rows, so HBM reservation — not compute —
+caps the slot count. Paging keeps KV in fixed-size pages drawn from one
+shared pool, so a mix of short and long sequences shares HBM by *actual*
+length (the vLLM PagedAttention idea, done the TPU way — PAPERS.md "Ragged
+Paged Attention"). The reference has no analog at all: it serves B==1 with
+a torch.cat Python-list cache (ref: modeling_gemma.py:8-64,
+processing_paligemma.py:174).
+
+Kernel shape (derived from kernels/decode_attention.py — same online
+softmax, same DMA-skip trick; only the KV addressing differs):
+
+* pool is viewed as ``(n_pages, page_size, Hkv*D)``; the kv-block grid
+  dimension walks each row's *logical* pages and the BlockSpec index map
+  translates logical -> physical through the scalar-prefetched page table,
+  so the pipeline DMAs exactly the pages that hold the row's tokens;
+* logical pages past the row's last page clamp to the last valid page
+  (same physical block index => Mosaic skips the re-fetch) and their
+  compute is skipped with ``pl.when``;
+* GQA query heads sharing a KV head fold into the row dimension, so each
+  page streams once per KV head;
+* masking is ``col < kv_len`` — serving slots are contiguous ``[0, len)``
+  by construction (prompts are written densely; decode appends).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _kernel(
+    # scalar prefetch (SMEM)
+    lay_ref,  # (1,) int32: layer index into the stacked pool (0 if unstacked)
+    pt_ref,  # (B, P_max) int32 page table: logical -> physical page
+    lastpb_ref,  # (B,) int32: last logical page index each row needs
+    kvlen_ref,  # (B,) int32: tokens valid in [0, kv_len)
+    # blocks (VMEM)
+    q_ref,  # (1, 1, G_pad, D)
+    k_ref,  # (1, page_size, D) — (1, 1, page_size, D) when layer-stacked
+    v_ref,
+    o_ref,  # (1, 1, G_pad, D)
+    # scratch
+    acc_ref,  # (G_pad, D) f32
+    m_ref,  # (G_pad, 128) f32
+    l_ref,  # (G_pad, 128) f32
+    *,
+    scale: float,
+    page_size: int,
+):
+    b = pl.program_id(0)
+    pb = pl.program_id(2)
+    n_pb = pl.num_programs(2)
+
+    @pl.when(pb == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        # m starts at 0.0, not -inf: online softmax is exact for any finite
+        # reference max, and exp(NEG_INF - 0) underflows to 0 — so a row
+        # whose every column is masked (kv_len == 0, inactive serving slot)
+        # accumulates l == 0 and the final guard emits exact zeros instead
+        # of exp(-inf - -inf) == 1 garbage.
+        m_ref[...] = jnp.zeros_like(m_ref)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    @pl.when(pb <= lastpb_ref[b])
+    def _compute():
+        g_pad = q_ref.shape[2]
+        q = q_ref[0, 0]  # (G_pad, D)
+        k = k_ref[...].reshape(page_size, q.shape[-1])
+        v = v_ref[...].reshape(page_size, q.shape[-1])
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (G_pad, page_size) fp32
+
+        col = (
+            jax.lax.broadcasted_iota(jnp.int32, (g_pad, page_size), 1)
+            + pb * page_size
+        )
+        s = jnp.where(col < kvlen_ref[b], s, NEG_INF)
+
+        m_i = m_ref[...][:, :1]
+        l_i = l_ref[...][:, :1]
+        m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_i - m_new)
+        l_new = l_i * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(pb == n_pb - 1)
+    def _finish():
+        l = l_ref[...][:, :1]
+        out = acc_ref[...] / jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+def supported(page_size: int, head_dim: int) -> bool:
+    """Static check the serving engine uses to pick kernel vs XLA gather."""
+    return page_size % 16 == 0 and head_dim % 128 == 0
+
+
+def paged_decode_attention(
+    q: jnp.ndarray,  # (B, Hq, D) — ONE query token per row
+    k_pool: jnp.ndarray,  # (n_pages, page_size, Hkv, D) or (L, n_pages, ...)
+    v_pool: jnp.ndarray,
+    page_table: jnp.ndarray,  # (B, P_max) int32 physical page ids
+    kv_len: jnp.ndarray,  # (B,) int32: valid tokens (incl. this one)
+    scale: Optional[float] = None,
+    interpret: Optional[bool] = None,
+    layer_idx: Optional[jnp.ndarray] = None,  # scalar int32 when pool is (L, ...)
+) -> jnp.ndarray:
+    """Length-aware paged decode attention. Returns (B, Hq, D).
+
+    Rows with ``kv_len == 0`` (inactive slots) return zeros. Page-table
+    entries past a row's last logical page may hold anything (stale /
+    sentinel ids are fine — they are clamped and never read).
+
+    ``layer_idx``: when the pool carries the whole layer stack
+    ``(L, n_pages, page_size, Hkv, D)`` (the scan-carry layout,
+    models/gemma.forward_paged_decode), pass the layer to attend — the
+    BlockSpec index map selects that layer's pages directly, so no
+    layer-sized slice of the pool is ever materialized."""
+    b, hq, d = q.shape
+    if layer_idx is None:
+        assert k_pool.ndim == 4, k_pool.shape
+        page_size, hkv = k_pool.shape[1], k_pool.shape[2]
+        n_pages = k_pool.shape[0]
+        lay = jnp.zeros((1,), jnp.int32)
+        # unstacked pools get a unit layer axis so one kernel serves both
+        k_pool = k_pool[None]
+        v_pool = v_pool[None]
+    else:
+        assert k_pool.ndim == 5, k_pool.shape
+        page_size, hkv = k_pool.shape[2], k_pool.shape[3]
+        n_pages = k_pool.shape[1]
+        lay = jnp.reshape(layer_idx.astype(jnp.int32), (1,))
+    p_max = page_table.shape[1]
+    group = hq // hkv
+    if scale is None:
+        scale = d**-0.5
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    assert page_size % 16 == 0, page_size
+    assert d % 128 == 0, d
+
+    sub = 16 if q.dtype == jnp.bfloat16 else 8
+    g_pad = ((group + sub - 1) // sub) * sub
+    qf = q.reshape(b, hkv, group, d)
+    if g_pad != group:
+        qf = jnp.pad(qf, ((0, 0), (0, 0), (0, g_pad - group), (0, 0)))
+
+    # Pool viewed as (L, n_pages, page_size, Hkv*D): free reshape that puts
+    # (page_size, head_dim) on the tiled (sublane, lane) positions; the
+    # per-head column offset is the last block index (h).
+    k2 = k_pool.reshape(k_pool.shape[0], n_pages, page_size, hkv * d)
+    v2 = v_pool.reshape(v_pool.shape[0], n_pages, page_size, hkv * d)
+
+    lastpb = jnp.maximum(kv_len.astype(jnp.int32) - 1, 0) // page_size
+    # clamp logical->physical through the table ONCE here so the index map
+    # stays a pure lookup: entry[b, pb>last] := entry[b, last] (same
+    # physical block index => Mosaic skips the re-fetch)
+    pb_ids = jnp.minimum(jnp.arange(p_max)[None, :], lastpb[:, None])
+    pt = jnp.take_along_axis(page_table.astype(jnp.int32), pb_ids, axis=1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(b, hkv, p_max),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, g_pad, d),
+                lambda bi, h, pb, lyr, tab, lpb, kl: (bi, h, 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, page_size, d),
+                lambda bi, h, pb, lyr, tab, lpb, kl: (lyr[0], tab[bi, pb], 0, h),
+            ),
+            pl.BlockSpec(
+                (1, 1, page_size, d),
+                lambda bi, h, pb, lyr, tab, lpb, kl: (lyr[0], tab[bi, pb], 0, h),
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, g_pad, d),
+            lambda bi, h, pb, lyr, tab, lpb, kl: (bi, h, 0, 0),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((g_pad, d), jnp.float32),
+            pltpu.VMEM((g_pad, 128), jnp.float32),
+            pltpu.VMEM((g_pad, 128), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, scale=scale, page_size=page_size),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, g_pad, d), q.dtype),
+        interpret=interpret,
+    )(
+        lay,
+        pt,
+        lastpb,
+        kv_len.astype(jnp.int32),
+        qf,
+        k2,
+        v2,
+    )
+    return out[:, :, :group, :].reshape(b, hq, d)
+
+
+def reference_paged_decode_attention(
+    q, k_pool, v_pool, page_table, kv_len, scale=None
+):
+    """XLA-semantics reference (testing + CPU fallback): gather the pages
+    into a dense (B, P_max*page_size, Hkv, D) view and run masked GQA."""
+    from ..ops import attention as xla_attention
+
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    page_size = k_pool.shape[1]
+    p_max = page_table.shape[1]
+    k = k_pool[page_table].reshape(
+        q.shape[0], p_max * page_size, k_pool.shape[2], k_pool.shape[3]
+    )
+    v = v_pool[page_table].reshape(
+        q.shape[0], p_max * page_size, v_pool.shape[2], v_pool.shape[3]
+    )
+    col = jnp.arange(p_max * page_size)[None, :]
+    ok = col < kv_len[:, None]
+    mask = jnp.where(ok[:, None, None, :], 0.0, xla_attention.NEG_INF)
+    return xla_attention.gqa(q[:, None], k, v, mask, scale=scale)[:, 0]

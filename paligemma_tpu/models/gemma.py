@@ -107,6 +107,45 @@ def _lora_delta(y: jnp.ndarray, lora_lp: Optional[Params], name: str) -> jnp.nda
     return delta.astype(y.dtype)
 
 
+def _attn_proj(
+    cfg: GemmaConfig, y: jnp.ndarray, lp: Params, lora_lp: Optional[Params]
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """q/k/v projections (+LoRA), handling both the unfused layout and the
+    serving-side fused ``qkv`` layout (runtime.quantize.fuse_qkv — one
+    weight stream instead of three kernel launches per layer).
+    Returns (B,S,nh,hd), (B,S,nkv,hd), (B,S,nkv,hd)."""
+    b, s, _ = y.shape
+    nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    if "qkv" in lp["attn"]:
+        qkv = matmul_any(y, lp["attn"]["qkv"])
+        nq = nh * hd
+        q = qkv[..., :nq] + _lora_delta(y, lora_lp, "q")
+        k = qkv[..., nq : nq + nkv * hd] + _lora_delta(y, lora_lp, "k")
+        v = qkv[..., nq + nkv * hd :] + _lora_delta(y, lora_lp, "v")
+    else:
+        q = matmul_any(y, lp["attn"]["q"]) + _lora_delta(y, lora_lp, "q")
+        k = matmul_any(y, lp["attn"]["k"]) + _lora_delta(y, lora_lp, "k")
+        v = matmul_any(y, lp["attn"]["v"]) + _lora_delta(y, lora_lp, "v")
+    return (q.reshape(b, s, nh, hd), k.reshape(b, s, nkv, hd),
+            v.reshape(b, s, nkv, hd))
+
+
+def _mlp(
+    cfg: GemmaConfig, y: jnp.ndarray, lp: Params, lora_lp: Optional[Params]
+) -> jnp.ndarray:
+    """GeGLU MLP (+LoRA), fused ``gateup`` or unfused layout."""
+    if "gateup" in lp["mlp"]:
+        gu_fused = matmul_any(y, lp["mlp"]["gateup"])
+        inter = gu_fused.shape[-1] // 2
+        gate = gelu_tanh(gu_fused[..., :inter] + _lora_delta(y, lora_lp, "gate"))
+        up = gu_fused[..., inter:] + _lora_delta(y, lora_lp, "up")
+    else:
+        gate = gelu_tanh(matmul_any(y, lp["mlp"]["gate"]) + _lora_delta(y, lora_lp, "gate"))
+        up = matmul_any(y, lp["mlp"]["up"]) + _lora_delta(y, lora_lp, "up")
+    gu = gate * up
+    return matmul_any(gu, lp["mlp"]["down"]) + _lora_delta(gu, lora_lp, "down")
+
+
 def _decoder_block(
     cfg: GemmaConfig,
     x: jnp.ndarray,  # (B, S, H)
@@ -137,20 +176,7 @@ def _decoder_block(
 
     residual = x
     y = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
-    if "qkv" in lp["attn"]:
-        # fused projection (serving weights, see runtime.quantize.fuse_qkv):
-        # one weight stream instead of three kernel launches per layer
-        qkv = matmul_any(y, lp["attn"]["qkv"])
-        nq = nh * hd
-        q = qkv[..., :nq] + _lora_delta(y, lora_lp, "q")
-        k = qkv[..., nq : nq + nkv * hd] + _lora_delta(y, lora_lp, "k")
-        v = qkv[..., nq + nkv * hd :] + _lora_delta(y, lora_lp, "v")
-        q, k, v = (q.reshape(b, s, nh, hd), k.reshape(b, s, nkv, hd),
-                   v.reshape(b, s, nkv, hd))
-    else:
-        q = (matmul_any(y, lp["attn"]["q"]) + _lora_delta(y, lora_lp, "q")).reshape(b, s, nh, hd)
-        k = (matmul_any(y, lp["attn"]["k"]) + _lora_delta(y, lora_lp, "k")).reshape(b, s, nkv, hd)
-        v = (matmul_any(y, lp["attn"]["v"]) + _lora_delta(y, lora_lp, "v")).reshape(b, s, nkv, hd)
+    q, k, v = _attn_proj(cfg, y, lp, lora_lp)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -215,17 +241,7 @@ def _decoder_block(
 
     residual = x
     y = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
-    if "gateup" in lp["mlp"]:
-        gu_fused = matmul_any(y, lp["mlp"]["gateup"])
-        inter = gu_fused.shape[-1] // 2
-        gate = gelu_tanh(gu_fused[..., :inter] + _lora_delta(y, lora_lp, "gate"))
-        up = gu_fused[..., inter:] + _lora_delta(y, lora_lp, "up")
-    else:
-        gate = gelu_tanh(matmul_any(y, lp["mlp"]["gate"]) + _lora_delta(y, lora_lp, "gate"))
-        up = matmul_any(y, lp["mlp"]["up"]) + _lora_delta(y, lora_lp, "up")
-    gu = gate * up
-    y = matmul_any(gu, lp["mlp"]["down"]) + _lora_delta(gu, lora_lp, "down")
-    return residual + y, k_all, v_all
+    return residual + _mlp(cfg, y, lp, lora_lp), k_all, v_all
 
 
 def forward(
@@ -257,18 +273,21 @@ def forward(
     cos, sin = rope_cos_sin(position_ids, cfg.head_dim, cfg.rope_theta, dtype)
     s = input_embeds.shape[1]
     if kv_bucket is not None:
-        kv_bucket = min(kv_bucket, kv_valid.shape[1])
+        kv_bucket = min(kv_bucket, kv_valid.shape[-1])
     if flash_lens is not None:
         mask = None
     else:
+        # kv_valid: (B, max_seq) row-validity (every query sees every valid
+        # slot — PaliGemma prefix-LM + decode), or pairwise (B, S, max_seq)
+        # (recompute prefills: bidirectional prefix + causal suffix)
         kv_vis = (
-            kv_valid[:, :kv_bucket] if kv_bucket is not None else kv_valid
+            kv_valid[..., :kv_bucket] if kv_bucket is not None else kv_valid
         )
-        mask = attention.make_additive_mask(
-            jnp.broadcast_to(
+        if kv_vis.ndim == 2:
+            kv_vis = jnp.broadcast_to(
                 kv_vis[:, None, :], (kv_vis.shape[0], s, kv_vis.shape[1])
             )
-        )
+        mask = attention.make_additive_mask(kv_vis)
 
     block = functools.partial(_decoder_block, cfg, kv_bucket=kv_bucket)
     if remat:
@@ -299,6 +318,97 @@ def forward(
         # just each row's last valid token, and the 257k-vocab head over the
         # full prompt is ~15% of prefill time
         x = jnp.take_along_axis(x, logits_idx[:, None, None], axis=1)
+    logits = lm_head(params, x).astype(jnp.float32)
+    return logits, {"k": new_k, "v": new_v}
+
+
+def forward_paged_decode(
+    params: Params,
+    cfg: GemmaConfig,
+    input_embeds: jnp.ndarray,  # (B, 1, H) — one token per row
+    position_ids: jnp.ndarray,  # (B, 1) int32
+    pool: KVCache,  # {"k","v"}: (L, n_pages, page_size, n_kv, d) page pool
+    page_table: jnp.ndarray,  # (B, P_max) int32 physical page per logical page
+    write_pos: jnp.ndarray,  # (B,) int32: slot-local position this token lands at
+    use_kernel: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Single-token decode over the PAGED KV pool (runtime.paged_cache).
+
+    Per layer: write this token's K/V into page ``table[r, pos//ps]`` at
+    offset ``pos % ps``, then attend over the row's logical pages with the
+    Pallas paged kernel (kernels/paged_attention; XLA gather fallback off
+    TPU). The pool rides the scan carry exactly like the dense cache —
+    in-place aliased writes, and the kernel's BlockSpec index map reads
+    pages straight out of the stacked (L, ...) pool (no per-layer slice
+    copy). Rows attend ``[0, write_pos+1)`` — serving slots are contiguous
+    by construction.
+
+    The reference's cache grows by torch.cat per step and is per-request
+    (ref: modeling_gemma.py:8-64); paging replaces the slot-pool engine's
+    ``max_slots x max_seq_len`` HBM reservation with proportional-to-live-
+    tokens usage (VERDICT r1 item 9).
+    """
+    from ..kernels import paged_attention as paged_attn
+
+    b = input_embeds.shape[0]
+    nkv, hd = cfg.num_key_value_heads, cfg.head_dim
+    ps = pool["k"].shape[2]
+    dtype = input_embeds.dtype
+    if use_kernel is None:
+        use_kernel = (
+            jax.default_backend() == "tpu"
+            and paged_attn.supported(ps, hd)
+        )
+    x = input_embeds * jnp.asarray(cfg.hidden_size**0.5, dtype)
+    cos, sin = rope_cos_sin(position_ids, cfg.head_dim, cfg.rope_theta, dtype)
+    kv_len = write_pos.astype(jnp.int32) + 1
+    page_of = jnp.take_along_axis(
+        page_table.astype(jnp.int32),
+        (write_pos[:, None] // ps).astype(jnp.int32), axis=1,
+    )[:, 0]  # (B,) physical page this token lands in
+    off_of = (write_pos % ps).astype(jnp.int32)
+
+    n_layers = pool["k"].shape[0]
+
+    def body(carry, layer):
+        h, k_pool, v_pool = carry
+        lp, idx = layer
+        residual = h
+        y = rms_norm(h, lp["input_norm"], cfg.rms_norm_eps)
+        q, k, v = _attn_proj(cfg, y, lp, None)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        zero = jnp.zeros((), jnp.int32)
+        for r in range(b):
+            kr = k[r].reshape(1, 1, 1, nkv, hd).astype(k_pool.dtype)
+            vr = v[r].reshape(1, 1, 1, nkv, hd).astype(v_pool.dtype)
+            w_idx = (idx, page_of[r], off_of[r], zero, zero)
+            k_pool = jax.lax.dynamic_update_slice(k_pool, kr, w_idx)
+            v_pool = jax.lax.dynamic_update_slice(v_pool, vr, w_idx)
+        if use_kernel:
+            a = paged_attn.paged_decode_attention(
+                q[:, 0], k_pool, v_pool, page_table, kv_len,
+                scale=hd**-0.5, layer_idx=idx,
+            )[:, None]
+        else:
+            kp = jax.lax.dynamic_index_in_dim(k_pool, idx, 0, keepdims=False)
+            vp = jax.lax.dynamic_index_in_dim(v_pool, idx, 0, keepdims=False)
+            a = paged_attn.reference_paged_decode_attention(
+                q[:, 0], kp, vp, page_table, kv_len, scale=hd**-0.5,
+            )[:, None]
+        a = a.reshape(b, 1, -1)
+        h = residual + matmul_any(a, lp["attn"]["o"])
+        residual = h
+        y = rms_norm(h, lp["post_norm"], cfg.rms_norm_eps)
+        h = residual + _mlp(cfg, y, lp, None)
+        return (h, k_pool, v_pool), None
+
+    (x, new_k, new_v), _ = jax.lax.scan(
+        body,
+        (x, pool["k"], pool["v"]),
+        (params["layers"], jnp.arange(n_layers, dtype=jnp.int32)),
+    )
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     logits = lm_head(params, x).astype(jnp.float32)
     return logits, {"k": new_k, "v": new_v}
 

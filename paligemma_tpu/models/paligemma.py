@@ -103,11 +103,21 @@ def prefill(
     use_flash: bool = False,
     last_only: bool = False,
     mesh=None,
+    prefix_lens: Optional[jnp.ndarray] = None,  # (B,) int32
 ) -> Tuple[jnp.ndarray, gemma.KVCache]:
     """Vision encode + merge + decoder prefill. Returns (logits, cache).
 
     ``last_only=True`` projects logits only at each row's last valid token
-    (shape (B, 1, vocab)) — what generation needs."""
+    (shape (B, 1, vocab)) — what generation needs.
+
+    ``prefix_lens``: bidirectional-prefix length per row. Default (None) =
+    the whole prompt, PaliGemma's prefix-LM convention (the reference
+    materializes all-zero masks, ref: modeling_paligemma.py:149-169).
+    A recompute prefill (a preempted serving request re-entering with
+    ``prompt + tokens generated so far``, runtime/serving_paged.py) MUST
+    pass the ORIGINAL prompt length here: the regenerated suffix was
+    produced causally, so re-encoding it bidirectionally would change the
+    logits the request resumes from."""
     dtype = params["lm"]["embed"].dtype
     image_features = siglip.encode(
         params["vision"], cfg.vision_config, pixel_values.astype(dtype),
@@ -120,17 +130,37 @@ def prefill(
 
     position_ids = prefill_position_ids(attention_mask)
     max_seq = kv_cache["k"].shape[2]
-    s = input_ids.shape[1]
-    # Valid cache slots after the prefill write: the prompt's real tokens.
-    kv_valid = jnp.zeros((input_ids.shape[0], max_seq), bool)
-    kv_valid = jax.lax.dynamic_update_slice(
-        kv_valid, attention_mask.astype(bool), (jnp.zeros((), jnp.int32),) * 2
-    )
+    b, s = input_ids.shape
+    n_valid = jnp.sum(attention_mask, axis=-1).astype(jnp.int32)
     if use_flash:
-        n_valid = jnp.sum(attention_mask, axis=-1).astype(jnp.int32)
-        flash_lens = (n_valid, n_valid)  # prefill: whole prompt is prefix
+        kv_valid = jnp.zeros((b, max_seq), bool)
+        kv_valid = jax.lax.dynamic_update_slice(
+            kv_valid, attention_mask.astype(bool),
+            (jnp.zeros((), jnp.int32),) * 2,
+        )
+        pfx = n_valid if prefix_lens is None else prefix_lens.astype(jnp.int32)
+        flash_lens = (pfx, n_valid)
     else:
         flash_lens = None
+        if prefix_lens is None:
+            # whole prompt bidirectional: row-validity bitmap broadcast over
+            # queries inside gemma.forward (cheapest form)
+            kv_valid = jnp.zeros((b, max_seq), bool)
+            kv_valid = jax.lax.dynamic_update_slice(
+                kv_valid, attention_mask.astype(bool),
+                (jnp.zeros((), jnp.int32),) * 2,
+            )
+        else:
+            # pairwise prefix-LM mask: query i sees key j iff j is a real
+            # token AND (j < prefix  OR  j <= i) — prompt rows are written
+            # densely at cache [0, s), so key cache index == prompt index
+            i = jnp.arange(s)[None, :, None]
+            j = jnp.arange(max_seq)[None, None, :]
+            kv_valid = (
+                (j < n_valid[:, None, None])
+                & ((j < prefix_lens[:, None, None].astype(jnp.int32))
+                   | (j <= i))
+            )
     logits_idx = None
     if last_only:
         logits_idx = jnp.clip(
@@ -235,3 +265,27 @@ def decode_step(
         kv_bucket=kv_bucket,
     )
     return logits[:, 0, :], kv_cache
+
+
+def decode_step_paged(
+    params: Params,
+    cfg: PaliGemmaConfig,
+    token: jnp.ndarray,  # (B,) int32 — last sampled token
+    pool: gemma.KVCache,  # paged pool (L, n_pages, page_size, n_kv, d)
+    page_table: jnp.ndarray,  # (B, P_max) int32
+    write_pos: jnp.ndarray,  # (B,) int32 slot-local position of this token
+    position_ids: jnp.ndarray,  # (B,) int32 RoPE position of this token
+) -> Tuple[jnp.ndarray, gemma.KVCache]:
+    """Single-token decode over the paged KV pool (runtime.paged_cache).
+    Returns ((B, vocab) logits, new pool). See gemma.forward_paged_decode."""
+    embeds = params["lm"]["embed"][token][:, None, :]  # (B, 1, H)
+    logits, pool = gemma.forward_paged_decode(
+        params["lm"],
+        cfg.text_config,
+        embeds,
+        position_ids[:, None],
+        pool,
+        page_table,
+        write_pos,
+    )
+    return logits[:, 0, :], pool

