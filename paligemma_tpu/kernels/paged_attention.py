@@ -209,6 +209,12 @@ def paged_decode_attention(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, hkv, g_pad, d), q.dtype),
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            # rows/heads are independent; the page walk carries the online-
+            # softmax state. Without this hint Mosaic assumes every grid
+            # step may depend on the last and stalls the page DMAs.
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
     )(
         lay,
         pt,
@@ -222,22 +228,25 @@ def paged_decode_attention(
 
 
 def reference_paged_decode_attention(
-    q, k_pool, v_pool, page_table, kv_len, scale=None
+    q, k_pool, v_pool, page_table, kv_len, scale=None, layer_idx=None
 ):
     """XLA-semantics reference (testing + CPU fallback): gather the pages
-    into a dense (B, P_max*page_size, Hkv, D) view and run masked GQA."""
+    into a dense (B, P_max*page_size, Hkv, D) view and run masked GQA.
+    With ``layer_idx`` the pools are layer-stacked (L, n_pages, ...) and the
+    gather indexes (layer, pages) in one expression — no full-layer slice."""
     from ..ops import attention as xla_attention
 
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    page_size = k_pool.shape[1]
-    p_max = page_table.shape[1]
-    k = k_pool[page_table].reshape(
-        q.shape[0], p_max * page_size, k_pool.shape[2], k_pool.shape[3]
-    )
-    v = v_pool[page_table].reshape(
-        q.shape[0], p_max * page_size, v_pool.shape[2], v_pool.shape[3]
-    )
+    if layer_idx is not None:
+        k_pool = k_pool[layer_idx, page_table]  # (B, P, ps, Hkv, D)
+        v_pool = v_pool[layer_idx, page_table]
+    else:
+        k_pool = k_pool[page_table]
+        v_pool = v_pool[page_table]
+    b, p_max, page_size = k_pool.shape[:3]
+    k = k_pool.reshape(b, p_max * page_size, *k_pool.shape[3:])
+    v = v_pool.reshape(b, p_max * page_size, *v_pool.shape[3:])
     col = jnp.arange(p_max * page_size)[None, :]
     ok = col < kv_len[:, None]
     mask = jnp.where(ok[:, None, None, :], 0.0, xla_attention.NEG_INF)

@@ -331,6 +331,7 @@ def forward_paged_decode(
     page_table: jnp.ndarray,  # (B, P_max) int32 physical page per logical page
     write_pos: jnp.ndarray,  # (B,) int32: slot-local position this token lands at
     use_kernel: Optional[bool] = None,
+    pages_bucket: Optional[int] = None,  # static bound on logical pages walked
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Single-token decode over the PAGED KV pool (runtime.paged_cache).
 
@@ -367,6 +368,12 @@ def forward_paged_decode(
         (write_pos[:, None] // ps).astype(jnp.int32), axis=1,
     )[:, 0]  # (B,) physical page this token lands in
     off_of = (write_pos % ps).astype(jnp.int32)
+    if pages_bucket is not None:
+        # length-aware walk: the caller guarantees every row's pages fit in
+        # the bucket (host bookkeeping, same discipline as the dense path's
+        # kv_bucket) — one compiled step per bucket, reads scale with LIVE
+        # tokens instead of the table's static width
+        page_table = page_table[:, : min(pages_bucket, page_table.shape[1])]
 
     n_layers = pool["k"].shape[0]
 
@@ -391,10 +398,9 @@ def forward_paged_decode(
                 scale=hd**-0.5, layer_idx=idx,
             )[:, None]
         else:
-            kp = jax.lax.dynamic_index_in_dim(k_pool, idx, 0, keepdims=False)
-            vp = jax.lax.dynamic_index_in_dim(v_pool, idx, 0, keepdims=False)
             a = paged_attn.reference_paged_decode_attention(
-                q[:, 0], kp, vp, page_table, kv_len, scale=hd**-0.5,
+                q[:, 0], k_pool, v_pool, page_table, kv_len,
+                scale=hd**-0.5, layer_idx=idx,
             )[:, None]
         a = a.reshape(b, 1, -1)
         h = residual + matmul_any(a, lp["attn"]["o"])

@@ -275,6 +275,7 @@ def decode_step_paged(
     page_table: jnp.ndarray,  # (B, P_max) int32
     write_pos: jnp.ndarray,  # (B,) int32 slot-local position of this token
     position_ids: jnp.ndarray,  # (B,) int32 RoPE position of this token
+    pages_bucket=None,  # static bound on logical pages walked (host-managed)
 ) -> Tuple[jnp.ndarray, gemma.KVCache]:
     """Single-token decode over the paged KV pool (runtime.paged_cache).
     Returns ((B, vocab) logits, new pool). See gemma.forward_paged_decode."""
@@ -287,5 +288,6 @@ def decode_step_paged(
         pool,
         page_table,
         write_pos,
+        pages_bucket=pages_bucket,
     )
     return logits[:, 0, :], pool

@@ -109,9 +109,10 @@ class PagedServingEngine(ServingEngine):
             return pool
 
         @functools.partial(jax.jit, donate_argnums=(1, 2),
-                           static_argnames=("with_sampling",))
+                           static_argnames=("with_sampling", "pages_bucket"))
         def _decode_all_paged(params, pool, state, page_table, active, key,
-                              temps, top_ps, do_samples, with_sampling=False):
+                              temps, top_ps, do_samples, with_sampling=False,
+                              pages_bucket=None):
             logits = state["logits"]
             greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             if with_sampling:
@@ -126,6 +127,7 @@ class PagedServingEngine(ServingEngine):
             new_logits, pool = paligemma.decode_step_paged(
                 params, cfg, token, pool, page_table,
                 write_pos=write_pos, position_ids=state["pos_ids"],
+                pages_bucket=pages_bucket,
             )
             inc = active.astype(jnp.int32)
             state = {
@@ -259,16 +261,33 @@ class PagedServingEngine(ServingEngine):
             return slot
         return None
 
+    def _pages_bucket(self, ticks: int):
+        """Smallest power-of-two logical-page window covering every active
+        slot through this window (host-side bookkeeping) — one compiled
+        decode tick per bucket, reads scale with live tokens."""
+        p_max = self.max_seq_len // self.page_size
+        need = max(
+            (self.paged.pages_for(
+                len(r.input_ids) + self._generated[r.request_id] + ticks)
+             for r in self.slots if r is not None),
+            default=1,
+        )
+        b = 1
+        while b < need:
+            b *= 2
+        return min(b, p_max)
+
     def _run_window(self, ticks, active, temps_j, top_j, do_j,
                     with_sampling) -> np.ndarray:
         page_table = self.paged.page_table
+        pages_bucket = self._pages_bucket(ticks)
         tokens = []
         for _ in range(ticks):
             self._key, sub = jax.random.split(self._key)
             token, self.cache, self.state = self._decode_all_paged(
                 self.decode_params, self.cache, self.state, page_table,
                 active, sub, temps_j, top_j, do_j,
-                with_sampling=with_sampling,
+                with_sampling=with_sampling, pages_bucket=pages_bucket,
             )
             tokens.append(token)
         return np.asarray(jnp.stack(tokens))
