@@ -46,6 +46,12 @@ def make_reqs():
 
 def run(engine, label):
     engine.warmup([266], batch_sizes=(1, 2, 4, 8))
+    # wave 1 untimed: flushes every remaining jit variant (slot-count
+    # dependent buckets etc.) through the remote compiler
+    for r in make_reqs():
+        engine.submit(r)
+    engine.run_to_completion()
+    # wave 2 timed: fully warm steady state
     reqs = make_reqs()
     for r in reqs:
         engine.submit(r)

@@ -257,6 +257,7 @@ def forward(
     logits_idx: Optional[jnp.ndarray] = None,  # (B,) positions to project
     mesh=None,
     kv_bucket: Optional[int] = None,  # static attend-window (decode fast path)
+    scan_block: int = 1,  # decoder layers per scan body (see below)
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Run the decoder stack. Returns (fp32 logits (B,S,vocab), new cache).
 
@@ -295,22 +296,37 @@ def forward(
 
     n_layers = kv_cache["k"].shape[0]
 
+    # ``scan_block`` groups g layers into one scan body: the while-loop runs
+    # L/g iterations, amortizing per-iteration loop overhead (decode is
+    # latency-sensitive at B=1). UNLIKE jax.lax.scan's unroll= (which
+    # replicates the carry and breaks cache aliasing — measured 262 -> 117
+    # tok/s at unroll=3), the grouped body still threads ONE carry linearly,
+    # so the in-place cache updates stay aliased.
+    g = scan_block if n_layers % scan_block == 0 else 1
+    layers_g = jax.tree.map(
+        lambda a: a.reshape((n_layers // g, g) + a.shape[1:]),
+        params["layers"],
+    ) if g > 1 else params["layers"]
+
     def body(carry, layer):
         h, k_all, v_all = carry
-        lp, idx = layer
-        h, k_all, v_all = block(h, lp, cos, sin, k_all, v_all, idx,
-                                cache_pos, mask, flash_lens=flash_lens,
-                                mesh=mesh)
+        lp_g, base = layer
+        for j in range(g):
+            lp = jax.tree.map(lambda a: a[j], lp_g) if g > 1 else lp_g
+            h, k_all, v_all = block(
+                h, lp, cos, sin, k_all, v_all,
+                base * g + j if g > 1 else base,
+                cache_pos, mask, flash_lens=flash_lens, mesh=mesh,
+            )
         return (h, k_all, v_all), None
 
     # The cache rides the scan CARRY (in-place aliased across iterations);
     # scanning it through xs/ys instead costs a cache-sized copy pair per
-    # step. NOTE: keep unroll=1 — unrolling (tried unroll=3) breaks the
-    # aliasing and collapses decode from ~262 to ~117 tok/s.
+    # step.
     (x, new_k, new_v), _ = jax.lax.scan(
         body,
         (x, kv_cache["k"], kv_cache["v"]),
-        (params["layers"], jnp.arange(n_layers, dtype=jnp.int32)),
+        (layers_g, jnp.arange(n_layers // g, dtype=jnp.int32)),
     )
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     if logits_idx is not None:

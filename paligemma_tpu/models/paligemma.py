@@ -247,6 +247,7 @@ def decode_step(
     kv_valid: jnp.ndarray,  # (B, max_seq) bool incl. this token's slot
     position_ids: jnp.ndarray,  # (B,) int32 RoPE position of this token
     kv_bucket: Optional[int] = None,  # static attend-window (<= max_seq)
+    scan_block: int = 1,  # decoder layers per scan body (gemma.forward)
 ) -> Tuple[jnp.ndarray, gemma.KVCache]:
     """Single-token decode. Returns ((B, vocab) logits, new cache).
 
@@ -263,6 +264,7 @@ def decode_step(
         cache_pos=cache_pos,
         kv_valid=kv_valid,
         kv_bucket=kv_bucket,
+        scan_block=scan_block,
     )
     return logits[:, 0, :], kv_cache
 

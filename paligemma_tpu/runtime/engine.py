@@ -58,11 +58,17 @@ class PaliGemmaEngine:
         use_flash: Optional[bool] = None,
         mesh=None,
         decode_params: Optional[Dict[str, Any]] = None,
+        decode_scan_block: int = 1,
     ):
         """``mesh``: optional jax.sharding.Mesh("data","model") — weights get
         Megatron-style TP shardings on "model" and the batch shards on
         "data"; XLA inserts the ICI collectives. Same code path 1-chip and
         v5e-8 (the reference's only parallelism is a DDP toy, ref: test.py).
+
+        ``decode_scan_block``: decoder layers per scan body in the decode
+        jits (gemma.forward scan_block) — g>1 halves/thirds the per-step
+        while-loop overhead at B=1; must divide the layer count (else
+        silently 1).
 
         ``decode_params``: optional second weight set used only by
         decode_step — e.g. int8-quantized weights (runtime.quantize) while
@@ -88,6 +94,7 @@ class PaliGemmaEngine:
             if not (ok_lm and ok_vis):
                 use_flash = False
         self.use_flash = use_flash
+        self.decode_scan_block = decode_scan_block
         self.mesh = mesh
         if mesh is not None:
             from jax.sharding import NamedSharding
@@ -136,7 +143,7 @@ class PaliGemmaEngine:
             logits, cache = paligemma.decode_step(
                 params, cfg, token, state.cache,
                 cache_pos=state.write_pos, kv_valid=valid,
-                position_ids=state.pos_ids,
+                position_ids=state.pos_ids, scan_block=decode_scan_block,
             )
             new_state = KVState(
                 cache=cache, valid=valid,
@@ -257,6 +264,7 @@ class PaliGemmaEngine:
                     params, cfg, token, state.cache,
                     cache_pos=state.write_pos, kv_valid=valid,
                     position_ids=state.pos_ids, kv_bucket=kv_bucket,
+                    scan_block=self.decode_scan_block,
                 )
                 new_state = KVState(cache, valid, state.write_pos + 1,
                                     state.pos_ids + 1)
@@ -399,6 +407,7 @@ class PaliGemmaEngine:
                     decode_params, cfg, token, state.cache,
                     cache_pos=state.write_pos, kv_valid=valid,
                     position_ids=state.pos_ids,
+                    scan_block=decode_scan_block,
                 )
                 new_state = KVState(new_cache, valid, state.write_pos + 1,
                                     state.pos_ids + 1)

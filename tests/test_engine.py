@@ -122,3 +122,33 @@ def test_kv_bucket_for():
     assert eng.kv_bucket_for(2047) == 2048
     assert eng.kv_bucket_for(2048) is None  # next pow2 == max_seq -> full
     assert eng.kv_bucket_for(3000) is None  # full cache
+
+
+def test_decode_scan_block_grouping_exact():
+    """g layers per scan body must be bit-identical to g=1 (same math,
+    fewer while-loop iterations)."""
+    import numpy as np
+
+    from paligemma_tpu.core.config import tiny_test_config
+    from paligemma_tpu.models import paligemma
+    from paligemma_tpu.runtime.engine import PaliGemmaEngine
+
+    cfg = tiny_test_config()
+    params = paligemma.init_params(jax.random.PRNGKey(3), cfg)
+    n_img = cfg.vision_config.num_patches
+    ids = np.concatenate(
+        [np.full((1, n_img), cfg.image_token_index),
+         np.random.default_rng(0).integers(3, 100, (1, 5))], axis=1
+    ).astype(np.int32)
+    mask = np.ones_like(ids)
+    pix = np.random.default_rng(1).normal(size=(1, 3, 28, 28)).astype(np.float32)
+
+    outs = []
+    for g in (1, 2):  # tiny config has 2 layers
+        eng = PaliGemmaEngine(params, cfg, max_seq_len=32, use_flash=False,
+                              decode_scan_block=g)
+        toks = eng.generate(jnp.asarray(pix), jnp.asarray(ids),
+                            jnp.asarray(mask), max_new_tokens=6,
+                            do_sample=False, eos_token_id=-1)
+        outs.append(np.asarray(toks))
+    np.testing.assert_array_equal(outs[0], outs[1])
