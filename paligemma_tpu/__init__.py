@@ -41,4 +41,12 @@ def __getattr__(name):
         from .train.trainer import Trainer
 
         return Trainer
+    if name == "extract_objects":
+        from .processing.detection import extract_objects
+
+        return extract_objects
+    if name == "Detection":
+        from .processing.detection import Detection
+
+        return Detection
     raise AttributeError(name)

@@ -40,6 +40,10 @@ def main(argv=None):
     p.add_argument("--model_parallel", type=int, default=1,
                    help="tensor-parallel over a Mesh('data','model'); on a "
                         "v5e-8 slice use --model_parallel 8")
+    p.add_argument("--decode_detections", action="store_true",
+                   help="parse <loc####>/<seg###> tokens in the output "
+                        "('detect ...' / 'segment ...' prompts) and print "
+                        "one JSON line of pixel boxes per image")
     args = p.parse_args(argv)
 
     if args.only_cpu:
@@ -100,9 +104,24 @@ def main(argv=None):
         do_sample=args.do_sample,
         key=jax.random.PRNGKey(args.seed),
     )
-    for prompt, row in zip(prompts, tokens):
+    for prompt, row, image in zip(prompts, tokens, images):
         decoded = tokenizer.decode(row, skip_special_tokens=True)
         print(prompt + decoded)
+        if args.decode_detections:
+            import json
+
+            from ..processing.detection import extract_objects
+
+            w, h = image.size
+            objs = [
+                {
+                    "label": o.label,
+                    "box_yxyx": list(o.box_pixels(h, w)),
+                    "has_mask": o.seg_indices is not None,
+                }
+                for o in extract_objects(decoded)
+            ]
+            print(json.dumps(objs))
 
 
 if __name__ == "__main__":

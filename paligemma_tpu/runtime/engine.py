@@ -391,6 +391,7 @@ class PaliGemmaEngine:
             return self._fused_cache[sig]
         cfg = self.config
         prefill_fn = self._prefill_fn
+        decode_scan_block = self.decode_scan_block
 
         @jax.jit
         def fused(params, decode_params, pixels, ids, mask, cache, key):
