@@ -68,10 +68,25 @@ def main(argv=None):
                         "HF-format checkpoint directory (the offline analog "
                         "of the reference's hub push)")
     p.add_argument("--only_cpu", action="store_true")
+    p.add_argument("--multihost", action="store_true",
+                   help="join a multi-host run (jax.distributed auto-init; "
+                        "every host launches this same command) and train "
+                        "over a DP-over-DCN x TP-over-ICI global mesh")
+    p.add_argument("--coordinator", default=None,
+                   help="coordinator host:port for --multihost off-pod "
+                        "(TPU pods auto-detect); requires --num_processes "
+                        "and --process_id")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     args = p.parse_args(argv)
 
     import jax
 
+    if args.multihost:
+        from ..core import multihost as mh
+
+        # before anything touches the XLA backend (device queries below)
+        mh.initialize(args.coordinator, args.num_processes, args.process_id)
     if args.only_cpu:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
@@ -116,7 +131,14 @@ def main(argv=None):
     )
 
     mesh = None
-    if args.data_parallel * args.model_parallel > 1:
+    if args.multihost:
+        from ..core import multihost as mh
+
+        mesh = mh.make_multihost_mesh(
+            args.data_parallel if args.data_parallel > 1 else None,
+            args.model_parallel if args.model_parallel > 1 else None,
+        )
+    elif args.data_parallel * args.model_parallel > 1:
         mesh = mesh_lib.make_mesh(args.data_parallel, args.model_parallel)
 
     tc = TrainConfig(
