@@ -23,6 +23,13 @@ import time
 
 
 def main(argv=None):
+    from .errors import user_errors
+
+    with user_errors():
+        _main(argv)
+
+
+def _main(argv=None):
     p = argparse.ArgumentParser(description="PaliGemma TPU fine-tuning")
     p.add_argument("--model_path", required=True, help="HF checkpoint directory")
     p.add_argument("--train_jsonl", default=None)

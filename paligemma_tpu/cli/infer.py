@@ -20,6 +20,13 @@ import numpy as np
 
 
 def main(argv=None):
+    from .errors import user_errors
+
+    with user_errors():
+        _main(argv)
+
+
+def _main(argv=None):
     p = argparse.ArgumentParser(description="PaliGemma TPU inference")
     p.add_argument("--model_path", required=True, help="HF checkpoint directory")
     p.add_argument("--prompt", required=True, action="append",
@@ -76,9 +83,15 @@ def main(argv=None):
         from ..core.mesh import make_mesh
 
         mesh = make_mesh(args.data_parallel, args.model_parallel)
-    images = [Image.open(f) for f in args.image_file_path]
+    from .errors import require
+
     prompts = list(args.prompt)
-    assert len(images) == len(prompts), "need one prompt per image"
+    require(
+        len(args.image_file_path) == len(prompts),
+        f"got {len(prompts)} --prompt but {len(args.image_file_path)} "
+        "--image_file_path; pass one image per prompt",
+    )
+    images = [Image.open(f) for f in args.image_file_path]
     inputs = processor(images=images, text=prompts)
 
     # grow the cache to fit prompt + budget (the reference's torch.cat cache

@@ -304,3 +304,45 @@ def test_finetune_shuffling_and_tail_batch(checkpoint_dir, image_path, tmp_path)
     assert len(a) == 2  # ceil(3/2): tail batch kept, not dropped
     assert a == b  # same seed -> identical order -> identical losses
     assert a != c  # different seed -> different order
+
+
+def test_infer_cli_friendly_errors(checkpoint_dir, image_path, capsys):
+    """User mistakes exit 2 with a one-line message, not a traceback
+    (ROADMAP 'CLI error paths' item)."""
+    from paligemma_tpu.cli.infer import main
+
+    # mismatched prompt/image counts
+    with pytest.raises(SystemExit) as ei:
+        main([
+            "--model_path", checkpoint_dir,
+            "--prompt", "a", "--prompt", "b",
+            "--image_file_path", image_path,
+            "--only_cpu",
+        ])
+    assert ei.value.code == 2
+    assert "one image per prompt" in capsys.readouterr().err
+
+    # missing image file
+    with pytest.raises(SystemExit) as ei:
+        main([
+            "--model_path", checkpoint_dir,
+            "--prompt", "a",
+            "--image_file_path", "/nonexistent/pic.png",
+            "--only_cpu",
+        ])
+    assert ei.value.code == 2
+    assert "file not found" in capsys.readouterr().err
+
+
+def test_finetune_cli_friendly_errors(checkpoint_dir, tmp_path, capsys):
+    from paligemma_tpu.cli.finetune import main
+
+    with pytest.raises(SystemExit) as ei:
+        main([
+            "--model_path", checkpoint_dir,
+            "--train_jsonl", "/nonexistent/train.jsonl",
+            "--output_dir", str(tmp_path / "out"),
+            "--only_cpu",
+        ])
+    assert ei.value.code == 2
+    assert "not found" in capsys.readouterr().err
