@@ -161,6 +161,7 @@ def _decoder_block(
     flash_lens: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     mesh=None,
     kv_bucket: Optional[int] = None,  # static: attend over cache[:, :bucket]
+    mlp_full: Optional[Params] = None,  # full stacked int8 MLP (fused kernel)
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
     """One pre-norm decoder block.
 
@@ -241,6 +242,13 @@ def _decoder_block(
 
     residual = x
     y = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
+    if mlp_full is not None:
+        # Single-token decode: one fused Pallas kernel streams gate/up/down
+        # with double-buffered DMA instead of three XLA matmuls — removes
+        # the ~20 us/layer of inter-op pipeline bubbles (kernels/decode_mlp)
+        from ..kernels.decode_mlp import mlp_decode_fused
+
+        return residual + mlp_decode_fused(y, mlp_full, layer_idx), k_all, v_all
     return residual + _mlp(cfg, y, lp, lora_lp), k_all, v_all
 
 
@@ -258,6 +266,7 @@ def forward(
     mesh=None,
     kv_bucket: Optional[int] = None,  # static attend-window (decode fast path)
     scan_block: int = 1,  # decoder layers per scan body (see below)
+    fused_mlp: bool = False,  # use the fused decode-MLP kernel (S==1, int8)
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Run the decoder stack. Returns (fp32 logits (B,S,vocab), new cache).
 
@@ -290,7 +299,24 @@ def forward(
             )
         mask = attention.make_additive_mask(kv_vis)
 
-    block = functools.partial(_decoder_block, cfg, kv_bucket=kv_bucket)
+    # Fused decode-MLP: the full stacked int8 MLP weights are captured as
+    # loop-invariant kernel operands (NOT scan xs — a per-iteration xs
+    # slice would make XLA materialize a 100 MB copy for the custom call)
+    # and the kernel picks its layer by index. Guarded to the exact decode
+    # shape the kernel is built for.
+    mlp_full = None
+    layers_for_scan = params["layers"]
+    if fused_mlp and s == 1 and mesh is None:
+        from ..kernels.decode_mlp import supported as _dm_supported
+
+        if _dm_supported(params["layers"]["mlp"]):
+            mlp_full = params["layers"]["mlp"]
+            layers_for_scan = dict(params["layers"])
+            layers_for_scan["mlp"] = {}
+
+    block = functools.partial(
+        _decoder_block, cfg, kv_bucket=kv_bucket, mlp_full=mlp_full
+    )
     if remat:
         block = jax.checkpoint(block)
 
@@ -305,8 +331,8 @@ def forward(
     g = scan_block if n_layers % scan_block == 0 else 1
     layers_g = jax.tree.map(
         lambda a: a.reshape((n_layers // g, g) + a.shape[1:]),
-        params["layers"],
-    ) if g > 1 else params["layers"]
+        layers_for_scan,
+    ) if g > 1 else layers_for_scan
 
     def body(carry, layer):
         h, k_all, v_all = carry

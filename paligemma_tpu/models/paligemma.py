@@ -248,6 +248,7 @@ def decode_step(
     position_ids: jnp.ndarray,  # (B,) int32 RoPE position of this token
     kv_bucket: Optional[int] = None,  # static attend-window (<= max_seq)
     scan_block: int = 1,  # decoder layers per scan body (gemma.forward)
+    fused_mlp: bool = False,  # fused int8 decode-MLP kernel (gemma.forward)
 ) -> Tuple[jnp.ndarray, gemma.KVCache]:
     """Single-token decode. Returns ((B, vocab) logits, new cache).
 
@@ -265,6 +266,7 @@ def decode_step(
         kv_valid=kv_valid,
         kv_bucket=kv_bucket,
         scan_block=scan_block,
+        fused_mlp=fused_mlp,
     )
     return logits[:, 0, :], kv_cache
 

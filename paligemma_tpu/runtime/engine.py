@@ -59,6 +59,7 @@ class PaliGemmaEngine:
         mesh=None,
         decode_params: Optional[Dict[str, Any]] = None,
         decode_scan_block: int = 1,
+        fused_mlp: Optional[bool] = None,
     ):
         """``mesh``: optional jax.sharding.Mesh("data","model") — weights get
         Megatron-style TP shardings on "model" and the batch shards on
@@ -95,6 +96,14 @@ class PaliGemmaEngine:
                 use_flash = False
         self.use_flash = use_flash
         self.decode_scan_block = decode_scan_block
+        # Fused int8 decode-MLP Pallas kernel (kernels/decode_mlp).
+        # Currently opt-in: correct, but measured at 77.9% of HBM BW vs
+        # the XLA path's 84.2% at the 3B decode shape (per-layer DMA ramp;
+        # see the kernel docstring / docs/PERFORMANCE.md). gemma.forward
+        # additionally gates on S==1, int8 layout, and mesh-free params.
+        if fused_mlp is None:
+            fused_mlp = False
+        self.fused_mlp = fused_mlp
         self.mesh = mesh
         if mesh is not None:
             from jax.sharding import NamedSharding
@@ -144,6 +153,7 @@ class PaliGemmaEngine:
                 params, cfg, token, state.cache,
                 cache_pos=state.write_pos, kv_valid=valid,
                 position_ids=state.pos_ids, scan_block=decode_scan_block,
+                fused_mlp=self.fused_mlp,
             )
             new_state = KVState(
                 cache=cache, valid=valid,
@@ -265,6 +275,7 @@ class PaliGemmaEngine:
                     cache_pos=state.write_pos, kv_valid=valid,
                     position_ids=state.pos_ids, kv_bucket=kv_bucket,
                     scan_block=self.decode_scan_block,
+                    fused_mlp=self.fused_mlp,
                 )
                 new_state = KVState(cache, valid, state.write_pos + 1,
                                     state.pos_ids + 1)
@@ -409,6 +420,7 @@ class PaliGemmaEngine:
                     cache_pos=state.write_pos, kv_valid=valid,
                     position_ids=state.pos_ids,
                     scan_block=decode_scan_block,
+                    fused_mlp=self.fused_mlp,
                 )
                 new_state = KVState(new_cache, valid, state.write_pos + 1,
                                     state.pos_ids + 1)
