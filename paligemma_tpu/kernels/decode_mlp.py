@@ -13,13 +13,19 @@ Math is identical to models/gemma._mlp on the int8 serving layout
 
     h = (gelu_tanh((y @ Wg) * sg) * ((y @ Wu) * su)) @ Wd * sd
 
-Chunking: the intermediate dim I is split into ``nc`` chunks of ``bs``
-columns; chunk c needs gate cols [c*bs, (c+1)*bs), up cols
-[I + c*bs, ...) of the fused (K, 2I) gateup int8 matrix, and down rows
-[c*bs, ...) of the (I, K) down matrix — three async copies per chunk into
-a 2-slot VMEM ring, next chunk's DMAs in flight while this chunk matmuls.
-Accumulation over chunks is exact (fp32 accumulator; per-output-channel
-down scales apply after the sum, matching quantize_int8 semantics).
+Layout (``repack``): the intermediate dim I is split into ``nc`` chunks of
+``bs`` columns and gate/up are stored chunk-major —
+(L, nc, K, bs) int8 — so every per-chunk DMA is one fully **contiguous**
+transfer (column slices of the original (K, 2I) matrix are 2 KB-strided
+and measurably slower to DMA). Down rows are already contiguous in the
+(L, I, K) original. Repacking is a one-time relayout at engine init; byte
+count and quantization (per-output-channel scales) are unchanged.
+
+Schedule per chunk: chunk c+1's three DMAs are started first, then the
+kernel waits only on gate/up of chunk c, computes g/u/gelu while the down
+chunk may still be in flight, then waits on down and accumulates.
+Accumulation over chunks is exact (fp32 accumulator; down scales apply
+after the sum, matching quantize_int8 semantics).
 
 The whole stacked-layer tensors stay in HBM (`pl.ANY`) and the layer is
 picked by a scalar-prefetch index — callers inside ``lax.scan`` pass the
@@ -30,7 +36,7 @@ materializing a per-iteration 100 MB slice for the kernel operand.
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -43,11 +49,12 @@ from ..ops.activations import gelu_tanh
 def _kernel(
     idx_ref,  # (1,) int32 scalar prefetch: layer index
     y_ref,  # (B, K) bf16 VMEM
-    gu_w8_ref,  # (L, K, 2I) int8 ANY/HBM
+    gate_ref,  # (L, nc, K, bs) int8 ANY/HBM
+    up_ref,  # (L, nc, K, bs) int8 ANY/HBM
+    dn_ref,  # (L, I, K) int8 ANY/HBM
     gs_ref,  # (1, nc, bs) f32 VMEM (this layer's gate scales)
     us_ref,  # (1, nc, bs) f32 VMEM
-    dn_w8_ref,  # (L, I, K) int8 ANY/HBM
-    ds_ref,  # (1, K) f32 VMEM
+    ds_ref,  # (1, 1, K) f32 VMEM
     out_ref,  # (B, K) bf16 VMEM
     gbuf,  # (2, K, bs) int8 VMEM scratch
     ubuf,  # (2, K, bs) int8
@@ -57,26 +64,22 @@ def _kernel(
     *,
     nc: int,
     bs: int,
-    inter: int,
 ):
     l = idx_ref[0]
 
     def dma_g(c, slot):
         return pltpu.make_async_copy(
-            gu_w8_ref.at[l, :, pl.ds(c * bs, bs)], gbuf.at[slot],
-            sems.at[0, slot],
+            gate_ref.at[l, c], gbuf.at[slot], sems.at[0, slot]
         )
 
     def dma_u(c, slot):
         return pltpu.make_async_copy(
-            gu_w8_ref.at[l, :, pl.ds(inter + c * bs, bs)], ubuf.at[slot],
-            sems.at[1, slot],
+            up_ref.at[l, c], ubuf.at[slot], sems.at[1, slot]
         )
 
     def dma_d(c, slot):
         return pltpu.make_async_copy(
-            dn_w8_ref.at[l, pl.ds(c * bs, bs), :], dbuf.at[slot],
-            sems.at[2, slot],
+            dn_ref.at[l, pl.ds(c * bs, bs), :], dbuf.at[slot], sems.at[2, slot]
         )
 
     dma_g(0, 0).start()
@@ -97,19 +100,18 @@ def _kernel(
 
         dma_g(c, slot).wait()
         dma_u(c, slot).wait()
-        dma_d(c, slot).wait()
 
         g = jax.lax.dot_general(
             y, gbuf[slot].astype(y.dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (1, bs)
+        )  # (B, bs)
         u = jax.lax.dot_general(
             y, ubuf[slot].astype(y.dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        g = g * gs_ref[0, c]
-        u = u * us_ref[0, c]
-        t = (gelu_tanh(g) * u).astype(y.dtype)  # (1, bs)
+        t = (gelu_tanh(g * gs_ref[0, c]) * (u * us_ref[0, c])).astype(y.dtype)
+
+        dma_d(c, slot).wait()
         acc[...] += jax.lax.dot_general(
             t, dbuf[slot].astype(y.dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -121,16 +123,20 @@ def _kernel(
 
 
 def pick_block(inter: int) -> Optional[int]:
-    """Chunk width: 2048 cols (12.6 MB of int8 per in-flight chunk triple at
-    K=2048) when it divides I; any divisor >= 256 otherwise; None = use the
-    XLA path (tiny models)."""
-    for bs in (2048, 1024, 512, 256):
+    """Chunk width. 1024 splits I=16384 into 16 chunks: a 6.3 MB in-flight
+    triple (ramp ~8 us/layer) with 12.6 MB of VMEM ring; any divisor >= 256
+    otherwise; None = use the XLA path (tiny models)."""
+    for bs in (1024, 512, 256):
         if inter % bs == 0 and inter >= bs:
             return bs
     return None
 
 
 def supported(mlp) -> bool:
+    """True if this (original int8 serving layout) MLP tree can be repacked
+    for the fused kernel, or already was."""
+    if isinstance(mlp.get("gate_blk"), jnp.ndarray) or "gate_blk" in mlp:
+        return True
     return (
         isinstance(mlp.get("gateup"), dict)
         and "w8" in mlp["gateup"]
@@ -140,10 +146,42 @@ def supported(mlp) -> bool:
     )
 
 
+def repack(mlp, bs: Optional[int] = None) -> Dict[str, jnp.ndarray]:
+    """One-time relayout of the int8 serving MLP for the fused kernel.
+
+    gate/up become chunk-major (L, nc, K, bs) so per-chunk DMAs are
+    contiguous. Same bytes, same quantization; ``down`` is shared with the
+    original tree (rows are already contiguous).
+    """
+    gu_w8, gu_s = mlp["gateup"]["w8"], mlp["gateup"]["s"]
+    dn_w8, dn_s = mlp["down"]["w8"], mlp["down"]["s"]
+    L, K, i2 = gu_w8.shape
+    inter = i2 // 2
+    if bs is None:
+        bs = pick_block(inter)
+    assert bs is not None and inter % bs == 0, (inter, bs)
+    nc = inter // bs
+
+    def blk(w):  # (L, K, I) -> (L, nc, K, bs), contiguous chunks
+        # the transpose materializes row-major, i.e. each (K, bs) chunk is
+        # one contiguous run — exactly what the kernel's chunk DMAs need
+        return w.reshape(L, K, nc, bs).transpose(0, 2, 1, 3)
+
+    return {
+        "gate_blk": blk(gu_w8[:, :, :inter]),
+        "up_blk": blk(gu_w8[:, :, inter:]),
+        "down_w8": dn_w8,
+        "gs": gu_s[:, :inter].reshape(L, nc, bs).astype(jnp.float32),
+        "us": gu_s[:, inter:].reshape(L, nc, bs).astype(jnp.float32),
+        # (L, 1, K): TPU block specs need the last two dims tile-aligned or
+        # full; (1, 1, K) blocks satisfy that where (1, K) over (L, K) can't
+        "ds": dn_s.reshape(L, 1, K).astype(jnp.float32),
+    }
+
+
 def mlp_decode_fused(
     y: jnp.ndarray,  # (B, 1, K) / (B, K): one token per row
-    mlp,  # full stacked tree: gateup {"w8": (L,K,2I), "s": (L,2I)},
-    #       down {"w8": (L,I,K), "s": (L,K)}
+    packed: Dict[str, jnp.ndarray],  # repack() output
     layer_idx: jnp.ndarray,  # scalar int32
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
@@ -158,18 +196,7 @@ def mlp_decode_fused(
     k = shape_in[-1]
     y2 = y.reshape(-1, k)
     b = y2.shape[0]
-    gu_w8, gu_s = mlp["gateup"]["w8"], mlp["gateup"]["s"]
-    dn_w8, dn_s = mlp["down"]["w8"], mlp["down"]["s"]
-    L, _, i2 = gu_w8.shape
-    inter = i2 // 2
-    bs = pick_block(inter)
-    assert bs is not None, inter
-    nc = inter // bs
-    gs = gu_s[:, :inter].reshape(L, nc, bs).astype(jnp.float32)
-    us = gu_s[:, inter:].reshape(L, nc, bs).astype(jnp.float32)
-    # (L, 1, k): TPU block specs need the last two dims tile-aligned or
-    # full; (1, 1, k) blocks satisfy that where (1, k) over (L, k) cannot.
-    ds = dn_s.reshape(L, 1, k).astype(jnp.float32)
+    L, nc, _, bs = packed["gate_blk"].shape
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -177,9 +204,10 @@ def mlp_decode_fused(
         in_specs=[
             pl.BlockSpec((b, k), lambda g, idx: (0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((1, nc, bs), lambda g, idx: (idx[0], 0, 0)),
-            pl.BlockSpec((1, nc, bs), lambda g, idx: (idx[0], 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, nc, bs), lambda g, idx: (idx[0], 0, 0)),
+            pl.BlockSpec((1, nc, bs), lambda g, idx: (idx[0], 0, 0)),
             pl.BlockSpec((1, 1, k), lambda g, idx: (idx[0], 0, 0)),
         ],
         out_specs=pl.BlockSpec((b, k), lambda g, idx: (0, 0)),
@@ -192,29 +220,32 @@ def mlp_decode_fused(
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, nc=nc, bs=bs, inter=inter),
+        functools.partial(_kernel, nc=nc, bs=bs),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, k), y.dtype),
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             # 3 weight streams x 2 ring slots exceeds the default 16M
-            # scoped-vmem budget at bs=2048 (25.2 MB of int8 scratch)
+            # scoped-vmem budget at bs=2048; generous limit keeps the knob
+            # out of the way for every supported bs
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(
         jnp.asarray(layer_idx, jnp.int32).reshape(1),
         y2,
-        gu_w8,
-        gs,
-        us,
-        dn_w8,
-        ds,
+        packed["gate_blk"],
+        packed["up_blk"],
+        packed["down_w8"],
+        packed["gs"],
+        packed["us"],
+        packed["ds"],
     )
     return out.reshape(shape_in)
 
 
 def reference_mlp(y, mlp, layer_idx):
-    """XLA reference for tests: the _mlp math on one sliced layer."""
+    """XLA reference for tests: the _mlp math on one sliced layer of the
+    ORIGINAL (un-repacked) int8 serving tree."""
     lp = jax.tree.map(lambda a: a[layer_idx], mlp)
     gu = jax.lax.dot_general(
         y, lp["gateup"]["w8"].astype(y.dtype), (((y.ndim - 1,), (0,)), ((), ())),

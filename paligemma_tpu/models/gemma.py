@@ -307,9 +307,9 @@ def forward(
     mlp_full = None
     layers_for_scan = params["layers"]
     if fused_mlp and s == 1 and mesh is None:
-        from ..kernels.decode_mlp import supported as _dm_supported
-
-        if _dm_supported(params["layers"]["mlp"]):
+        # the engine repacks layers.mlp via kernels.decode_mlp.repack; a
+        # packed tree carries "gate_blk" and only the fused path reads it
+        if "gate_blk" in params["layers"]["mlp"]:
             mlp_full = params["layers"]["mlp"]
             layers_for_scan = dict(params["layers"])
             layers_for_scan["mlp"] = {}

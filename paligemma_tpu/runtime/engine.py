@@ -97,10 +97,9 @@ class PaliGemmaEngine:
         self.use_flash = use_flash
         self.decode_scan_block = decode_scan_block
         # Fused int8 decode-MLP Pallas kernel (kernels/decode_mlp).
-        # Currently opt-in: correct, but measured at 77.9% of HBM BW vs
-        # the XLA path's 84.2% at the 3B decode shape (per-layer DMA ramp;
-        # see the kernel docstring / docs/PERFORMANCE.md). gemma.forward
-        # additionally gates on S==1, int8 layout, and mesh-free params.
+        # Currently opt-in while the DMA schedule is tuned against the XLA
+        # path (see kernel docstring / docs/PERFORMANCE.md). gemma.forward
+        # additionally gates on S==1 and mesh-free params.
         if fused_mlp is None:
             fused_mlp = False
         self.fused_mlp = fused_mlp
@@ -123,7 +122,35 @@ class PaliGemmaEngine:
         self.params = params
         self.decode_params = decode_params if decode_params is not None else params
 
+        if self.fused_mlp:
+            from ..kernels import decode_mlp as _dm
+
+            mlp = self.decode_params["lm"]["layers"]["mlp"]
+            if "gate_blk" in mlp:
+                pass  # caller already packed
+            elif _dm.supported(mlp):
+                # one-time contiguous relayout for the fused kernel; only
+                # the DECODE tree is rewritten — prefill keeps the original
+                # gateup (the kernel is single-token-only)
+                packed = jax.jit(_dm.repack)(mlp)
+                dp = dict(self.decode_params)
+                dp["lm"] = dict(dp["lm"])
+                dp["lm"]["layers"] = dict(dp["lm"]["layers"])
+                dp["lm"]["layers"]["mlp"] = packed
+                self.decode_params = dp
+            else:
+                self.fused_mlp = False
+
         cfg = config  # closed over statically (frozen dataclass)
+
+        # XLA:TPU rewrites (1, K) x (K, N) dots into VPU multiply-reduce
+        # ("dot strength reduction") for some decode-shape matmuls; keeping
+        # them on the MXU path measures ~2% faster end-to-end decode.
+        self._decode_jit_opts = (
+            {"xla_tpu_enable_dot_strength_reduction": "false"}
+            if jax.default_backend() == "tpu"
+            else None
+        )
 
         @functools.partial(jax.jit, donate_argnums=(4,))
         def _prefill(params, pixels, ids, mask, cache):
@@ -146,7 +173,9 @@ class PaliGemmaEngine:
             )
             return logits[:, 0], state
 
-        @functools.partial(jax.jit, donate_argnums=(2,))
+        @functools.partial(
+            jax.jit, donate_argnums=(2,), compiler_options=self._decode_jit_opts
+        )
         def _decode(params, token, state: KVState):
             valid = state.valid.at[:, state.write_pos].set(True)
             logits, cache = paligemma.decode_step(
@@ -260,7 +289,10 @@ class PaliGemmaEngine:
             return self._chunk_cache[sig]
         cfg = self.config
 
-        @functools.partial(jax.jit, donate_argnums=(1, 2, 3))
+        @functools.partial(
+            jax.jit, donate_argnums=(1, 2, 3),
+            compiler_options=self._decode_jit_opts,
+        )
         def chunk(params, logits, state: KVState, done, key):
             def body(carry, step_key):
                 logits, state, done = carry

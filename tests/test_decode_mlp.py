@@ -10,6 +10,7 @@ from paligemma_tpu.kernels.decode_mlp import (
     mlp_decode_fused,
     pick_block,
     reference_mlp,
+    repack,
     supported,
 )
 from paligemma_tpu.kernels.quant import quantize_int8
@@ -29,7 +30,7 @@ def _make(L=3, K=256, I=512, seed=0):
 @pytest.mark.parametrize("layer", [0, 1, 2])
 def test_matches_xla_reference_every_layer(layer):
     mlp, y = _make()
-    out = mlp_decode_fused(y, mlp, layer, interpret=True)
+    out = mlp_decode_fused(y, repack(mlp), layer, interpret=True)
     ref = reference_mlp(y, mlp, layer)
     a, b = np.asarray(out, np.float32), np.asarray(ref, np.float32)
     rel = np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-9)
@@ -40,7 +41,7 @@ def test_matches_xla_reference_every_layer(layer):
 def test_multi_chunk_accumulation():
     # I=1024 with bs=512 -> 2 chunks: exercises the double-buffer ring
     mlp, y = _make(K=256, I=1024)
-    out = mlp_decode_fused(y, mlp, 1, interpret=True)
+    out = mlp_decode_fused(y, repack(mlp), 1, interpret=True)
     ref = reference_mlp(y, mlp, 1)
     rel = np.max(np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32)))
     rel /= np.max(np.abs(np.asarray(ref, np.float32))) + 1e-9
@@ -52,16 +53,17 @@ def test_under_scan_with_traced_layer_index():
     index — the full stacked weights must be loop-invariant operands."""
     L = 4
     mlp, y = _make(L=L)
+    packed = repack(mlp)
 
     @jax.jit
-    def run(mlp, y):
+    def run(packed, y):
         def body(h, l):
-            return h + mlp_decode_fused(h, mlp, l, interpret=True), None
+            return h + mlp_decode_fused(h, packed, l, interpret=True), None
 
         h, _ = jax.lax.scan(body, y, jnp.arange(L, dtype=jnp.int32))
         return h
 
-    out = run(mlp, y)
+    out = run(packed, y)
 
     h = y
     for l in range(L):
@@ -72,7 +74,7 @@ def test_under_scan_with_traced_layer_index():
 
 
 def test_pick_block_and_supported():
-    assert pick_block(16384) == 2048
+    assert pick_block(16384) == 1024
     assert pick_block(1024) == 1024
     assert pick_block(96) is None  # tiny test models -> XLA fallback
     mlp, _ = _make()
