@@ -267,6 +267,7 @@ def forward(
     kv_bucket: Optional[int] = None,  # static attend-window (decode fast path)
     scan_block: int = 1,  # decoder layers per scan body (see below)
     fused_mlp: bool = False,  # use the fused decode-MLP kernel (S==1, int8)
+    fused_layer: bool = False,  # whole-layer decode kernel (S==1, B==1, int8)
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Run the decoder stack. Returns (fp32 logits (B,S,vocab), new cache).
 
@@ -304,6 +305,48 @@ def forward(
     # slice would make XLA materialize a 100 MB copy for the custom call)
     # and the kernel picks its layer by index. Guarded to the exact decode
     # shape the kernel is built for.
+    # Whole-layer fused decode kernel (kernels/decode_layer): one Pallas
+    # call per layer does norm/qkv/rope/cache/attention/o/MLP with manually
+    # scheduled DMA. Only for the B==1 serving shape where kv_valid is a
+    # contiguous prefix (guaranteed: B==1 prompts are never padded), cache
+    # updated in place via input/output aliasing.
+    b = input_embeds.shape[0]
+    if (
+        fused_layer and s == 1 and b == 1 and mesh is None
+        and "qkv_s" in params["layers"]
+    ):
+        from ..kernels import decode_layer
+
+        n_layers = kv_cache["k"].shape[0]
+        S = kv_cache["k"].shape[2]
+        hd = cfg.head_dim
+        k_flat = kv_cache["k"].reshape(n_layers, S, hd)
+        v_flat = kv_cache["v"].reshape(n_layers, S, hd)
+        window = min(kv_bucket or S, S)
+        kv_len = cache_pos + 1
+
+        def body(carry, l):
+            h, kf, vf = carry
+            h, kf, vf = decode_layer.layer_decode_fused(
+                h, params["layers"], l, kf, vf, cache_pos, kv_len,
+                cos[:, 0], sin[:, 0], window, cfg.num_attention_heads,
+                hd, cfg.rms_norm_eps,
+            )
+            return (h, kf, vf), None
+
+        (x, k_flat, v_flat), _ = jax.lax.scan(
+            body, (x, k_flat, v_flat), jnp.arange(n_layers, dtype=jnp.int32)
+        )
+        x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+        if logits_idx is not None:
+            x = jnp.take_along_axis(x, logits_idx[:, None, None], axis=1)
+        logits = lm_head(params, x).astype(jnp.float32)
+        new_cache = {
+            "k": k_flat.reshape(kv_cache["k"].shape),
+            "v": v_flat.reshape(kv_cache["v"].shape),
+        }
+        return logits, new_cache
+
     mlp_full = None
     layers_for_scan = params["layers"]
     if fused_mlp and s == 1 and mesh is None:

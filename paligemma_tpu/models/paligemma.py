@@ -249,6 +249,7 @@ def decode_step(
     kv_bucket: Optional[int] = None,  # static attend-window (<= max_seq)
     scan_block: int = 1,  # decoder layers per scan body (gemma.forward)
     fused_mlp: bool = False,  # fused int8 decode-MLP kernel (gemma.forward)
+    fused_layer: bool = False,  # whole-layer decode kernel (gemma.forward)
 ) -> Tuple[jnp.ndarray, gemma.KVCache]:
     """Single-token decode. Returns ((B, vocab) logits, new cache).
 
@@ -267,6 +268,7 @@ def decode_step(
         kv_bucket=kv_bucket,
         scan_block=scan_block,
         fused_mlp=fused_mlp,
+        fused_layer=fused_layer,
     )
     return logits[:, 0, :], kv_cache
 

@@ -60,6 +60,7 @@ class PaliGemmaEngine:
         decode_params: Optional[Dict[str, Any]] = None,
         decode_scan_block: int = 1,
         fused_mlp: Optional[bool] = None,
+        fused_layer: Optional[bool] = None,
     ):
         """``mesh``: optional jax.sharding.Mesh("data","model") — weights get
         Megatron-style TP shardings on "model" and the batch shards on
@@ -103,6 +104,11 @@ class PaliGemmaEngine:
         if fused_mlp is None:
             fused_mlp = False
         self.fused_mlp = fused_mlp
+        # Whole-layer fused decode kernel (kernels/decode_layer): B==1 only
+        # (gated per-trace in gemma.forward); subsumes fused_mlp.
+        if fused_layer is None:
+            fused_layer = False
+        self.fused_layer = fused_layer
         self.mesh = mesh
         if mesh is not None:
             from jax.sharding import NamedSharding
@@ -122,24 +128,34 @@ class PaliGemmaEngine:
         self.params = params
         self.decode_params = decode_params if decode_params is not None else params
 
-        if self.fused_mlp:
+        if self.fused_mlp or self.fused_layer:
+            from ..kernels import decode_layer as _dl
             from ..kernels import decode_mlp as _dm
 
-            mlp = self.decode_params["lm"]["layers"]["mlp"]
-            if "gate_blk" in mlp:
-                pass  # caller already packed
-            elif _dm.supported(mlp):
-                # one-time contiguous relayout for the fused kernel; only
+            layers = self.decode_params["lm"]["layers"]
+            tc = config.text_config
+            if self.fused_layer and not (
+                tc.num_key_value_heads == 1
+                and tc.head_dim % 128 == 0
+                and isinstance(layers["attn"].get("qkv"), dict)
+                and _dm.supported(layers["mlp"])
+            ):
+                self.fused_layer = False
+            if not _dm.supported(layers["mlp"]):
+                self.fused_mlp = False
+            if self.fused_mlp or self.fused_layer:
+                # one-time contiguous relayout for the fused kernels; only
                 # the DECODE tree is rewritten — prefill keeps the original
-                # gateup (the kernel is single-token-only)
-                packed = jax.jit(_dm.repack)(mlp)
+                # gateup (the kernels are single-token-only)
+                if self.fused_layer:
+                    packed = jax.jit(_dl.repack_layers)(layers)
+                else:
+                    packed = dict(layers)
+                    packed["mlp"] = jax.jit(_dm.repack)(layers["mlp"])
                 dp = dict(self.decode_params)
                 dp["lm"] = dict(dp["lm"])
-                dp["lm"]["layers"] = dict(dp["lm"]["layers"])
-                dp["lm"]["layers"]["mlp"] = packed
+                dp["lm"]["layers"] = packed
                 self.decode_params = dp
-            else:
-                self.fused_mlp = False
 
         cfg = config  # closed over statically (frozen dataclass)
 
@@ -183,6 +199,7 @@ class PaliGemmaEngine:
                 cache_pos=state.write_pos, kv_valid=valid,
                 position_ids=state.pos_ids, scan_block=decode_scan_block,
                 fused_mlp=self.fused_mlp,
+                    fused_layer=self.fused_layer,
             )
             new_state = KVState(
                 cache=cache, valid=valid,
@@ -308,6 +325,7 @@ class PaliGemmaEngine:
                     position_ids=state.pos_ids, kv_bucket=kv_bucket,
                     scan_block=self.decode_scan_block,
                     fused_mlp=self.fused_mlp,
+                    fused_layer=self.fused_layer,
                 )
                 new_state = KVState(cache, valid, state.write_pos + 1,
                                     state.pos_ids + 1)
@@ -453,6 +471,7 @@ class PaliGemmaEngine:
                     position_ids=state.pos_ids,
                     scan_block=decode_scan_block,
                     fused_mlp=self.fused_mlp,
+                    fused_layer=self.fused_layer,
                 )
                 new_state = KVState(new_cache, valid, state.write_pos + 1,
                                     state.pos_ids + 1)
