@@ -16,8 +16,11 @@ behavior: modeling_gemma.py GemmaAttention/GemmaMLP/DecoderLayer):
   - HF half-split RoPE (ops/rope.py convention)
   - attention over cache slots [0, window) with slots >= kv_len masked to
     -inf — identical to the kv_bucket XLA path (exp(-inf) = 0 exactly)
-  - the new token's k/v are stored into the VMEM window copy AND written
-    back to the HBM cache (input/output-aliased, no cache copies)
+  - the new token's k/v are returned to the caller, which writes the
+    cache rows with one XLA dynamic_update_slice each (Mosaic on this
+    toolchain cannot DMA a single dynamically-indexed cache row); inside
+    the kernel the fresh token enters attention arithmetically, so the
+    window copy read at kernel entry never needs patching
 
 Restrictions (callers fall back to the XLA path otherwise): B == 1,
 n_kv_heads == 1 (Gemma MQA), head_dim a lane multiple, int8 layout with
@@ -55,18 +58,16 @@ def _kernel(
     gs_ref,  # (1, nc, bs) f32 VMEM
     us_ref,  # (1, nc, bs) f32 VMEM
     ds_ref,  # (1, 1, K) f32 VMEM
-    k_cache_ref,  # (L, S, D) ANY — aliased to k_out_ref
-    v_cache_ref,  # (L, S, D) ANY — aliased to v_out_ref
+    k_cache_ref,  # (L, S, D) ANY/HBM — read-only (window)
+    v_cache_ref,  # (L, S, D) ANY/HBM
     out_ref,  # (1, K) bf16 VMEM
-    k_out_ref,  # (L, S, D) ANY — same buffer as k_cache_ref
-    v_out_ref,  # (L, S, D) ANY
+    k_new_ref,  # (1, D) VMEM — this token's k row (caller writes the cache)
+    v_new_ref,  # (1, D) VMEM
     # scratch:
     qkv_buf,  # (K, NQ) int8
     o_buf,  # (KO, K) int8
     kwin,  # (W, D) cache dtype
     vwin,  # (W, D)
-    krow,  # (1, D)
-    vrow,  # (1, D)
     gbuf,  # (2, K, bs) int8
     ubuf,  # (2, K, bs) int8
     dbuf,  # (2, bs, K) int8
@@ -152,37 +153,38 @@ def _kernel(
     q = rope(q)
     k_new = rope(k_new)
 
-    # ---- cache update: VMEM window copy + HBM write-back ----
+    # ---- emit this token's cache row (caller writes it; the window is
+    # NOT patched — the fresh token enters the attention arithmetically) ----
+    k_new_ref[...] = k_new.astype(k_new_ref.dtype)
+    v_new_ref[...] = v_new.astype(v_new_ref.dtype)
+
+    # ---- MQA attention over the window + the fresh token ----
     kwin_dma.wait()
     vwin_dma.wait()
-    krow[...] = k_new.astype(krow.dtype)
-    vrow[...] = v_new.astype(vrow.dtype)
-    kwin[pl.ds(pos, 1), :] = krow[...]
-    vwin[pl.ds(pos, 1), :] = vrow[...]
-    kw_dma = pltpu.make_async_copy(
-        krow, k_out_ref.at[l, pl.ds(pos, 1)], sems.at[7, 0]
-    )
-    vw_dma = pltpu.make_async_copy(
-        vrow, v_out_ref.at[l, pl.ds(pos, 1)], sems.at[7, 1]
-    )
-    kw_dma.start()
-    vw_dma.start()
-
-    # ---- MQA attention over the window ----
     scores = jax.lax.dot_general(
         q, kwin[...].astype(q.dtype), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (H, W)
-    scores = scores * scale
+    # (H, 1) q . k_new — as a VPU multiply-reduce (an (H, 1)-shaped
+    # dot_general trips a Mosaic vector.broadcast verifier bug)
+    s_new = jnp.sum(
+        q.astype(jnp.float32) * k_new.astype(jnp.float32), -1, keepdims=True
+    )
     slot_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    at_pos = slot_ids == pos  # this slot's window copy predates the write
+    scores = jnp.where(at_pos, s_new, scores) * scale
     scores = jnp.where(slot_ids < kv_len, scores, -jnp.inf)
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
     probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
+    p_pos = jnp.sum(
+        jnp.where(at_pos, probs.astype(jnp.float32), 0.0), -1, keepdims=True
+    ).astype(x.dtype)  # (H, 1)
+    probs = jnp.where(at_pos, jnp.zeros_like(probs), probs)
     attn = jax.lax.dot_general(
         probs, vwin[...].astype(x.dtype), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(x.dtype)  # (H, D)
+    ).astype(x.dtype) + p_pos * v_new.astype(x.dtype)  # (H, D)
     a = attn.reshape(1, n_heads * head_dim)
 
     # ---- o proj + residual ----
@@ -227,9 +229,6 @@ def _kernel(
 
     jax.lax.fori_loop(0, nc, body, 0)
     out_ref[...] = x + (acc[...] * ds_ref[0]).astype(x.dtype)
-
-    kw_dma.wait()
-    vw_dma.wait()
 
 
 def supported(cfg, layers, batch: int) -> bool:
@@ -281,7 +280,8 @@ def layer_decode_fused(
     eps: float,
     interpret: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Returns (layer output (1,1,K), k_cache, v_cache) — caches aliased."""
+    """Returns (layer output (1,1,K), k_new (1,D), v_new (1,D)); the caller
+    writes the two cache rows (one dynamic_update_slice each)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     k = x.shape[-1]
@@ -314,26 +314,26 @@ def layer_decode_fused(
             pl.BlockSpec((1, nc, bs), lambda g, s: (s[0], 0, 0)),
             pl.BlockSpec((1, nc, bs), lambda g, s: (s[0], 0, 0)),
             pl.BlockSpec((1, 1, k), lambda g, s: (s[0], 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            # caches pinned to HBM: under ANY the compiler promotes the
+            # (small enough) cache into VMEM and the window DMA misbehaves
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=[
             pl.BlockSpec((1, k), lambda g, s: (0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, head_dim), lambda g, s: (0, 0)),
+            pl.BlockSpec((1, head_dim), lambda g, s: (0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((k, nq2), jnp.int8),
             pltpu.VMEM((n_heads * head_dim, k), jnp.int8),
             pltpu.VMEM((window, head_dim), cdtype),
             pltpu.VMEM((window, head_dim), cdtype),
-            pltpu.VMEM((1, head_dim), cdtype),
-            pltpu.VMEM((1, head_dim), cdtype),
             pltpu.VMEM((2, k, bs), jnp.int8),
             pltpu.VMEM((2, k, bs), jnp.int8),
             pltpu.VMEM((2, bs, k), jnp.int8),
             pltpu.VMEM((1, k), jnp.float32),
-            pltpu.SemaphoreType.DMA((8, 2)),
+            pltpu.SemaphoreType.DMA((7, 2)),
         ],
     )
     scal = jnp.stack(
@@ -343,7 +343,7 @@ def layer_decode_fused(
             jnp.asarray(kv_len, jnp.int32),
         ]
     )
-    out, k_cache, v_cache = pl.pallas_call(
+    out, k_new, v_new = pl.pallas_call(
         functools.partial(
             _kernel, nc=nc, bs=bs, window=window, n_heads=n_heads,
             head_dim=head_dim, eps=eps, scale=head_dim**-0.5,
@@ -351,12 +351,9 @@ def layer_decode_fused(
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((1, k), x.dtype),
-            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
-            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+            jax.ShapeDtypeStruct((1, head_dim), cdtype),
+            jax.ShapeDtypeStruct((1, head_dim), cdtype),
         ],
-        # caches pass through in place (operand index counts the scalar-
-        # prefetch arg first: 0=scal, 1=x, ..., 16=k_cache, 17=v_cache)
-        input_output_aliases={16: 1, 17: 2},
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -381,4 +378,4 @@ def layer_decode_fused(
         k_cache,
         v_cache,
     )
-    return out.reshape(x.shape), k_cache, v_cache
+    return out.reshape(x.shape), k_new, v_new

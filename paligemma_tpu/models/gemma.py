@@ -325,12 +325,20 @@ def forward(
         window = min(kv_bucket or S, S)
         kv_len = cache_pos + 1
 
+        zero = jnp.zeros((), jnp.int32)
+
         def body(carry, l):
             h, kf, vf = carry
-            h, kf, vf = decode_layer.layer_decode_fused(
+            h, k_new, v_new = decode_layer.layer_decode_fused(
                 h, params["layers"], l, kf, vf, cache_pos, kv_len,
                 cos[:, 0], sin[:, 0], window, cfg.num_attention_heads,
                 hd, cfg.rms_norm_eps,
+            )
+            kf = jax.lax.dynamic_update_slice(
+                kf, k_new[None].astype(kf.dtype), (l, cache_pos, zero)
+            )
+            vf = jax.lax.dynamic_update_slice(
+                vf, v_new[None].astype(vf.dtype), (l, cache_pos, zero)
             )
             return (h, kf, vf), None
 

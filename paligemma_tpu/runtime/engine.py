@@ -105,9 +105,11 @@ class PaliGemmaEngine:
             fused_mlp = False
         self.fused_mlp = fused_mlp
         # Whole-layer fused decode kernel (kernels/decode_layer): B==1 only
-        # (gated per-trace in gemma.forward); subsumes fused_mlp.
+        # (B>1 traces fall back to the XLA path inside gemma.forward);
+        # subsumes fused_mlp. Default ON for TPU single-chip int8 decode —
+        # measured 3.578 vs 3.761 ms/step at the 3B bench shape.
         if fused_layer is None:
-            fused_layer = False
+            fused_layer = jax.default_backend() == "tpu" and mesh is None
         self.fused_layer = fused_layer
         self.mesh = mesh
         if mesh is not None:
