@@ -176,6 +176,11 @@ def repack(mlp, bs: Optional[int] = None) -> Dict[str, jnp.ndarray]:
         # (L, 1, K): TPU block specs need the last two dims tile-aligned or
         # full; (1, 1, K) blocks satisfy that where (1, K) over (L, K) can't
         "ds": dn_s.reshape(L, 1, K).astype(jnp.float32),
+        # originals kept so non-fused traces through the same tree (batched
+        # decode falls back to the XLA _mlp path) still find their weights;
+        # gate/up cost one extra HBM copy, "down" is shared either way
+        "gateup": mlp["gateup"],
+        "down": mlp["down"],
     }
 
 
