@@ -379,3 +379,343 @@ def layer_decode_fused(
         v_cache,
     )
     return out.reshape(x.shape), k_new, v_new
+
+
+# ---------------------------------------------------------------------------
+# All-layers variant: grid=(L,) with the hidden state persisting in VMEM
+# scratch across grid steps. One pallas_call per decode step instead of L —
+# removes L-1 kernel launches AND lets every weight stream prefetch across
+# the layer boundary (layer l+1's qkv/o/KV-window/chunk-0 DMAs start while
+# layer l's MLP is still streaming), so the DMA pipeline never drains.
+# ---------------------------------------------------------------------------
+def _kernel_all(
+    scal_ref,  # (2,) int32: [cache_pos, kv_len]
+    x_ref,  # (1, K)
+    cos_ref,  # (1, D)
+    sin_ref,  # (1, D)
+    in_norm_ref,  # (1, 1, K) block at layer l (auto-pipelined)
+    post_norm_ref,  # (1, 1, K)
+    qkv_w8_ref,  # (L, K, NQ) ANY
+    qkv_s_ref,  # (1, 1, NQ) block at l
+    o_w8_ref,  # (L, KO, K) ANY
+    o_s_ref,  # (1, 1, K) block at l
+    gate_ref,  # (L, nc, K, bs) ANY
+    up_ref,  # (L, nc, K, bs) ANY
+    dn_ref,  # (L, I, K) ANY
+    gs_ref,  # (1, nc, bs) block at l
+    us_ref,  # (1, nc, bs) block at l
+    ds_ref,  # (1, 1, K) block at l
+    k_cache_ref,  # (L, S, D) HBM
+    v_cache_ref,  # (L, S, D) HBM
+    out_ref,  # (1, K) — written on the last grid step
+    k_new_ref,  # (1, 1, D) block at l
+    v_new_ref,  # (1, 1, D) block at l
+    # scratch (persists across grid steps):
+    h_state,  # (1, K) activation dtype
+    qkv_buf,  # (2, K, NQ) int8 ring over layers
+    o_buf,  # (2, KO, K) int8
+    kwin,  # (2, W, D)
+    vwin,  # (2, W, D)
+    gbuf,  # (2, K, bs) int8 ring over (layer, chunk)
+    ubuf,
+    dbuf,
+    acc,  # (1, K) f32
+    sems,  # DMA (7, 2)
+    *,
+    n_layers: int,
+    nc: int,
+    bs: int,
+    window: int,
+    n_heads: int,
+    head_dim: int,
+    eps: float,
+    scale: float,
+):
+    l = pl.program_id(0)
+    pos = scal_ref[0]
+    kv_len = scal_ref[1]
+    lslot = jax.lax.rem(l, 2)
+    nslot = jax.lax.rem(l + 1, 2)
+
+    def dma_qkv(li, s):
+        return pltpu.make_async_copy(qkv_w8_ref.at[li], qkv_buf.at[s],
+                                     sems.at[3, s])
+
+    def dma_o(li, s):
+        return pltpu.make_async_copy(o_w8_ref.at[li], o_buf.at[s],
+                                     sems.at[4, s])
+
+    def dma_kwin(li, s):
+        return pltpu.make_async_copy(k_cache_ref.at[li, pl.ds(0, window)],
+                                     kwin.at[s], sems.at[5, s])
+
+    def dma_vwin(li, s):
+        return pltpu.make_async_copy(v_cache_ref.at[li, pl.ds(0, window)],
+                                     vwin.at[s], sems.at[6, s])
+
+    # mlp ring parity is global over (layer, chunk) so the stream never
+    # stalls at the layer boundary
+    def cslot(li, c):
+        return jax.lax.rem(li * nc + c, 2)
+
+    def dma_g(li, c, s):
+        return pltpu.make_async_copy(gate_ref.at[li, c], gbuf.at[s],
+                                     sems.at[0, s])
+
+    def dma_u(li, c, s):
+        return pltpu.make_async_copy(up_ref.at[li, c], ubuf.at[s],
+                                     sems.at[1, s])
+
+    def dma_d(li, c, s):
+        return pltpu.make_async_copy(dn_ref.at[li, pl.ds(c * bs, bs), :],
+                                     dbuf.at[s], sems.at[2, s])
+
+    @pl.when(l == 0)
+    def _():
+        # warmup: this layer's front-half streams + first MLP chunk
+        dma_qkv(0, 0).start()
+        dma_kwin(0, 0).start()
+        dma_vwin(0, 0).start()
+        dma_o(0, 0).start()
+        dma_g(0, 0, 0).start()
+        dma_u(0, 0, 0).start()
+        dma_d(0, 0, 0).start()
+        h_state[...] = x_ref[...]
+
+    # prefetch the NEXT layer's front half right away (rides behind this
+    # layer's already-queued chunk DMAs)
+    @pl.when(l + 1 < n_layers)
+    def _():
+        dma_qkv(l + 1, nslot).start()
+        dma_kwin(l + 1, nslot).start()
+        dma_vwin(l + 1, nslot).start()
+        dma_o(l + 1, nslot).start()
+
+    def rmsnorm(h, w_ref):
+        hf = h.astype(jnp.float32)
+        ms = jnp.mean(hf * hf, axis=-1, keepdims=True)
+        n = hf * jax.lax.rsqrt(ms + eps)
+        return (n * (1.0 + w_ref[0].astype(jnp.float32))).astype(h.dtype)
+
+    x = h_state[...]
+    y = rmsnorm(x, in_norm_ref)
+
+    dma_qkv(l, lslot).wait()
+    qkv = jax.lax.dot_general(
+        y, qkv_buf[lslot].astype(y.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    qkv = (qkv * qkv_s_ref[0]).astype(y.dtype)
+    nq = n_heads * head_dim
+    q = qkv[:, :nq].reshape(n_heads, head_dim)
+    k_new = qkv[:, nq : nq + head_dim]
+    v_new = qkv[:, nq + head_dim :]
+
+    cos = cos_ref[...]
+    sin = sin_ref[...]
+
+    def rope(t):
+        half = head_dim // 2
+        t1, t2 = t[..., :half], t[..., half:]
+        rot = jnp.concatenate([-t2, t1], axis=-1)
+        return t * cos + rot * sin
+
+    q = rope(q)
+    k_new = rope(k_new)
+    k_new_ref[...] = k_new[None].astype(k_new_ref.dtype)
+    v_new_ref[...] = v_new[None].astype(v_new_ref.dtype)
+
+    dma_kwin(l, lslot).wait()
+    dma_vwin(l, lslot).wait()
+    scores = jax.lax.dot_general(
+        q, kwin[lslot].astype(q.dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s_new = jnp.sum(
+        q.astype(jnp.float32) * k_new.astype(jnp.float32), -1, keepdims=True
+    )
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    at_pos = slot_ids == pos
+    scores = jnp.where(at_pos, s_new, scores) * scale
+    scores = jnp.where(slot_ids < kv_len, scores, -jnp.inf)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
+    p_pos = jnp.sum(
+        jnp.where(at_pos, probs.astype(jnp.float32), 0.0), -1, keepdims=True
+    ).astype(x.dtype)
+    probs = jnp.where(at_pos, jnp.zeros_like(probs), probs)
+    attn = jax.lax.dot_general(
+        probs, vwin[lslot].astype(x.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype) + p_pos * v_new.astype(x.dtype)
+    a = attn.reshape(1, n_heads * head_dim)
+
+    dma_o(l, lslot).wait()
+    o = jax.lax.dot_general(
+        a, o_buf[lslot].astype(a.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    x = x + (o * o_s_ref[0]).astype(x.dtype)
+
+    y2 = rmsnorm(x, post_norm_ref)
+    acc[...] = jnp.zeros_like(acc)
+
+    def body(c, carry):
+        s = cslot(l, c)
+
+        # prefetch: next chunk of this layer, or chunk 0 of the next layer
+        @pl.when(c + 1 < nc)
+        def _():
+            ns = cslot(l, c + 1)
+            dma_g(l, c + 1, ns).start()
+            dma_u(l, c + 1, ns).start()
+            dma_d(l, c + 1, ns).start()
+
+        @pl.when((c + 1 == nc) & (l + 1 < n_layers))
+        def _():
+            ns = cslot(l + 1, 0)
+            dma_g(l + 1, 0, ns).start()
+            dma_u(l + 1, 0, ns).start()
+            dma_d(l + 1, 0, ns).start()
+
+        dma_g(l, c, s).wait()
+        dma_u(l, c, s).wait()
+        g = jax.lax.dot_general(
+            y2, gbuf[s].astype(y2.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        u = jax.lax.dot_general(
+            y2, ubuf[s].astype(y2.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        t = (gelu_tanh(g * gs_ref[0, c]) * (u * us_ref[0, c])).astype(y2.dtype)
+        dma_d(l, c, s).wait()
+        acc[...] += jax.lax.dot_general(
+            t, dbuf[s].astype(y2.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return carry
+
+    jax.lax.fori_loop(0, nc, body, 0)
+    x = x + (acc[...] * ds_ref[0]).astype(x.dtype)
+    h_state[...] = x
+
+    @pl.when(l == n_layers - 1)
+    def _():
+        out_ref[...] = x
+
+
+def layers_decode_fused(
+    x: jnp.ndarray,  # (1, 1, K)
+    packed: Dict,  # repack_layers() output
+    k_cache: jnp.ndarray,  # (L, S, D)
+    v_cache: jnp.ndarray,  # (L, S, D)
+    cache_pos: jnp.ndarray,
+    kv_len: jnp.ndarray,
+    cos: jnp.ndarray,  # (1, D)
+    sin: jnp.ndarray,
+    window: int,
+    n_heads: int,
+    head_dim: int,
+    eps: float,
+    interpret: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """All L layers in ONE kernel. Returns (hidden (1,1,K),
+    k_new (L,1,D), v_new (L,1,D)); the caller writes the cache rows with a
+    single dynamic_update_slice each."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    k = x.shape[-1]
+    x2 = x.reshape(1, k)
+    mlp = packed["mlp"]
+    L, nc, _, bs = mlp["gate_blk"].shape
+    S = k_cache.shape[1]
+    window = min(window, S)
+    qkv_w8 = packed["attn"]["qkv"]["w8"]
+    o_w8 = packed["attn"]["o"]["w8"]
+    nq2 = qkv_w8.shape[-1]
+    ko = o_w8.shape[-2]
+    cdtype = k_cache.dtype
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(L,),
+        in_specs=[
+            pl.BlockSpec((1, k), lambda l, s: (0, 0)),
+            pl.BlockSpec((1, head_dim), lambda l, s: (0, 0)),
+            pl.BlockSpec((1, head_dim), lambda l, s: (0, 0)),
+            pl.BlockSpec((1, 1, k), lambda l, s: (l, 0, 0)),
+            pl.BlockSpec((1, 1, k), lambda l, s: (l, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, 1, nq2), lambda l, s: (l, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, 1, k), lambda l, s: (l, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, nc, bs), lambda l, s: (l, 0, 0)),
+            pl.BlockSpec((1, nc, bs), lambda l, s: (l, 0, 0)),
+            pl.BlockSpec((1, 1, k), lambda l, s: (l, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, k), lambda l, s: (0, 0)),
+            pl.BlockSpec((1, 1, head_dim), lambda l, s: (l, 0, 0)),
+            pl.BlockSpec((1, 1, head_dim), lambda l, s: (l, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, k), x.dtype),
+            pltpu.VMEM((2, k, nq2), jnp.int8),
+            pltpu.VMEM((2, ko, k), jnp.int8),
+            pltpu.VMEM((2, window, head_dim), cdtype),
+            pltpu.VMEM((2, window, head_dim), cdtype),
+            pltpu.VMEM((2, k, bs), jnp.int8),
+            pltpu.VMEM((2, k, bs), jnp.int8),
+            pltpu.VMEM((2, bs, k), jnp.int8),
+            pltpu.VMEM((1, k), jnp.float32),
+            pltpu.SemaphoreType.DMA((7, 2)),
+        ],
+    )
+    scal = jnp.stack(
+        [jnp.asarray(cache_pos, jnp.int32), jnp.asarray(kv_len, jnp.int32)]
+    )
+    out, k_new, v_new = pl.pallas_call(
+        functools.partial(
+            _kernel_all, n_layers=L, nc=nc, bs=bs, window=window,
+            n_heads=n_heads, head_dim=head_dim, eps=eps,
+            scale=head_dim**-0.5,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, k), x.dtype),
+            jax.ShapeDtypeStruct((L, 1, head_dim), cdtype),
+            jax.ShapeDtypeStruct((L, 1, head_dim), cdtype),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )(
+        scal,
+        x2,
+        cos.astype(x.dtype).reshape(1, head_dim),
+        sin.astype(x.dtype).reshape(1, head_dim),
+        packed["input_norm"],
+        packed["post_norm"],
+        qkv_w8,
+        packed["qkv_s"],
+        o_w8,
+        packed["o_s"],
+        mlp["gate_blk"],
+        mlp["up_blk"],
+        mlp["down_w8"],
+        mlp["gs"],
+        mlp["us"],
+        mlp["ds"],
+        k_cache,
+        v_cache,
+    )
+    return out.reshape(x.shape), k_new, v_new

@@ -326,24 +326,16 @@ def forward(
         kv_len = cache_pos + 1
 
         zero = jnp.zeros((), jnp.int32)
-
-        def body(carry, l):
-            h, kf, vf = carry
-            h, k_new, v_new = decode_layer.layer_decode_fused(
-                h, params["layers"], l, kf, vf, cache_pos, kv_len,
-                cos[:, 0], sin[:, 0], window, cfg.num_attention_heads,
-                hd, cfg.rms_norm_eps,
-            )
-            kf = jax.lax.dynamic_update_slice(
-                kf, k_new[None].astype(kf.dtype), (l, cache_pos, zero)
-            )
-            vf = jax.lax.dynamic_update_slice(
-                vf, v_new[None].astype(vf.dtype), (l, cache_pos, zero)
-            )
-            return (h, kf, vf), None
-
-        (x, k_flat, v_flat), _ = jax.lax.scan(
-            body, (x, k_flat, v_flat), jnp.arange(n_layers, dtype=jnp.int32)
+        x, k_news, v_news = decode_layer.layers_decode_fused(
+            x, params["layers"], k_flat, v_flat, cache_pos, kv_len,
+            cos[:, 0], sin[:, 0], window, cfg.num_attention_heads,
+            hd, cfg.rms_norm_eps,
+        )
+        k_flat = jax.lax.dynamic_update_slice(
+            k_flat, k_news.astype(k_flat.dtype), (zero, cache_pos, zero)
+        )
+        v_flat = jax.lax.dynamic_update_slice(
+            v_flat, v_news.astype(v_flat.dtype), (zero, cache_pos, zero)
         )
         x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
         if logits_idx is not None:
