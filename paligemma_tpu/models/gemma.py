@@ -268,6 +268,7 @@ def forward(
     scan_block: int = 1,  # decoder layers per scan body (see below)
     fused_mlp: bool = False,  # use the fused decode-MLP kernel (S==1, int8)
     fused_layer: bool = False,  # whole-layer decode kernel (S==1, B==1, int8)
+    greedy_head: bool = False,  # return the argmax token id, not logits
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Run the decoder stack. Returns (fp32 logits (B,S,vocab), new cache).
 
@@ -338,13 +339,22 @@ def forward(
             v_flat, v_news.astype(v_flat.dtype), (zero, cache_pos, zero)
         )
         x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-        if logits_idx is not None:
-            x = jnp.take_along_axis(x, logits_idx[:, None, None], axis=1)
-        logits = lm_head(params, x).astype(jnp.float32)
         new_cache = {
             "k": k_flat.reshape(kv_cache["k"].shape),
             "v": v_flat.reshape(kv_cache["v"].shape),
         }
+        if greedy_head and "w8_blk" in params.get("head_q", {}):
+            # greedy decode: stream the int8 head with a fused running
+            # argmax — the 1 MB logits row is never materialized
+            from ..kernels.decode_head import head_argmax_fused
+
+            tok = head_argmax_fused(x, params["head_q"])  # (1,)
+            return tok, new_cache
+        if logits_idx is not None:
+            x = jnp.take_along_axis(x, logits_idx[:, None, None], axis=1)
+        logits = lm_head(params, x).astype(jnp.float32)
+        if greedy_head:
+            return jnp.argmax(logits[:, -1], -1).astype(jnp.int32), new_cache
         return logits, new_cache
 
     mlp_full = None
@@ -404,6 +414,10 @@ def forward(
         # full prompt is ~15% of prefill time
         x = jnp.take_along_axis(x, logits_idx[:, None, None], axis=1)
     logits = lm_head(params, x).astype(jnp.float32)
+    if greedy_head:  # XLA fallback when the fused greedy path isn't taken
+        return jnp.argmax(logits[:, -1], -1).astype(jnp.int32), {
+            "k": new_k, "v": new_v,
+        }
     return logits, {"k": new_k, "v": new_v}
 
 

@@ -273,6 +273,40 @@ def decode_step(
     return logits[:, 0, :], kv_cache
 
 
+def decode_step_greedy(
+    params: Params,
+    cfg: PaliGemmaConfig,
+    token: jnp.ndarray,  # (B,) int32
+    kv_cache: gemma.KVCache,
+    cache_pos: jnp.ndarray,
+    kv_valid: jnp.ndarray,
+    position_ids: jnp.ndarray,
+    kv_bucket: Optional[int] = None,
+    fused_layer: bool = True,
+) -> Tuple[jnp.ndarray, gemma.KVCache]:
+    """Greedy single-token decode: returns (next_token (B,), new cache).
+
+    With the fused decode kernels active this never materializes the
+    (B, 257k) logits row — the int8 head streams through a running-argmax
+    Pallas kernel (kernels/decode_head.py). Falls back to XLA logits +
+    argmax for shapes the kernels don't cover; tokens are identical either
+    way (the kernel reproduces the XLA path's bf16 logit rounding)."""
+    embeds = params["lm"]["embed"][token][:, None, :]
+    tok, kv_cache = gemma.forward(
+        params["lm"],
+        cfg.text_config,
+        embeds,
+        position_ids[:, None],
+        kv_cache,
+        cache_pos=cache_pos,
+        kv_valid=kv_valid,
+        kv_bucket=kv_bucket,
+        fused_layer=fused_layer,
+        greedy_head=True,
+    )
+    return tok, kv_cache
+
+
 def decode_step_paged(
     params: Params,
     cfg: PaliGemmaConfig,

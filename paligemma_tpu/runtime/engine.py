@@ -157,7 +157,17 @@ class PaliGemmaEngine:
                 dp = dict(self.decode_params)
                 dp["lm"] = dict(dp["lm"])
                 dp["lm"]["layers"] = packed
+                if self.fused_layer and "head_q" in dp["lm"]:
+                    from ..kernels import decode_head as _dh
+
+                    dp["lm"]["head_q"] = jax.jit(_dh.repack_head)(
+                        dp["lm"]["head_q"]
+                    )
                 self.decode_params = dp
+        self._greedy_head_fused = (
+            self.fused_layer
+            and "w8_blk" in self.decode_params["lm"].get("head_q", {})
+        )
 
         cfg = config  # closed over statically (frozen dataclass)
 
@@ -307,6 +317,46 @@ class PaliGemmaEngine:
         if sig in self._chunk_cache:
             return self._chunk_cache[sig]
         cfg = self.config
+
+        if not do_sample and self._greedy_head_fused:
+            # Greedy fast path: the fused head+argmax kernel returns the
+            # token id directly, so the chunk carries a (B,) TOKEN instead
+            # of (B, V) logits between steps and across chunks. The first
+            # chunk still receives prefill logits (2-D seed -> argmax);
+            # later chunks feed the returned token back in. Emitted tokens
+            # are bit-identical to the sampling path at do_sample=False.
+            @functools.partial(
+                jax.jit, donate_argnums=(1, 2, 3),
+                compiler_options=self._decode_jit_opts,
+            )
+            def chunk_greedy(params, seed, state: KVState, done, key):
+                token0 = (
+                    jnp.argmax(seed, -1).astype(jnp.int32)
+                    if seed.ndim == 2
+                    else seed
+                )
+
+                def body(carry, _):
+                    token, state, done = carry
+                    token = jnp.where(done, eos, token)
+                    done = done | (token == eos)
+                    valid = state.valid.at[:, state.write_pos].set(True)
+                    next_tok, cache = paligemma.decode_step_greedy(
+                        params, cfg, token, state.cache,
+                        cache_pos=state.write_pos, kv_valid=valid,
+                        position_ids=state.pos_ids, kv_bucket=kv_bucket,
+                    )
+                    new_state = KVState(cache, valid, state.write_pos + 1,
+                                        state.pos_ids + 1)
+                    return (next_tok, new_state, done), token
+
+                (tok, state, done), tokens = jax.lax.scan(
+                    body, (token0, state, done), None, length=n_steps
+                )
+                return tok, state, tokens.T, done
+
+            self._chunk_cache[sig] = chunk_greedy
+            return chunk_greedy
 
         @functools.partial(
             jax.jit, donate_argnums=(1, 2, 3),
