@@ -33,10 +33,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(
-    y_ref,  # (1, K) bf16 VMEM — final-norm output
+    y_ref,  # (B, K) bf16 VMEM — final-norm output
     w_ref,  # (nch, K, bs) int8 ANY/HBM
     s_ref,  # (nch, 1, bs) f32 VMEM
-    tok_ref,  # (1, 1) int32 SMEM out
+    tok_ref,  # (B, 1) int32 VMEM out
     wbuf,  # (2, K, bs) int8 VMEM scratch
     sems,  # DMA (2,)
     *,
@@ -61,11 +61,11 @@ def _kernel(
         logits = jax.lax.dot_general(
             y, wbuf[slot].astype(y.dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * s_ref[c]  # (1, bs) f32
+        ) * s_ref[c]  # (B, bs) f32
         # round-trip through bf16: the XLA path (matmul_any -> lm_head)
         # emits bf16 logits, so argmax must see identical rounding
         logits = logits.astype(jnp.bfloat16).astype(jnp.float32)
-        m = jnp.max(logits, axis=-1, keepdims=True)  # (1, 1)
+        m = jnp.max(logits, axis=-1, keepdims=True)  # (B, 1)
         ids = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + c * bs
         idx = jnp.min(
             jnp.where(logits == m, ids, jnp.int32(2**31 - 1)),
@@ -76,10 +76,11 @@ def _kernel(
         best_m = jnp.where(better, m, best_m)
         return best_m, best_i
 
-    neg = jnp.full((1, 1), -jnp.inf, jnp.float32)
-    zero = jnp.zeros((1, 1), jnp.int32)
+    bsz = y_ref.shape[0]
+    neg = jnp.full((bsz, 1), -jnp.inf, jnp.float32)
+    zero = jnp.zeros((bsz, 1), jnp.int32)
     _, best_i = jax.lax.fori_loop(0, nch, body, (neg, zero))
-    tok_ref[0, 0] = best_i[0, 0]
+    tok_ref[...] = best_i
 
 
 def pick_block(vocab: int) -> Optional[int]:
@@ -115,27 +116,28 @@ def repack_head(
 
 
 def head_argmax_fused(
-    y: jnp.ndarray,  # (1, 1, K) or (1, K) — final-norm output, B==1
+    y: jnp.ndarray,  # (B, 1, K) or (B, K) — final-norm output
     head_blk: Dict[str, jnp.ndarray],  # repack_head() output
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
-    """Greedy token id (shape (1,) int32) without materializing logits."""
+    """Greedy token ids (shape (B,) int32) without materializing logits."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     k = y.shape[-1]
-    y2 = y.reshape(1, k)
+    y2 = y.reshape(-1, k)
+    b = y2.shape[0]
     nch, _, bs = head_blk["w8_blk"].shape
 
     tok = pl.pallas_call(
         functools.partial(_kernel, nch=nch, bs=bs),
         grid=(1,),
         in_specs=[
-            pl.BlockSpec((1, k), lambda g: (0, 0)),
+            pl.BlockSpec((b, k), lambda g: (0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        out_specs=pl.BlockSpec((b, 1), lambda g: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, 1), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((2, k, bs), jnp.int8),
             pltpu.SemaphoreType.DMA((2,)),
@@ -152,7 +154,7 @@ def reference_head_argmax(y, head_q):
     """XLA reference for tests: fp32 logits then jnp.argmax."""
     logits = (
         jax.lax.dot_general(
-            y.reshape(1, -1), head_q["w8"].astype(y.dtype),
+            y.reshape(-1, y.shape[-1]), head_q["w8"].astype(y.dtype),
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
         * head_q["s"]

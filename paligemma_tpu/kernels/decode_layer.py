@@ -234,7 +234,7 @@ def _kernel(
 def supported(cfg, layers, batch: int) -> bool:
     """Static check the engine/forward use before picking this kernel."""
     return (
-        batch == 1
+        1 <= batch <= 32  # lockstep rows share the weight stream; VMEM cap
         and cfg.num_key_value_heads == 1
         and cfg.head_dim % 128 == 0
         and isinstance(layers.get("attn", {}).get("qkv"), dict)
@@ -381,18 +381,25 @@ def layer_decode_fused(
     return out.reshape(x.shape), k_new, v_new
 
 
+
 # ---------------------------------------------------------------------------
 # All-layers variant: grid=(L,) with the hidden state persisting in VMEM
 # scratch across grid steps. One pallas_call per decode step instead of L —
 # removes L-1 kernel launches AND lets every weight stream prefetch across
 # the layer boundary (layer l+1's qkv/o/KV-window/chunk-0 DMAs start while
 # layer l's MLP is still streaming), so the DMA pipeline never drains.
+#
+# Batched: B token-rows decode in lockstep through the same weight stream
+# (weight DMA is batch-invariant). Per-row cache positions and an explicit
+# per-row validity-mask window make it exact for right-padded batches and
+# for continuous-batching slots at different sequence lengths.
 # ---------------------------------------------------------------------------
 def _kernel_all(
-    scal_ref,  # (2,) int32: [cache_pos, kv_len]
-    x_ref,  # (1, K)
-    cos_ref,  # (1, D)
-    sin_ref,  # (1, D)
+    pos_ref,  # (B,) int32 scalar prefetch: per-row cache write position
+    x_ref,  # (B, K)
+    cos_ref,  # (B, D)
+    sin_ref,  # (B, D)
+    valid_ref,  # (B, W) int8: attendable window slots (incl. this token's)
     in_norm_ref,  # (1, 1, K) block at layer l (auto-pipelined)
     post_norm_ref,  # (1, 1, K)
     qkv_w8_ref,  # (L, K, NQ) ANY
@@ -405,21 +412,21 @@ def _kernel_all(
     gs_ref,  # (1, nc, bs) block at l
     us_ref,  # (1, nc, bs) block at l
     ds_ref,  # (1, 1, K) block at l
-    k_cache_ref,  # (L, S, D) HBM
-    v_cache_ref,  # (L, S, D) HBM
-    out_ref,  # (1, K) — written on the last grid step
-    k_new_ref,  # (1, 1, D) block at l
-    v_new_ref,  # (1, 1, D) block at l
+    k_cache_ref,  # (L, B, S, D) HBM
+    v_cache_ref,  # (L, B, S, D) HBM
+    out_ref,  # (B, K) — written on the last grid step
+    k_new_ref,  # (1, B, D) block at l
+    v_new_ref,  # (1, B, D) block at l
     # scratch (persists across grid steps):
-    h_state,  # (1, K) activation dtype
+    h_state,  # (B, K) activation dtype
     qkv_buf,  # (2, K, NQ) int8 ring over layers
     o_buf,  # (2, KO, K) int8
-    kwin,  # (2, W, D)
-    vwin,  # (2, W, D)
+    kwin,  # (2, B, W, D)
+    vwin,  # (2, B, W, D)
     gbuf,  # (2, K, bs) int8 ring over (layer, chunk)
     ubuf,
     dbuf,
-    acc,  # (1, K) f32
+    acc,  # (B, K) f32
     sems,  # DMA (7, 2)
     *,
     n_layers: int,
@@ -430,10 +437,9 @@ def _kernel_all(
     head_dim: int,
     eps: float,
     scale: float,
+    batch: int,
 ):
     l = pl.program_id(0)
-    pos = scal_ref[0]
-    kv_len = scal_ref[1]
     lslot = jax.lax.rem(l, 2)
     nslot = jax.lax.rem(l + 1, 2)
 
@@ -446,12 +452,14 @@ def _kernel_all(
                                      sems.at[4, s])
 
     def dma_kwin(li, s):
-        return pltpu.make_async_copy(k_cache_ref.at[li, pl.ds(0, window)],
-                                     kwin.at[s], sems.at[5, s])
+        return pltpu.make_async_copy(
+            k_cache_ref.at[li, :, pl.ds(0, window)], kwin.at[s], sems.at[5, s]
+        )
 
     def dma_vwin(li, s):
-        return pltpu.make_async_copy(v_cache_ref.at[li, pl.ds(0, window)],
-                                     vwin.at[s], sems.at[6, s])
+        return pltpu.make_async_copy(
+            v_cache_ref.at[li, :, pl.ds(0, window)], vwin.at[s], sems.at[6, s]
+        )
 
     # mlp ring parity is global over (layer, chunk) so the stream never
     # stalls at the layer boundary
@@ -505,51 +513,63 @@ def _kernel_all(
         y, qkv_buf[lslot].astype(y.dtype), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    qkv = (qkv * qkv_s_ref[0]).astype(y.dtype)
+    qkv = (qkv * qkv_s_ref[0]).astype(y.dtype)  # (B, NQ)
     nq = n_heads * head_dim
-    q = qkv[:, :nq].reshape(n_heads, head_dim)
-    k_new = qkv[:, nq : nq + head_dim]
-    v_new = qkv[:, nq + head_dim :]
+    q3 = qkv[:, :nq].reshape(batch, n_heads, head_dim)
+    k_new = qkv[:, nq : nq + head_dim]  # (B, D)
+    v_new = qkv[:, nq + head_dim :]  # (B, D)
 
-    cos = cos_ref[...]
+    cos = cos_ref[...]  # (B, D)
     sin = sin_ref[...]
+    half = head_dim // 2
 
-    def rope(t):
-        half = head_dim // 2
-        t1, t2 = t[..., :half], t[..., half:]
-        rot = jnp.concatenate([-t2, t1], axis=-1)
-        return t * cos + rot * sin
+    def rope2(t, c, s):  # (B, D) rows
+        rot = jnp.concatenate([-t[:, half:], t[:, :half]], axis=-1)
+        return t * c + rot * s
 
-    q = rope(q)
-    k_new = rope(k_new)
+    def rope3(t, c, s):  # (B, H, D) with per-row tables
+        rot = jnp.concatenate([-t[..., half:], t[..., :half]], axis=-1)
+        return t * c[:, None, :] + rot * s[:, None, :]
+
+    q3 = rope3(q3, cos, sin)
+    k_new = rope2(k_new, cos, sin)
     k_new_ref[...] = k_new[None].astype(k_new_ref.dtype)
     v_new_ref[...] = v_new[None].astype(v_new_ref.dtype)
 
+    # ---- per-row MQA attention over the window + the fresh token ----
     dma_kwin(l, lslot).wait()
     dma_vwin(l, lslot).wait()
-    scores = jax.lax.dot_general(
-        q, kwin[lslot].astype(q.dtype), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    pos = pos_ref[...]  # (B,)
+    valid = valid_ref[...] != 0  # (B, W)
     s_new = jnp.sum(
-        q.astype(jnp.float32) * k_new.astype(jnp.float32), -1, keepdims=True
-    )
-    slot_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-    at_pos = slot_ids == pos
-    scores = jnp.where(at_pos, s_new, scores) * scale
-    scores = jnp.where(slot_ids < kv_len, scores, -jnp.inf)
-    m = jnp.max(scores, axis=-1, keepdims=True)
-    e = jnp.exp(scores - m)
-    probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
-    p_pos = jnp.sum(
-        jnp.where(at_pos, probs.astype(jnp.float32), 0.0), -1, keepdims=True
-    ).astype(x.dtype)
-    probs = jnp.where(at_pos, jnp.zeros_like(probs), probs)
-    attn = jax.lax.dot_general(
-        probs, vwin[lslot].astype(x.dtype), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype) + p_pos * v_new.astype(x.dtype)
-    a = attn.reshape(1, n_heads * head_dim)
+        q3.astype(jnp.float32) * k_new.astype(jnp.float32)[:, None, :],
+        -1, keepdims=True,
+    )  # (B, H, 1)
+
+    attn_rows = []
+    for b in range(batch):
+        scores = jax.lax.dot_general(
+            q3[b], kwin[lslot, b].astype(q3.dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (H, W)
+        slot_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        at_pos = slot_ids == pos[b]  # window copy predates this row's write
+        scores = jnp.where(at_pos, s_new[b], scores) * scale
+        scores = jnp.where(valid[b][None, :], scores, -jnp.inf)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
+        p_pos = jnp.sum(
+            jnp.where(at_pos, probs.astype(jnp.float32), 0.0),
+            -1, keepdims=True,
+        ).astype(x.dtype)  # (H, 1)
+        probs = jnp.where(at_pos, jnp.zeros_like(probs), probs)
+        attn_b = jax.lax.dot_general(
+            probs, vwin[lslot, b].astype(x.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype) + p_pos * v_new[b][None, :].astype(x.dtype)
+        attn_rows.append(attn_b.reshape(1, nq))
+    a = jnp.concatenate(attn_rows, axis=0)  # (B, NQ)
 
     dma_o(l, lslot).wait()
     o = jax.lax.dot_general(
@@ -607,13 +627,13 @@ def _kernel_all(
 
 
 def layers_decode_fused(
-    x: jnp.ndarray,  # (1, 1, K)
+    x: jnp.ndarray,  # (B, 1, K)
     packed: Dict,  # repack_layers() output
-    k_cache: jnp.ndarray,  # (L, S, D)
-    v_cache: jnp.ndarray,  # (L, S, D)
-    cache_pos: jnp.ndarray,
-    kv_len: jnp.ndarray,
-    cos: jnp.ndarray,  # (1, D)
+    k_cache: jnp.ndarray,  # (L, B, S, D)
+    v_cache: jnp.ndarray,  # (L, B, S, D)
+    cache_pos: jnp.ndarray,  # (B,) int32 per-row write positions
+    kv_valid_window: jnp.ndarray,  # (B, W) bool — incl. this token's slot
+    cos: jnp.ndarray,  # (B, D)
     sin: jnp.ndarray,
     window: int,
     n_heads: int,
@@ -621,17 +641,22 @@ def layers_decode_fused(
     eps: float,
     interpret: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """All L layers in ONE kernel. Returns (hidden (1,1,K),
-    k_new (L,1,D), v_new (L,1,D)); the caller writes the cache rows with a
-    single dynamic_update_slice each."""
+    """All L layers for B lockstep rows in ONE kernel. Returns
+    (hidden (B,1,K), k_new (L,B,D), v_new (L,B,D)); the caller writes the
+    per-row cache rows (dynamic_update_slice per row, or one slice when
+    all rows share a position)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     k = x.shape[-1]
-    x2 = x.reshape(1, k)
+    b = x.shape[0]
+    x2 = x.reshape(b, k)
     mlp = packed["mlp"]
     L, nc, _, bs = mlp["gate_blk"].shape
-    S = k_cache.shape[1]
+    S = k_cache.shape[2]
     window = min(window, S)
+    assert kv_valid_window.shape == (b, window), (
+        kv_valid_window.shape, (b, window),
+    )
     qkv_w8 = packed["attn"]["qkv"]["w8"]
     o_w8 = packed["attn"]["o"]["w8"]
     nq2 = qkv_w8.shape[-1]
@@ -642,9 +667,10 @@ def layers_decode_fused(
         num_scalar_prefetch=1,
         grid=(L,),
         in_specs=[
-            pl.BlockSpec((1, k), lambda l, s: (0, 0)),
-            pl.BlockSpec((1, head_dim), lambda l, s: (0, 0)),
-            pl.BlockSpec((1, head_dim), lambda l, s: (0, 0)),
+            pl.BlockSpec((b, k), lambda l, s: (0, 0)),
+            pl.BlockSpec((b, head_dim), lambda l, s: (0, 0)),
+            pl.BlockSpec((b, head_dim), lambda l, s: (0, 0)),
+            pl.BlockSpec((b, window), lambda l, s: (0, 0)),
             pl.BlockSpec((1, 1, k), lambda l, s: (l, 0, 0)),
             pl.BlockSpec((1, 1, k), lambda l, s: (l, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -657,41 +683,43 @@ def layers_decode_fused(
             pl.BlockSpec((1, nc, bs), lambda l, s: (l, 0, 0)),
             pl.BlockSpec((1, nc, bs), lambda l, s: (l, 0, 0)),
             pl.BlockSpec((1, 1, k), lambda l, s: (l, 0, 0)),
+            # caches pinned to HBM: under ANY the compiler promotes the
+            # (small enough) cache into VMEM and the window DMA misbehaves
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=[
-            pl.BlockSpec((1, k), lambda l, s: (0, 0)),
-            pl.BlockSpec((1, 1, head_dim), lambda l, s: (l, 0, 0)),
-            pl.BlockSpec((1, 1, head_dim), lambda l, s: (l, 0, 0)),
+            pl.BlockSpec((b, k), lambda l, s: (0, 0)),
+            pl.BlockSpec((1, b, head_dim), lambda l, s: (l, 0, 0)),
+            pl.BlockSpec((1, b, head_dim), lambda l, s: (l, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((1, k), x.dtype),
+            pltpu.VMEM((b, k), x.dtype),
             pltpu.VMEM((2, k, nq2), jnp.int8),
             pltpu.VMEM((2, ko, k), jnp.int8),
-            pltpu.VMEM((2, window, head_dim), cdtype),
-            pltpu.VMEM((2, window, head_dim), cdtype),
+            pltpu.VMEM((2, b, window, head_dim), cdtype),
+            pltpu.VMEM((2, b, window, head_dim), cdtype),
             pltpu.VMEM((2, k, bs), jnp.int8),
             pltpu.VMEM((2, k, bs), jnp.int8),
             pltpu.VMEM((2, bs, k), jnp.int8),
-            pltpu.VMEM((1, k), jnp.float32),
+            pltpu.VMEM((b, k), jnp.float32),
             pltpu.SemaphoreType.DMA((7, 2)),
         ],
     )
-    scal = jnp.stack(
-        [jnp.asarray(cache_pos, jnp.int32), jnp.asarray(kv_len, jnp.int32)]
+    pos_vec = jnp.broadcast_to(
+        jnp.asarray(cache_pos, jnp.int32).reshape(-1), (b,)
     )
     out, k_new, v_new = pl.pallas_call(
         functools.partial(
             _kernel_all, n_layers=L, nc=nc, bs=bs, window=window,
             n_heads=n_heads, head_dim=head_dim, eps=eps,
-            scale=head_dim**-0.5,
+            scale=head_dim**-0.5, batch=b,
         ),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((1, k), x.dtype),
-            jax.ShapeDtypeStruct((L, 1, head_dim), cdtype),
-            jax.ShapeDtypeStruct((L, 1, head_dim), cdtype),
+            jax.ShapeDtypeStruct((b, k), x.dtype),
+            jax.ShapeDtypeStruct((L, b, head_dim), cdtype),
+            jax.ShapeDtypeStruct((L, b, head_dim), cdtype),
         ],
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
@@ -699,10 +727,11 @@ def layers_decode_fused(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
     )(
-        scal,
+        pos_vec,
         x2,
-        cos.astype(x.dtype).reshape(1, head_dim),
-        sin.astype(x.dtype).reshape(1, head_dim),
+        cos.astype(x.dtype).reshape(b, head_dim),
+        sin.astype(x.dtype).reshape(b, head_dim),
+        kv_valid_window.astype(jnp.int8),
         packed["input_norm"],
         packed["post_norm"],
         qkv_w8,
@@ -718,4 +747,4 @@ def layers_decode_fused(
         k_cache,
         v_cache,
     )
-    return out.reshape(x.shape), k_new, v_new
+    return out.reshape(x.shape[0], 1, k), k_new, v_new

@@ -307,13 +307,13 @@ def forward(
     # and the kernel picks its layer by index. Guarded to the exact decode
     # shape the kernel is built for.
     # Whole-layer fused decode kernel (kernels/decode_layer): one Pallas
-    # call per layer does norm/qkv/rope/cache/attention/o/MLP with manually
-    # scheduled DMA. Only for the B==1 serving shape where kv_valid is a
-    # contiguous prefix (guaranteed: B==1 prompts are never padded), cache
-    # updated in place via input/output aliasing.
+    # call does ALL layers' norm/qkv/rope/attention/o/MLP with manually
+    # scheduled DMA; B rows decode in lockstep through the shared weight
+    # stream (exact for padded batches — the kernel takes the real
+    # validity-mask window and per-row positions).
     b = input_embeds.shape[0]
     if (
-        fused_layer and s == 1 and b == 1 and mesh is None
+        fused_layer and s == 1 and mesh is None
         and "qkv_s" in params["layers"]
     ):
         from ..kernels import decode_layer
@@ -321,23 +321,40 @@ def forward(
         n_layers = kv_cache["k"].shape[0]
         S = kv_cache["k"].shape[2]
         hd = cfg.head_dim
-        k_flat = kv_cache["k"].reshape(n_layers, S, hd)
-        v_flat = kv_cache["v"].reshape(n_layers, S, hd)
+        k_flat = kv_cache["k"].reshape(n_layers, b, S, hd)
+        v_flat = kv_cache["v"].reshape(n_layers, b, S, hd)
         window = min(kv_bucket or S, S)
-        kv_len = cache_pos + 1
+        valid_w = (
+            kv_valid[:, :window]
+            if kv_valid.ndim == 2
+            else kv_valid[:, 0, :window]
+        )
 
         zero = jnp.zeros((), jnp.int32)
         x, k_news, v_news = decode_layer.layers_decode_fused(
-            x, params["layers"], k_flat, v_flat, cache_pos, kv_len,
+            x, params["layers"], k_flat, v_flat, cache_pos, valid_w,
             cos[:, 0], sin[:, 0], window, cfg.num_attention_heads,
             hd, cfg.rms_norm_eps,
         )
-        k_flat = jax.lax.dynamic_update_slice(
-            k_flat, k_news.astype(k_flat.dtype), (zero, cache_pos, zero)
-        )
-        v_flat = jax.lax.dynamic_update_slice(
-            v_flat, v_news.astype(v_flat.dtype), (zero, cache_pos, zero)
-        )
+        k_news = k_news[:, :, None, :].astype(k_flat.dtype)  # (L, B, 1, D)
+        v_news = v_news[:, :, None, :].astype(v_flat.dtype)
+        if jnp.ndim(cache_pos) == 0:
+            k_flat = jax.lax.dynamic_update_slice(
+                k_flat, k_news, (zero, zero, cache_pos, zero)
+            )
+            v_flat = jax.lax.dynamic_update_slice(
+                v_flat, v_news, (zero, zero, cache_pos, zero)
+            )
+        else:
+            # per-row positions (continuous batching): unrolled row writes
+            for r in range(b):
+                idx = (zero, jnp.asarray(r, jnp.int32), cache_pos[r], zero)
+                k_flat = jax.lax.dynamic_update_slice(
+                    k_flat, k_news[:, r : r + 1], idx
+                )
+                v_flat = jax.lax.dynamic_update_slice(
+                    v_flat, v_news[:, r : r + 1], idx
+                )
         x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
         new_cache = {
             "k": k_flat.reshape(kv_cache["k"].shape),

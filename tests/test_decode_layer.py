@@ -128,7 +128,8 @@ def test_supported_gating():
         head_dim=64, max_position_embeddings=128,
     )
     assert not decode_layer.supported(bad_cfg, packed, batch=1)
-    assert not decode_layer.supported(cfg, packed, batch=2)
+    assert decode_layer.supported(cfg, packed, batch=8)
+    assert not decode_layer.supported(cfg, packed, batch=64)
 
 
 def test_engine_fused_layer_end_to_end():
@@ -186,3 +187,59 @@ def test_engine_fused_layer_end_to_end():
     toks_ref = run(False)
     toks_fused = run(True)
     np.testing.assert_array_equal(toks_ref, toks_fused)
+
+
+def test_engine_fused_layer_batched_padded():
+    """B=2 rows with DIFFERENT prompt lengths (right padding -> holes in
+    kv_valid): the batched fused kernel must equal the XLA path token for
+    token, proving the per-row validity-mask window is honored."""
+    from paligemma_tpu.core.config import (
+        PaliGemmaConfig,
+        SiglipVisionConfig,
+    )
+    from paligemma_tpu.models import paligemma
+    from paligemma_tpu.runtime.engine import PaliGemmaEngine
+    from paligemma_tpu.runtime.quantize import quantize_lm_for_serving
+
+    cfg = PaliGemmaConfig(
+        vision_config=SiglipVisionConfig(
+            image_size=28, patch_size=14, hidden_size=64,
+            intermediate_size=128, num_hidden_layers=2,
+            num_attention_heads=4, projection_dim=128,
+        ),
+        text_config=GemmaConfig(
+            vocab_size=256, hidden_size=128, intermediate_size=512,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=1, head_dim=128,
+            max_position_embeddings=256,
+        ),
+        projection_dim=128, hidden_size=128, image_token_index=250,
+        vocab_size=256,
+    )
+    params = paligemma.init_params(jax.random.PRNGKey(2), cfg, jnp.float32)
+    q = quantize_lm_for_serving(params)
+
+    rng = np.random.default_rng(2)
+    n_img = cfg.vision_config.num_patches
+    # row 0: 6 text tokens; row 1: 2 text tokens + 4 pads
+    img = np.full((2, n_img), 250)
+    txt = rng.integers(5, 240, (2, 6))
+    ids = np.concatenate([img, txt], axis=1).astype(np.int32)
+    mask = np.ones_like(ids)
+    mask[1, -4:] = 0
+    ids[1, -4:] = 0
+    pixels = rng.normal(size=(2, 3, 28, 28)).astype(np.float32)
+
+    def run(fused):
+        eng = PaliGemmaEngine(
+            q, cfg, max_seq_len=64, eos_token_id=1, fused_layer=fused,
+            use_flash=False,
+        )
+        return np.asarray(
+            eng.generate(
+                jnp.asarray(pixels), jnp.asarray(ids), jnp.asarray(mask),
+                max_new_tokens=5, do_sample=False, sync_every=5,
+            )
+        )
+
+    np.testing.assert_array_equal(run(False), run(True))
