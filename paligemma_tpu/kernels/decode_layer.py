@@ -399,7 +399,9 @@ def _kernel_all(
     x_ref,  # (B, K)
     cos_ref,  # (B, D)
     sin_ref,  # (B, D)
-    valid_ref,  # (B, W) int8: attendable window slots (incl. this token's)
+    cos_rep_ref,  # (B*H, D) — per-row tables repeated per head (for q)
+    sin_rep_ref,  # (B*H, D)
+    bias_ref,  # (B, W) f32 additive mask: 0 attendable, -inf not
     in_norm_ref,  # (1, 1, K) block at layer l (auto-pipelined)
     post_norm_ref,  # (1, 1, K)
     qkv_w8_ref,  # (L, K, NQ) ANY
@@ -418,6 +420,7 @@ def _kernel_all(
     k_new_ref,  # (1, B, D) block at l
     v_new_ref,  # (1, B, D) block at l
     # scratch (persists across grid steps):
+    a_buf,  # (B, NQ) attention output accumulator (per-row stores)
     h_state,  # (B, K) activation dtype
     qkv_buf,  # (2, K, NQ) int8 ring over layers
     o_buf,  # (2, KO, K) int8
@@ -515,7 +518,6 @@ def _kernel_all(
     )
     qkv = (qkv * qkv_s_ref[0]).astype(y.dtype)  # (B, NQ)
     nq = n_heads * head_dim
-    q3 = qkv[:, :nq].reshape(batch, n_heads, head_dim)
     k_new = qkv[:, nq : nq + head_dim]  # (B, D)
     v_new = qkv[:, nq + head_dim :]  # (B, D)
 
@@ -523,39 +525,43 @@ def _kernel_all(
     sin = sin_ref[...]
     half = head_dim // 2
 
-    def rope2(t, c, s):  # (B, D) rows
+    def rope2(t, c, s):  # 2-D rows; Mosaic dislikes 1-D/3-D intermediates
         rot = jnp.concatenate([-t[:, half:], t[:, :half]], axis=-1)
         return t * c + rot * s
 
-    def rope3(t, c, s):  # (B, H, D) with per-row tables
-        rot = jnp.concatenate([-t[..., half:], t[..., :half]], axis=-1)
-        return t * c[:, None, :] + rot * s[:, None, :]
-
-    q3 = rope3(q3, cos, sin)
     k_new = rope2(k_new, cos, sin)
     k_new_ref[...] = k_new[None].astype(k_new_ref.dtype)
     v_new_ref[...] = v_new[None].astype(v_new_ref.dtype)
 
     # ---- per-row MQA attention over the window + the fresh token ----
+    # (everything in the loop stays 2-D and the mask is an f32 additive
+    # bias: 1-D vectors, 3-D broadcasts, and (1, W) BOOL broadcasts all
+    # crash this Mosaic build's layout inference)
     dma_kwin(l, lslot).wait()
     dma_vwin(l, lslot).wait()
-    pos = pos_ref[...]  # (B,)
-    valid = valid_ref[...] != 0  # (B, W)
-    s_new = jnp.sum(
-        q3.astype(jnp.float32) * k_new.astype(jnp.float32)[:, None, :],
-        -1, keepdims=True,
-    )  # (B, H, 1)
 
-    attn_rows = []
+    # ONE full-array reshape (B, NQ) -> (B*H, D) (per-row sliced reshapes
+    # crash this Mosaic build's layout inference), rope applied to all
+    # query rows at once with head-repeated tables
+    q_all = rope2(
+        qkv[:, :nq].reshape(batch * n_heads, head_dim),
+        cos_rep_ref[...], sin_rep_ref[...],
+    )
     for b in range(batch):
+        q_b = q_all[b * n_heads : (b + 1) * n_heads]  # (H, D)
+        k_b = k_new[b : b + 1]  # (1, D)
         scores = jax.lax.dot_general(
-            q3[b], kwin[lslot, b].astype(q3.dtype), (((1,), (1,)), ((), ())),
+            q_b, kwin[lslot, b].astype(q_b.dtype), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (H, W)
+        s_new = jnp.sum(
+            q_b.astype(jnp.float32) * k_b.astype(jnp.float32),
+            -1, keepdims=True,
+        )  # (H, 1)
         slot_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        at_pos = slot_ids == pos[b]  # window copy predates this row's write
-        scores = jnp.where(at_pos, s_new[b], scores) * scale
-        scores = jnp.where(valid[b][None, :], scores, -jnp.inf)
+        # scalar-prefetch refs are SMEM: load per-row scalars, not vectors
+        at_pos = slot_ids == pos_ref[b]  # window copy predates row's write
+        scores = jnp.where(at_pos, s_new, scores) * scale + bias_ref[b : b + 1]
         m = jnp.max(scores, axis=-1, keepdims=True)
         e = jnp.exp(scores - m)
         probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
@@ -567,9 +573,9 @@ def _kernel_all(
         attn_b = jax.lax.dot_general(
             probs, vwin[lslot, b].astype(x.dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).astype(x.dtype) + p_pos * v_new[b][None, :].astype(x.dtype)
-        attn_rows.append(attn_b.reshape(1, nq))
-    a = jnp.concatenate(attn_rows, axis=0)  # (B, NQ)
+        ).astype(x.dtype) + p_pos * v_new[b : b + 1].astype(x.dtype)
+        a_buf[b : b + 1, :] = attn_b.reshape(1, nq)
+    a = a_buf[...]  # (B, NQ)
 
     dma_o(l, lslot).wait()
     o = jax.lax.dot_general(
@@ -670,6 +676,8 @@ def layers_decode_fused(
             pl.BlockSpec((b, k), lambda l, s: (0, 0)),
             pl.BlockSpec((b, head_dim), lambda l, s: (0, 0)),
             pl.BlockSpec((b, head_dim), lambda l, s: (0, 0)),
+            pl.BlockSpec((b * n_heads, head_dim), lambda l, s: (0, 0)),
+            pl.BlockSpec((b * n_heads, head_dim), lambda l, s: (0, 0)),
             pl.BlockSpec((b, window), lambda l, s: (0, 0)),
             pl.BlockSpec((1, 1, k), lambda l, s: (l, 0, 0)),
             pl.BlockSpec((1, 1, k), lambda l, s: (l, 0, 0)),
@@ -694,6 +702,7 @@ def layers_decode_fused(
             pl.BlockSpec((1, b, head_dim), lambda l, s: (l, 0, 0)),
         ],
         scratch_shapes=[
+            pltpu.VMEM((b, n_heads * head_dim), x.dtype),
             pltpu.VMEM((b, k), x.dtype),
             pltpu.VMEM((2, k, nq2), jnp.int8),
             pltpu.VMEM((2, ko, k), jnp.int8),
@@ -731,7 +740,9 @@ def layers_decode_fused(
         x2,
         cos.astype(x.dtype).reshape(b, head_dim),
         sin.astype(x.dtype).reshape(b, head_dim),
-        kv_valid_window.astype(jnp.int8),
+        jnp.repeat(cos.astype(x.dtype).reshape(b, head_dim), n_heads, axis=0),
+        jnp.repeat(sin.astype(x.dtype).reshape(b, head_dim), n_heads, axis=0),
+        jnp.where(kv_valid_window, 0.0, -jnp.inf).astype(jnp.float32),
         packed["input_norm"],
         packed["post_norm"],
         qkv_w8,
