@@ -63,6 +63,7 @@ class ServingEngine:
         decode_params: Optional[Dict[str, Any]] = None,
         sync_every: int = 8,
         mesh=None,
+        fused_decode: Optional[bool] = None,
     ):
         """``decode_params``: optional int8-quantized weights used for the
         lockstep decode while ``params`` (bf16) serves the prefills.
@@ -102,6 +103,43 @@ class ServingEngine:
         self.mesh = mesh
         self.params = params
         self.decode_params = decode_params if decode_params is not None else params
+
+        # Fused decode kernels (kernels/decode_layer + decode_head): the
+        # lockstep tick runs all layers in one Pallas call and, for greedy
+        # rows, the head streams through a running argmax — state carries
+        # per-slot next-token ids, so sampling requests still work (they
+        # read fresh logits from the XLA sampling variant; greedy tokens
+        # never read state["logits"]).
+        if fused_decode is None:
+            fused_decode = jax.default_backend() == "tpu" and mesh is None
+        if fused_decode:
+            from ..kernels import decode_layer as _dl
+            from ..kernels import decode_mlp as _dm
+
+            layers = self.decode_params["lm"]["layers"]
+            tc0 = config.text_config
+            fused_decode = (
+                tc0.num_key_value_heads == 1
+                and tc0.head_dim % 128 == 0
+                and isinstance(layers["attn"].get("qkv"), dict)
+                and _dm.supported(layers["mlp"])
+                and max_slots <= 32
+            )
+        if fused_decode:
+            from ..kernels import decode_head as _dh
+            from ..kernels import decode_layer as _dl
+
+            dp = dict(self.decode_params)
+            dp["lm"] = dict(dp["lm"])
+            dp["lm"]["layers"] = jax.jit(_dl.repack_layers)(
+                dp["lm"]["layers"]
+            )
+            if "head_q" in dp["lm"]:
+                dp["lm"]["head_q"] = jax.jit(_dh.repack_head)(
+                    dp["lm"]["head_q"]
+                )
+            self.decode_params = dp
+        self.fused_decode = fused_decode
         self.config = config
         self.max_slots = max_slots
         self.max_seq_len = max_seq_len
@@ -163,6 +201,14 @@ class ServingEngine:
                 "logits": state["logits"].at[slot].set(
                     jax.lax.dynamic_slice_in_dim(last_logits, row, 1, axis=0)[0]
                 ),
+                "next_tok": state["next_tok"].at[slot].set(
+                    jnp.argmax(
+                        jax.lax.dynamic_slice_in_dim(
+                            last_logits, row, 1, axis=0
+                        )[0],
+                        -1,
+                    ).astype(jnp.int32)
+                ),
             }
             return cache, state
 
@@ -172,11 +218,14 @@ class ServingEngine:
         )
         def _decode_all(params, cache, state, active, key, temps, top_ps,
                         do_samples, with_sampling=False, kv_bucket=None):
-            logits = state["logits"]
-            greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            # greedy tokens come from the carried next-token ids — exact
+            # regardless of whether the previous tick materialized logits
+            greedy_tok = state["next_tok"]
             if with_sampling:
                 # full-vocab sort per sampled row — only compiled in when
-                # some active request actually samples
+                # some active request actually samples. Sampled rows' logits
+                # are fresh: every tick they were active ran this variant.
+                logits = state["logits"]
                 sampled_tok = jax.vmap(
                     lambda k, lg, t, p: sampling.sample_top_p(k, lg[None], t, p)[0]
                 )(jax.random.split(key, self.max_slots), logits, temps, top_ps)
@@ -188,17 +237,39 @@ class ServingEngine:
             valid = state["valid"].at[jnp.arange(self.max_slots), write_pos].set(
                 active
             )
+            inc = active.astype(jnp.int32)
+            if not with_sampling and self.fused_decode:
+                # fused greedy tick: one grid-over-layers kernel + fused
+                # head/argmax; the (slots, 257k) logits never materialize
+                next_tok, cache = paligemma.decode_step_greedy(
+                    params, cfg, token, cache,
+                    cache_pos=write_pos, kv_valid=valid,
+                    position_ids=state["pos_ids"], kv_bucket=kv_bucket,
+                )
+                state = {
+                    "valid": valid,
+                    "write_pos": write_pos + inc,
+                    "pos_ids": state["pos_ids"] + inc,
+                    "logits": state["logits"],  # stale; greedy never reads
+                    "next_tok": jnp.where(active, next_tok, state["next_tok"]),
+                }
+                return token, cache, state
             new_logits, cache = paligemma.decode_step(
                 params, cfg, token, cache,
                 cache_pos=write_pos, kv_valid=valid,
                 position_ids=state["pos_ids"], kv_bucket=kv_bucket,
+                fused_layer=self.fused_decode,
             )
-            inc = active.astype(jnp.int32)
             state = {
                 "valid": valid,
                 "write_pos": write_pos + inc,
                 "pos_ids": state["pos_ids"] + inc,
                 "logits": jnp.where(active[:, None], new_logits, state["logits"]),
+                "next_tok": jnp.where(
+                    active,
+                    jnp.argmax(new_logits, -1).astype(jnp.int32),
+                    state["next_tok"],
+                ),
             }
             return token, cache, state
 
@@ -236,6 +307,7 @@ class ServingEngine:
 
     def _zero_state(self) -> Dict[str, jnp.ndarray]:
         return {
+            "next_tok": jnp.zeros((self.max_slots,), jnp.int32),
             "valid": jnp.zeros((self.max_slots, self.max_seq_len), bool),
             "write_pos": jnp.zeros((self.max_slots,), jnp.int32),
             "pos_ids": jnp.ones((self.max_slots,), jnp.int32),

@@ -76,6 +76,9 @@ class PagedServingEngine(ServingEngine):
             params, config, max_slots=max_slots, max_seq_len=max_seq_len,
             cache_dtype=cache_dtype, use_flash=use_flash,
             decode_params=decode_params, sync_every=sync_every, mesh=None,
+            # the fused decode kernels read a contiguous (L, B, S, D) cache;
+            # the paged pool has its own decode path (_decode_all_paged)
+            fused_decode=False,
         )
         # page-aligned prefill buckets: a short prompt occupies exactly its
         # pages, not a 64-token bucket's worth

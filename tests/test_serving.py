@@ -217,3 +217,67 @@ def test_serving_tp_mesh_flash_prefill_parity():
         sharded.submit(r)
     got = {r.request_id: list(r.tokens) for r in sharded.run_to_completion()}
     assert got == want
+
+
+def test_serving_fused_decode_matches_xla():
+    """fused_decode=True (grid-over-layers kernel + fused greedy head,
+    interpret mode on CPU) must produce identical tokens to the XLA
+    engine — including a sampling request mixed into the greedy slots
+    (sampled rows read fresh logits; greedy rows ride the carried
+    next-token ids)."""
+    from paligemma_tpu.core.config import (
+        GemmaConfig,
+        PaliGemmaConfig,
+        SiglipVisionConfig,
+    )
+    from paligemma_tpu.runtime.quantize import quantize_lm_for_serving
+
+    cfg = PaliGemmaConfig(
+        vision_config=SiglipVisionConfig(
+            image_size=28, patch_size=14, hidden_size=64,
+            intermediate_size=128, num_hidden_layers=2,
+            num_attention_heads=4, projection_dim=128,
+        ),
+        text_config=GemmaConfig(
+            vocab_size=256, hidden_size=128, intermediate_size=512,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=1, head_dim=128,
+            max_position_embeddings=256,
+        ),
+        projection_dim=128, hidden_size=128, image_token_index=250,
+        vocab_size=256,
+    )
+    params = paligemma.init_params(jax.random.PRNGKey(5), cfg, jnp.float32)
+    q = quantize_lm_for_serving(params)
+
+    def reqs():
+        rng = np.random.default_rng(7)
+        n_img = cfg.vision_config.num_patches
+        out = []
+        for rid, (n_txt, max_new, sample) in enumerate(
+            [(4, 6, False), (6, 5, True), (3, 6, False)]
+        ):
+            ids = np.concatenate(
+                [np.full((n_img,), 250), rng.integers(3, 240, (n_txt,))]
+            ).astype(np.int32)
+            pixels = rng.normal(size=(3, 28, 28)).astype(np.float32)
+            out.append(Request(
+                request_id=rid, input_ids=ids, pixel_values=pixels,
+                max_new_tokens=max_new, do_sample=sample,
+                temperature=0.8, top_p=0.9, eos_token_id=-1,
+            ))
+        return out
+
+    def run(fused):
+        eng = ServingEngine(q, cfg, max_slots=2, max_seq_len=64,
+                            use_flash=False, fused_decode=fused)
+        assert eng.fused_decode == fused
+        for r in reqs():
+            eng.submit(r)
+        done = sorted(eng.run_to_completion(), key=lambda r: r.request_id)
+        return [np.asarray(r.tokens) for r in done]
+
+    ref = run(False)
+    fus = run(True)
+    for a, b in zip(ref, fus):
+        np.testing.assert_array_equal(a, b)
