@@ -5,6 +5,7 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
+import os
 import time
 
 import jax
@@ -25,8 +26,10 @@ def main():
     cfg = paligemma_3b_224()
     params = paligemma.init_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
     qparams = quantize_lm_for_serving(params)
+    fused = os.environ.get("FUSED", "1") == "1"
     eng = ServingEngine(params, cfg, max_slots=8, max_seq_len=512,
-                        decode_params=qparams)
+                        decode_params=qparams, fused_decode=fused)
+    print("fused_decode:", eng.fused_decode, flush=True)
 
     rng = np.random.default_rng(0)
     n_img = cfg.vision_config.num_patches
