@@ -1,4 +1,4 @@
-"""Fully-fused int8 decoder-layer kernel for B=1 single-token decode.
+"""Fully-fused int8 decoder-layer kernels for single-token decode.
 
 One Pallas kernel = one whole Gemma decoder layer at decode shape:
 rmsnorm -> fused qkv -> RoPE -> KV-cache write -> MQA attention over a
@@ -22,7 +22,12 @@ behavior: modeling_gemma.py GemmaAttention/GemmaMLP/DecoderLayer):
     the kernel the fresh token enters attention arithmetically, so the
     window copy read at kernel entry never needs patching
 
-Restrictions (callers fall back to the XLA path otherwise): B == 1,
+Two variants: ``layer_decode_fused`` (one kernel per layer, B=1 — kept
+for tests/ablation) and ``layers_decode_fused`` (grid over layers, B
+lockstep rows, cross-layer DMA prefetch — the production path; also used
+by the continuous-batching server with per-row cache positions).
+
+Restrictions (callers fall back to the XLA path otherwise): B <= 32,
 n_kv_heads == 1 (Gemma MQA), head_dim a lane multiple, int8 layout with
 the decode_mlp chunk repack, no mesh.
 """
