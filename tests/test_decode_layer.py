@@ -243,3 +243,21 @@ def test_engine_fused_layer_batched_padded():
         )
 
     np.testing.assert_array_equal(run(False), run(True))
+
+
+def test_fused_layer_gemma_geometry_ratios():
+    """head_dim=256, 8 q heads / 1 kv head (the real Gemma-2B ratios, at
+    reduced hidden size): logits + greedy parity vs the XLA path."""
+    cfg = GemmaConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=1024,
+        num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=1,
+        head_dim=256, max_position_embeddings=128,
+    )
+    full = {"lm": gemma.init_params(jax.random.PRNGKey(4), cfg, jnp.bfloat16)}
+    lm = quantize_lm_for_serving(full)["lm"]
+    ref = _prefill_then_decode(cfg, lm, fused=False)
+    fus = _prefill_then_decode(cfg, lm, fused=True)
+    for step, (a, b) in enumerate(zip(ref, fus)):
+        rel = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-9)
+        assert rel < 0.05, (step, rel)
+        assert np.argmax(a) == np.argmax(b), step
