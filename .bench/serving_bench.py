@@ -27,7 +27,8 @@ def main():
     params = paligemma.init_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
     qparams = quantize_lm_for_serving(params)
     fused = os.environ.get("FUSED", "1") == "1"
-    eng = ServingEngine(params, cfg, max_slots=8, max_seq_len=512,
+    slots = int(os.environ.get("SLOTS", "8"))
+    eng = ServingEngine(params, cfg, max_slots=slots, max_seq_len=512,
                         decode_params=qparams, fused_decode=fused)
     print("fused_decode:", eng.fused_decode, flush=True)
 
@@ -47,7 +48,7 @@ def main():
         eng.submit(req(-100 - i, 4))
     eng.run_to_completion()
 
-    n_req, n_new = 16, 64
+    n_req, n_new = int(os.environ.get("NREQ", "16")), 64
     for i in range(n_req):
         eng.submit(req(i, n_new))
     t0 = time.perf_counter()
