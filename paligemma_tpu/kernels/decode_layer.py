@@ -22,10 +22,11 @@ behavior: modeling_gemma.py GemmaAttention/GemmaMLP/DecoderLayer):
     the kernel the fresh token enters attention arithmetically, so the
     window copy read at kernel entry never needs patching
 
-Two variants: ``layer_decode_fused`` (one kernel per layer, B=1 — kept
-for tests/ablation) and ``layers_decode_fused`` (grid over layers, B
-lockstep rows, cross-layer DMA prefetch — the production path; also used
-by the continuous-batching server with per-row cache positions).
+``layers_decode_fused`` runs ALL layers as one grid-over-layers kernel
+with B lockstep rows and cross-layer DMA prefetch; it is the production
+path for both the engine and the continuous-batching server (per-row
+cache positions). An earlier one-kernel-per-layer variant measured
+3.578 vs 3.546 ms/step and was removed as redundant.
 
 Restrictions (callers fall back to the XLA path otherwise): B <= 32,
 n_kv_heads == 1 (Gemma MQA), head_dim a lane multiple, int8 layout with
@@ -44,196 +45,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.activations import gelu_tanh
 from . import decode_mlp
-
-
-def _kernel(
-    scal_ref,  # (3,) int32 scalar prefetch: [layer, cache_pos, kv_len]
-    x_ref,  # (1, K) bf16 VMEM — layer input (residual stream)
-    cos_ref,  # (1, D) bf16 VMEM
-    sin_ref,  # (1, D) bf16 VMEM
-    in_norm_ref,  # (1, 1, K) VMEM (this layer)
-    post_norm_ref,  # (1, 1, K) VMEM
-    qkv_w8_ref,  # (L, K, NQ) int8 ANY
-    qkv_s_ref,  # (1, 1, NQ) f32 VMEM
-    o_w8_ref,  # (L, KO, K) int8 ANY   (KO = n_heads * D)
-    o_s_ref,  # (1, 1, K) f32 VMEM
-    gate_ref,  # (L, nc, K, bs) int8 ANY
-    up_ref,  # (L, nc, K, bs) int8 ANY
-    dn_ref,  # (L, I, K) int8 ANY
-    gs_ref,  # (1, nc, bs) f32 VMEM
-    us_ref,  # (1, nc, bs) f32 VMEM
-    ds_ref,  # (1, 1, K) f32 VMEM
-    k_cache_ref,  # (L, S, D) ANY/HBM — read-only (window)
-    v_cache_ref,  # (L, S, D) ANY/HBM
-    out_ref,  # (1, K) bf16 VMEM
-    k_new_ref,  # (1, D) VMEM — this token's k row (caller writes the cache)
-    v_new_ref,  # (1, D) VMEM
-    # scratch:
-    qkv_buf,  # (K, NQ) int8
-    o_buf,  # (KO, K) int8
-    kwin,  # (W, D) cache dtype
-    vwin,  # (W, D)
-    gbuf,  # (2, K, bs) int8
-    ubuf,  # (2, K, bs) int8
-    dbuf,  # (2, bs, K) int8
-    acc,  # (1, K) f32
-    sems,  # DMA (8, 2)
-    *,
-    nc: int,
-    bs: int,
-    window: int,
-    n_heads: int,
-    head_dim: int,
-    eps: float,
-    scale: float,
-):
-    l = scal_ref[0]
-    pos = scal_ref[1]
-    kv_len = scal_ref[2]
-    K = x_ref.shape[1]
-
-    # ---- kick off every DMA the front half needs, least-latency first
-    qkv_dma = pltpu.make_async_copy(qkv_w8_ref.at[l], qkv_buf, sems.at[3, 0])
-    kwin_dma = pltpu.make_async_copy(
-        k_cache_ref.at[l, pl.ds(0, window)], kwin, sems.at[4, 0]
-    )
-    vwin_dma = pltpu.make_async_copy(
-        v_cache_ref.at[l, pl.ds(0, window)], vwin, sems.at[5, 0]
-    )
-    o_dma = pltpu.make_async_copy(o_w8_ref.at[l], o_buf, sems.at[6, 0])
-    qkv_dma.start()
-    kwin_dma.start()
-    vwin_dma.start()
-    o_dma.start()
-
-    def dma_g(c, slot):
-        return pltpu.make_async_copy(
-            gate_ref.at[l, c], gbuf.at[slot], sems.at[0, slot]
-        )
-
-    def dma_u(c, slot):
-        return pltpu.make_async_copy(
-            up_ref.at[l, c], ubuf.at[slot], sems.at[1, slot]
-        )
-
-    def dma_d(c, slot):
-        return pltpu.make_async_copy(
-            dn_ref.at[l, pl.ds(c * bs, bs), :], dbuf.at[slot], sems.at[2, slot]
-        )
-
-    dma_g(0, 0).start()
-    dma_u(0, 0).start()
-    dma_d(0, 0).start()
-
-    def rmsnorm(h, w_ref):
-        hf = h.astype(jnp.float32)
-        ms = jnp.mean(hf * hf, axis=-1, keepdims=True)
-        n = hf * jax.lax.rsqrt(ms + eps)
-        return (n * (1.0 + w_ref[0].astype(jnp.float32))).astype(h.dtype)
-
-    x = x_ref[...]
-    y = rmsnorm(x, in_norm_ref)
-
-    # ---- qkv ----
-    qkv_dma.wait()
-    qkv = jax.lax.dot_general(
-        y, qkv_buf[...].astype(y.dtype), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    qkv = (qkv * qkv_s_ref[0]).astype(y.dtype)  # (1, NQ)
-    nq = n_heads * head_dim
-    q = qkv[:, :nq].reshape(n_heads, head_dim)
-    k_new = qkv[:, nq : nq + head_dim]  # (1, D)
-    v_new = qkv[:, nq + head_dim :]  # (1, D)
-
-    cos = cos_ref[...]  # (1, D)
-    sin = sin_ref[...]
-
-    def rope(t):  # (..., D), HF half-split
-        half = head_dim // 2
-        t1, t2 = t[..., :half], t[..., half:]
-        rot = jnp.concatenate([-t2, t1], axis=-1)
-        return t * cos + rot * sin
-
-    q = rope(q)
-    k_new = rope(k_new)
-
-    # ---- emit this token's cache row (caller writes it; the window is
-    # NOT patched — the fresh token enters the attention arithmetically) ----
-    k_new_ref[...] = k_new.astype(k_new_ref.dtype)
-    v_new_ref[...] = v_new.astype(v_new_ref.dtype)
-
-    # ---- MQA attention over the window + the fresh token ----
-    kwin_dma.wait()
-    vwin_dma.wait()
-    scores = jax.lax.dot_general(
-        q, kwin[...].astype(q.dtype), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (H, W)
-    # (H, 1) q . k_new — as a VPU multiply-reduce (an (H, 1)-shaped
-    # dot_general trips a Mosaic vector.broadcast verifier bug)
-    s_new = jnp.sum(
-        q.astype(jnp.float32) * k_new.astype(jnp.float32), -1, keepdims=True
-    )
-    slot_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-    at_pos = slot_ids == pos  # this slot's window copy predates the write
-    scores = jnp.where(at_pos, s_new, scores) * scale
-    scores = jnp.where(slot_ids < kv_len, scores, -jnp.inf)
-    m = jnp.max(scores, axis=-1, keepdims=True)
-    e = jnp.exp(scores - m)
-    probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
-    p_pos = jnp.sum(
-        jnp.where(at_pos, probs.astype(jnp.float32), 0.0), -1, keepdims=True
-    ).astype(x.dtype)  # (H, 1)
-    probs = jnp.where(at_pos, jnp.zeros_like(probs), probs)
-    attn = jax.lax.dot_general(
-        probs, vwin[...].astype(x.dtype), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype) + p_pos * v_new.astype(x.dtype)  # (H, D)
-    a = attn.reshape(1, n_heads * head_dim)
-
-    # ---- o proj + residual ----
-    o_dma.wait()
-    o = jax.lax.dot_general(
-        a, o_buf[...].astype(a.dtype), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    x = x + (o * o_s_ref[0]).astype(x.dtype)
-
-    # ---- MLP (decode_mlp schedule) ----
-    y2 = rmsnorm(x, post_norm_ref)
-    acc[...] = jnp.zeros_like(acc)
-
-    def body(c, carry):
-        slot = jax.lax.rem(c, 2)
-        nxt = jax.lax.rem(c + 1, 2)
-
-        @pl.when(c + 1 < nc)
-        def _():
-            dma_g(c + 1, nxt).start()
-            dma_u(c + 1, nxt).start()
-            dma_d(c + 1, nxt).start()
-
-        dma_g(c, slot).wait()
-        dma_u(c, slot).wait()
-        g = jax.lax.dot_general(
-            y2, gbuf[slot].astype(y2.dtype), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        u = jax.lax.dot_general(
-            y2, ubuf[slot].astype(y2.dtype), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        t = (gelu_tanh(g * gs_ref[0, c]) * (u * us_ref[0, c])).astype(y2.dtype)
-        dma_d(c, slot).wait()
-        acc[...] += jax.lax.dot_general(
-            t, dbuf[slot].astype(y2.dtype), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return carry
-
-    jax.lax.fori_loop(0, nc, body, 0)
-    out_ref[...] = x + (acc[...] * ds_ref[0]).astype(x.dtype)
 
 
 def supported(cfg, layers, batch: int) -> bool:
@@ -267,124 +78,6 @@ def repack_layers(layers: Dict, rms_eps_dtype=jnp.float32) -> Dict:
         "qkv_s": attn["qkv"]["s"].reshape(L, 1, -1).astype(jnp.float32),
         "o_s": attn["o"]["s"].reshape(L, 1, -1).astype(jnp.float32),
     }
-
-
-def layer_decode_fused(
-    x: jnp.ndarray,  # (1, 1, K) bf16
-    packed: Dict,  # repack_layers() output
-    layer_idx: jnp.ndarray,  # scalar int32
-    k_cache: jnp.ndarray,  # (L, S, D)
-    v_cache: jnp.ndarray,  # (L, S, D)
-    cache_pos: jnp.ndarray,  # scalar int32
-    kv_len: jnp.ndarray,  # scalar int32 (valid prefix incl. this token)
-    cos: jnp.ndarray,  # (1, D)
-    sin: jnp.ndarray,  # (1, D)
-    window: int,  # static attend-window (>= pos+1)
-    n_heads: int,
-    head_dim: int,
-    eps: float,
-    interpret: Optional[bool] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Returns (layer output (1,1,K), k_new (1,D), v_new (1,D)); the caller
-    writes the two cache rows (one dynamic_update_slice each)."""
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    k = x.shape[-1]
-    x2 = x.reshape(1, k)
-    mlp = packed["mlp"]
-    L, nc, _, bs = mlp["gate_blk"].shape
-    S = k_cache.shape[1]
-    window = min(window, S)
-    qkv_w8 = packed["attn"]["qkv"]["w8"]
-    o_w8 = packed["attn"]["o"]["w8"]
-    nq2 = qkv_w8.shape[-1]
-    cdtype = k_cache.dtype
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(1,),
-        in_specs=[
-            pl.BlockSpec((1, k), lambda g, s: (0, 0)),
-            pl.BlockSpec((1, head_dim), lambda g, s: (0, 0)),
-            pl.BlockSpec((1, head_dim), lambda g, s: (0, 0)),
-            pl.BlockSpec((1, 1, k), lambda g, s: (s[0], 0, 0)),
-            pl.BlockSpec((1, 1, k), lambda g, s: (s[0], 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((1, 1, nq2), lambda g, s: (s[0], 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((1, 1, k), lambda g, s: (s[0], 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((1, nc, bs), lambda g, s: (s[0], 0, 0)),
-            pl.BlockSpec((1, nc, bs), lambda g, s: (s[0], 0, 0)),
-            pl.BlockSpec((1, 1, k), lambda g, s: (s[0], 0, 0)),
-            # caches pinned to HBM: under ANY the compiler promotes the
-            # (small enough) cache into VMEM and the window DMA misbehaves
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, k), lambda g, s: (0, 0)),
-            pl.BlockSpec((1, head_dim), lambda g, s: (0, 0)),
-            pl.BlockSpec((1, head_dim), lambda g, s: (0, 0)),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((k, nq2), jnp.int8),
-            pltpu.VMEM((n_heads * head_dim, k), jnp.int8),
-            pltpu.VMEM((window, head_dim), cdtype),
-            pltpu.VMEM((window, head_dim), cdtype),
-            pltpu.VMEM((2, k, bs), jnp.int8),
-            pltpu.VMEM((2, k, bs), jnp.int8),
-            pltpu.VMEM((2, bs, k), jnp.int8),
-            pltpu.VMEM((1, k), jnp.float32),
-            pltpu.SemaphoreType.DMA((7, 2)),
-        ],
-    )
-    scal = jnp.stack(
-        [
-            jnp.asarray(layer_idx, jnp.int32),
-            jnp.asarray(cache_pos, jnp.int32),
-            jnp.asarray(kv_len, jnp.int32),
-        ]
-    )
-    out, k_new, v_new = pl.pallas_call(
-        functools.partial(
-            _kernel, nc=nc, bs=bs, window=window, n_heads=n_heads,
-            head_dim=head_dim, eps=eps, scale=head_dim**-0.5,
-        ),
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((1, k), x.dtype),
-            jax.ShapeDtypeStruct((1, head_dim), cdtype),
-            jax.ShapeDtypeStruct((1, head_dim), cdtype),
-        ],
-        interpret=interpret,
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-    )(
-        scal,
-        x2,
-        cos.astype(x.dtype).reshape(1, head_dim),
-        sin.astype(x.dtype).reshape(1, head_dim),
-        packed["input_norm"],
-        packed["post_norm"],
-        qkv_w8,
-        packed["qkv_s"],
-        o_w8,
-        packed["o_s"],
-        mlp["gate_blk"],
-        mlp["up_blk"],
-        mlp["down_w8"],
-        mlp["gs"],
-        mlp["us"],
-        mlp["ds"],
-        k_cache,
-        v_cache,
-    )
-    return out.reshape(x.shape), k_new, v_new
-
 
 
 # ---------------------------------------------------------------------------
