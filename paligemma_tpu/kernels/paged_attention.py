@@ -65,12 +65,13 @@ def _kernel(
     @pl.when(pb == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
-        # m starts at 0.0, not -inf: online softmax is exact for any finite
-        # reference max, and exp(NEG_INF - 0) underflows to 0 — so a row
-        # whose every column is masked (kv_len == 0, inactive serving slot)
-        # accumulates l == 0 and the final guard emits exact zeros instead
-        # of exp(-inf - -inf) == 1 garbage.
-        m_ref[...] = jnp.zeros_like(m_ref)
+        # m starts at the TRUE -inf surrogate (NEG_INF), so the softmax is
+        # exact even when every valid score is deeply negative (< -88,
+        # where exp(s - 0) would underflow with an m==0 init and emit an
+        # all-zero output). Masked columns are re-masked in p below, so a
+        # fully-masked block contributes nothing; rows with kv_len == 0
+        # keep l == 0 and the final guard emits exact zeros.
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
         l_ref[...] = jnp.zeros_like(l_ref)
 
     @pl.when(pb <= lastpb_ref[b])
@@ -92,7 +93,12 @@ def _kernel(
         m_i = m_ref[...][:, :1]
         l_i = l_ref[...][:, :1]
         m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
+        # re-mask p: with m_new == NEG_INF (nothing valid yet) the masked
+        # scores would otherwise exp(s - m_new) == exp(0) == 1
+        p = jnp.where(col < kvlen_ref[b], jnp.exp(s - m_new), 0.0)
+        # alpha: exp(NEG_INF - NEG_INF) == 1 between fully-masked blocks is
+        # harmless (l_i == 0, acc == 0); once m_new is a real max,
+        # exp(NEG_INF - m_new) underflows to the correct 0
         alpha = jnp.exp(m_i - m_new)
         l_new = l_i * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(

@@ -30,20 +30,42 @@ def _quantize_int8_one(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     return {"w8": w8, "s": scale[..., 0, :]}
 
 
-def quantize_int8(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+def quantize_int8(
+    w: jnp.ndarray, chunk_elems: int = 64 * 1024 * 1024
+) -> Dict[str, jnp.ndarray]:
     """(..., K, N) weights -> {"w8": int8, "s": fp32 per-N-channel scales}.
 
-    Stacked (L, K, N) tensors are quantized one layer at a time: the fp32
-    temporary of a whole multi-GB stack would otherwise OOM HBM during
-    serving preparation.
+    Tensors above ``chunk_elems`` elements are quantized in pieces so the
+    fp32 temporary never exceeds a fraction of the input: stacked (L, K, N)
+    stacks go one layer at a time, and big 2-D matrices (e.g. a transposed
+    LM head, 2048 x 257152 at 3B scale) go in output-column blocks —
+    per-channel scales make column blocking exact. The un-chunked 2-D path
+    OOMed a 16 GB chip during serving prep when the bf16 model was still
+    resident (round-2 driver bench failure).
     """
-    if w.ndim == 3 and w.size > 64 * 1024 * 1024:
+    big = w.size > chunk_elems
+    if w.ndim == 3 and big:
         outs = [jax.jit(_quantize_int8_one)(w[i]) for i in range(w.shape[0])]
         return {
             "w8": jnp.stack([o["w8"] for o in outs]),
             "s": jnp.stack([o["s"] for o in outs]),
         }
-    return _quantize_int8_one(w)
+    if w.ndim == 2 and big:
+        n = w.shape[1]
+        step = max(128, (chunk_elems // max(w.shape[0], 1)) // 128 * 128)
+        outs = [
+            jax.jit(_quantize_int8_one)(
+                jax.lax.slice_in_dim(w, i, min(i + step, n), axis=1)
+            )
+            for i in range(0, n, step)
+        ]
+        return {
+            "w8": jnp.concatenate([o["w8"] for o in outs], axis=1),
+            "s": jnp.concatenate([o["s"] for o in outs], axis=0),
+        }
+    # jitted like the chunked paths so chunked == unchunked bit-for-bit
+    # (eager vs jit differ by 1 ulp in the scale division)
+    return jax.jit(_quantize_int8_one)(w)
 
 
 def dequantize(q: Dict[str, jnp.ndarray], dtype=jnp.float32) -> jnp.ndarray:

@@ -313,9 +313,12 @@ def forward(
     # validity-mask window and per-row positions).
     b = input_embeds.shape[0]
     if (
-        fused_layer and s == 1 and mesh is None
+        fused_layer and s == 1 and b <= 32 and mesh is None
         and "qkv_s" in params["layers"]
     ):
+        # b <= 32 mirrors decode_layer.supported: beyond that the lockstep
+        # VMEM window rings blow the scratch cap — oversized batches must
+        # silently take the XLA scan path below, not die at compile
         from ..kernels import decode_layer
 
         n_layers = kv_cache["k"].shape[0]

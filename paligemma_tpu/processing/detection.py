@@ -13,8 +13,11 @@ grammar (big_vision convention, also used by the HF demo apps):
   inside the box), followed by a free-text label;
 * objects are separated by `` ; ``.
 
-Coordinates are decoded as ``bin / 1023`` (the grid's last bin maps to the
-far edge), then scaled to the caller's ``(height, width)``.
+Coordinates are decoded as ``int(bin) / 1024 * dim`` (floored to integer
+pixels, clipped to the image) — the exact arithmetic of the public
+big_vision / HF demo postprocessing, so boxes match those apps bit for
+bit. ``format_objects`` is the inverse (``min(1023, round(norm * 1024))``),
+which round-trips every decodable bin exactly.
 
 Everything here is host-side numpy string postprocessing — it runs after
 ``tokenizer.decode`` and touches no device state.
@@ -58,13 +61,15 @@ class Detection:
 
     def box_pixels(self, height: int, width: int) -> Tuple[int, int, int, int]:
         """Scale the normalized box to integer pixel coordinates
-        (ymin, xmin, ymax, xmax), clipped to the image."""
+        (ymin, xmin, ymax, xmax), clipped to the image.
+
+        ``int(norm * dim)`` (floor) — the HF/big_vision demo arithmetic."""
         y0, x0, y1, x1 = self.box
         return (
-            int(round(y0 * (height - 1))),
-            int(round(x0 * (width - 1))),
-            int(round(y1 * (height - 1))),
-            int(round(x1 * (width - 1))),
+            min(int(y0 * height), height - 1),
+            min(int(x0 * width), width - 1),
+            min(int(y1 * height), height - 1),
+            min(int(x1 * width), width - 1),
         )
 
 
@@ -78,7 +83,7 @@ def extract_objects(text: str) -> List[Detection]:
     """
     out: List[Detection] = []
     for m in _OBJ_RE.finditer(text):
-        bins = tuple(int(m.group(i)) / 1023.0 for i in range(1, 5))
+        bins = tuple(int(m.group(i)) / 1024.0 for i in range(1, 5))
         seg_blob = m.group(5)
         seg = (
             tuple(int(s) for s in _SEG_RE.findall(seg_blob))
@@ -132,10 +137,10 @@ def paste_mask_in_box(
     """
     assert mask64.shape == (64, 64), mask64.shape
     y0f, x0f, y1f, x1f = box
-    y0 = int(round(y0f * (height - 1)))
-    x0 = int(round(x0f * (width - 1)))
-    y1 = int(round(y1f * (height - 1)))
-    x1 = int(round(x1f * (width - 1)))
+    y0 = min(int(y0f * height), height - 1)
+    x0 = min(int(x0f * width), width - 1)
+    y1 = min(int(y1f * height), height - 1)
+    x1 = min(int(x1f * width), width - 1)
     out = np.zeros((height, width), np.uint8)
     bh, bw = y1 - y0 + 1, x1 - x0 + 1
     if bh <= 0 or bw <= 0:
@@ -161,7 +166,7 @@ def format_objects(dets: Sequence[Detection]) -> str:
     list of detections (useful for building fine-tuning targets)."""
     parts = []
     for d in dets:
-        bins = [min(1023, max(0, int(round(v * 1023)))) for v in d.box]
+        bins = [min(1023, max(0, int(round(v * 1024)))) for v in d.box]
         s = "".join(f"<loc{b:04d}>" for b in bins)
         if d.seg_indices is not None:
             assert len(d.seg_indices) == 16

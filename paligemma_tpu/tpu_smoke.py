@@ -1,0 +1,224 @@
+"""On-device Pallas kernel smoke tier (<60 s on the real chip).
+
+CI runs every kernel in interpret mode on CPU (tests/conftest.py), where
+Mosaic toolchain potholes (CLAUDE.md) cannot bite. This module compiles and
+runs each production kernel family at tiny shapes on the REAL backend, so a
+kernel regression fails fast with a *named* kernel instead of crashing
+mid-benchmark. ``bench.py`` calls :func:`run` first; it is also runnable as
+``python -m paligemma_tpu.tpu_smoke``.
+
+Checks cover the production kernel surface only (ablation kernels are
+excluded on purpose): int8 matmuls, flash attention fwd+bwd, the fused
+decode stack (grid-over-layers layer kernel + fused MLP + greedy head, end
+to end through gemma.forward), and paged decode attention.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _check_int8_matmul():
+    from .kernels import quant
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (8, 256), jnp.bfloat16)
+    w = jax.random.normal(jax.random.PRNGKey(1), (256, 384), jnp.float32)
+    q = quant.quantize_int8(w)
+    ref = np.asarray(x.astype(jnp.float32) @ quant.dequantize(q), np.float32)
+    out = np.asarray(quant.int8_matmul(x, q["w8"], q["s"]), np.float32)
+    np.testing.assert_allclose(out, ref, rtol=0.05, atol=0.1)
+    qn = quant.quantize_int8_nmajor(w)
+    out_n = np.asarray(
+        quant.int8_matmul_nmajor(x, qn["w8t"], qn["s"]), np.float32
+    )
+    np.testing.assert_allclose(out_n, ref, rtol=0.05, atol=0.1)
+
+
+def _check_flash_attention():
+    from .kernels import flash_attention as fa
+
+    key = jax.random.PRNGKey(0)
+    b, s, h, d = 2, 256, 2, 128
+    q = jax.random.normal(key, (b, s, h, d), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, s, h, d), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, s, h, d), jnp.float32)
+    prefix = jnp.asarray([64, 32], jnp.int32)
+    kv_len = jnp.asarray([s, s - 16], jnp.int32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(fa.flash_attention(q, k, v, prefix, kv_len) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(fa.reference_attention(q, k, v, prefix, kv_len) ** 2)
+
+    out = np.asarray(fa.flash_attention(q, k, v, prefix, kv_len))
+    ref = np.asarray(fa.reference_attention(q, k, v, prefix, kv_len))
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
+    g = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=5e-2, atol=5e-2
+        )
+
+
+def _fused_stack_setup():
+    from .core.config import GemmaConfig
+    from .models import gemma
+    from .runtime.quantize import quantize_lm_for_serving
+
+    # Real Gemma-2B geometry ratios at reduced hidden size (8 q heads x 256
+    # / 1 kv head). NOTE deliberately NOT the smallest legal shape: the
+    # 4-head/128-dim toy geometry aborts this Mosaic build while the
+    # production shape compiles fine, so smoke must track production.
+    cfg = GemmaConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=2048,
+        num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=1,
+        head_dim=256, max_position_embeddings=1024,
+    )
+    full = {"lm": gemma.init_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)}
+    lm = quantize_lm_for_serving(full)["lm"]
+    return cfg, lm
+
+
+def _fused_stack_decode(cfg, lm, fused: bool, n_decode: int = 2):
+    from .kernels import decode_layer
+    from .models import gemma
+
+    B, S, n_prefill = 1, 512, 5
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(5, 250, (B, n_prefill)), jnp.int32)
+    cache = gemma.init_kv_cache(cfg, B, S, jnp.bfloat16)
+    valid = jnp.zeros((B, S), bool).at[:, :n_prefill].set(True)
+    embeds = jnp.take(lm["embed"], ids, axis=0).astype(jnp.bfloat16)
+    pos = jnp.arange(1, n_prefill + 1, dtype=jnp.int32)[None]
+    logits, cache = gemma.forward(
+        lm, cfg, embeds, pos, cache,
+        cache_pos=jnp.asarray(0, jnp.int32), kv_valid=valid,
+    )
+    tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+
+    layers = lm
+    if fused:
+        layers = dict(lm)
+        layers["layers"] = decode_layer.repack_layers(lm["layers"])
+
+    toks = [int(np.asarray(tok)[0])]
+    write, p = n_prefill, n_prefill + 1
+    for _ in range(n_decode):
+        valid = valid.at[:, write].set(True)
+        emb = jnp.take(lm["embed"], tok, axis=0)[:, None].astype(jnp.bfloat16)
+        logits, cache = gemma.forward(
+            layers, cfg, emb, jnp.full((B, 1), p, jnp.int32), cache,
+            cache_pos=jnp.asarray(write, jnp.int32), kv_valid=valid,
+            kv_bucket=512, fused_layer=fused,
+        )
+        tok = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)
+        toks.append(int(np.asarray(tok)[0]))
+        write += 1
+        p += 1
+    return toks
+
+
+def _check_fused_decode_layer():
+    cfg, lm = _fused_stack_setup()
+    ref = _fused_stack_decode(cfg, lm, fused=False)
+    fus = _fused_stack_decode(cfg, lm, fused=True)
+    assert ref == fus, (ref, fus)
+
+
+def _check_decode_mlp():
+    from .kernels import decode_mlp
+
+    cfg, lm = _fused_stack_setup()
+    mlp = decode_mlp.repack(lm["layers"]["mlp"])
+    y = jax.random.normal(
+        jax.random.PRNGKey(3), (1, 1, cfg.hidden_size), jnp.bfloat16
+    )
+    li = jnp.asarray(1, jnp.int32)
+    out = np.asarray(decode_mlp.mlp_decode_fused(y, mlp, li), np.float32)
+    ref = np.asarray(decode_mlp.reference_mlp(y, lm["layers"]["mlp"], li),
+                     np.float32)
+    np.testing.assert_allclose(out, ref, rtol=0.1, atol=0.1)
+
+
+def _check_decode_head():
+    from .kernels import decode_head
+    from .kernels.quant import quantize_int8
+
+    k, v = 128, 16384  # nch=2 so the chunk ring actually cycles
+    w = jax.random.normal(jax.random.PRNGKey(4), (k, v), jnp.float32)
+    head_q = quantize_int8(w)
+    blk = decode_head.repack_head(head_q)
+    y = jax.random.normal(jax.random.PRNGKey(5), (2, k), jnp.bfloat16)
+    tok = np.asarray(decode_head.head_argmax_fused(y, blk))
+    ref = np.asarray(decode_head.reference_head_argmax(y, head_q))
+    np.testing.assert_array_equal(tok, ref)
+
+
+def _check_paged_attention():
+    from .kernels import paged_attention as pa
+
+    b, hq, d, page, npages, pmax = 2, 4, 128, 16, 8, 4
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (b, hq, d), jnp.float32)
+    kp = jax.random.normal(jax.random.PRNGKey(1), (npages, page, 1, d),
+                           jnp.float32)
+    vp = jax.random.normal(jax.random.PRNGKey(2), (npages, page, 1, d),
+                           jnp.float32)
+    table = jnp.asarray([[0, 2, 4, 6], [1, 3, 5, 7]], jnp.int32)
+    kv_len = jnp.asarray([35, 17], jnp.int32)
+    out = np.asarray(pa.paged_decode_attention(q, kp, vp, table, kv_len))
+    ref = np.asarray(
+        pa.reference_paged_decode_attention(q, kp, vp, table, kv_len)
+    )
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
+
+
+CHECKS: List[Tuple[str, Callable[[], None]]] = [
+    ("int8_matmul", _check_int8_matmul),
+    ("flash_attention", _check_flash_attention),
+    ("decode_mlp", _check_decode_mlp),
+    ("decode_head", _check_decode_head),
+    ("decode_layer_stack", _check_fused_decode_layer),
+    ("paged_attention", _check_paged_attention),
+]
+
+
+def run(verbose: bool = True) -> Dict[str, float]:
+    """Run every check on the current default backend.
+
+    Returns {check_name: seconds}. Raises RuntimeError naming every failed
+    kernel (with the first line of each underlying error)."""
+    timings: Dict[str, float] = {}
+    failures: List[str] = []
+    for name, fn in CHECKS:
+        t0 = time.perf_counter()
+        try:
+            fn()
+            timings[name] = round(time.perf_counter() - t0, 2)
+            if verbose:
+                print(f"[tpu_smoke] {name}: ok ({timings[name]:.1f}s)",
+                      flush=True)
+        except Exception as e:  # noqa: BLE001 — named re-raise below
+            msg = str(e).splitlines()[0][:200] if str(e) else repr(e)[:200]
+            failures.append(f"{name}: {type(e).__name__}: {msg}")
+            if verbose:
+                print(f"[tpu_smoke] {name}: FAIL — {msg}", flush=True)
+    if failures:
+        raise RuntimeError(
+            "tpu_smoke kernel failures: " + "; ".join(failures)
+        )
+    return timings
+
+
+if __name__ == "__main__":
+    print(f"backend: {jax.default_backend()}", flush=True)
+    t = run()
+    print(f"all kernels ok in {sum(t.values()):.1f}s", flush=True)

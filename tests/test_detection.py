@@ -22,12 +22,13 @@ def test_extract_single_box():
     o = objs[0]
     assert o.label == "cat"
     assert o.seg_indices is None
+    # public demo convention: bin/1024 normalized, floor*dim pixels
     np.testing.assert_allclose(
-        o.box, (0.0, 256 / 1023, 512 / 1023, 1.0), atol=1e-9
+        o.box, (0.0, 256 / 1024, 512 / 1024, 1023 / 1024), atol=1e-9
     )
     y0, x0, y1, x1 = o.box_pixels(224, 448)
-    assert (y0, x1) == (0, 447)
-    assert y1 == round(512 / 1023 * 223)
+    assert (y0, x1) == (0, int(1023 / 1024 * 448))
+    assert y1 == int(512 / 1024 * 224)
 
 
 def test_extract_multiple_and_prompt_prefix_ignored():

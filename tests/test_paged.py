@@ -67,6 +67,30 @@ def test_paged_kernel_matches_reference(hq, hkv):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_paged_kernel_deeply_negative_scores():
+    """Regression (ADVICE r2): when every valid score is below the f32 exp
+    underflow point (~-88), an m=0-initialized online softmax emits zeros;
+    the NEG_INF init + p re-mask must return the exact softmax average."""
+    ps, d, b = 16, 128, 2
+    q = jnp.full((b, 4, d), 3.0, jnp.float32)
+    # scores = q . k * scale = -3*3*128/sqrt(128) ~ -1018: deep underflow
+    k_pool = jnp.full((4, ps, 1, d), -3.0, jnp.float32)
+    v_pool = (
+        jnp.arange(4 * ps * d, dtype=jnp.float32).reshape(4, ps, 1, d) / 1e3
+    )
+    page_table = jnp.asarray([[0, 1], [2, 3]], jnp.int32)
+    kv_len = jnp.asarray([20, 7], jnp.int32)
+    got = paged_decode_attention(
+        q, k_pool, v_pool, page_table, kv_len, interpret=True
+    )
+    want = reference_paged_decode_attention(
+        q, k_pool, v_pool, page_table, kv_len
+    )
+    assert np.abs(np.asarray(got)).max() > 0  # the old bug emitted zeros
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_paged_kernel_inactive_row_returns_zeros():
     ps, d, hq, hkv = 16, 128, 4, 1
     q = jax.random.normal(jax.random.PRNGKey(1), (2, hq, d), jnp.float32)

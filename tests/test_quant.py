@@ -23,6 +23,17 @@ def test_quantize_roundtrip_error_small():
     assert err.max() <= float(np.asarray(q["s"]).max()) * 0.51
 
 
+def test_quantize_chunked_2d_matches_unchunked():
+    """Column-blocked 2-D quantization (the big-LM-head path that OOMed the
+    round-2 driver bench) is bit-identical to the one-shot path: scales are
+    per output channel, so column blocking changes nothing."""
+    w = jax.random.normal(jax.random.PRNGKey(3), (32, 1000)) * 0.4
+    ref = quantize_int8(w)
+    chunked = quantize_int8(w, chunk_elems=32 * 128)  # forces ~128-col blocks
+    np.testing.assert_array_equal(np.asarray(ref["w8"]), np.asarray(chunked["w8"]))
+    np.testing.assert_array_equal(np.asarray(ref["s"]), np.asarray(chunked["s"]))
+
+
 def test_int8_matmul_matches_dequant_matmul():
     x = jax.random.normal(jax.random.PRNGKey(1), (4, 64))
     w = jax.random.normal(jax.random.PRNGKey(2), (64, 200)) * 0.2  # unaligned N
