@@ -37,11 +37,13 @@ def _kernel(
     w_ref,  # (nch, K, bs) int8 ANY/HBM
     s_ref,  # (nch, 1, bs) f32 VMEM
     tok_ref,  # (B, 1) int32 VMEM out
+    max_ref,  # (B, 1) f32 VMEM out — winning logit (for TP shard combine)
     wbuf,  # (2, K, bs) int8 VMEM scratch
     sems,  # DMA (2,)
     *,
     nch: int,
     bs: int,
+    n_valid: int,  # true vocab width; columns >= n_valid are padding
 ):
     def dma(c, slot):
         return pltpu.make_async_copy(w_ref.at[c], wbuf.at[slot], sems.at[slot])
@@ -65,8 +67,12 @@ def _kernel(
         # round-trip through bf16: the XLA path (matmul_any -> lm_head)
         # emits bf16 logits, so argmax must see identical rounding
         logits = logits.astype(jnp.bfloat16).astype(jnp.float32)
-        m = jnp.max(logits, axis=-1, keepdims=True)  # (B, 1)
         ids = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + c * bs
+        if nch * bs != n_valid:
+            # padded vocab (TP shards rarely divide into lane-aligned
+            # chunks): padding columns must never win the argmax
+            logits = jnp.where(ids < n_valid, logits, -jnp.inf)
+        m = jnp.max(logits, axis=-1, keepdims=True)  # (B, 1)
         idx = jnp.min(
             jnp.where(logits == m, ids, jnp.int32(2**31 - 1)),
             axis=-1, keepdims=True,
@@ -79,8 +85,9 @@ def _kernel(
     bsz = y_ref.shape[0]
     neg = jnp.full((bsz, 1), -jnp.inf, jnp.float32)
     zero = jnp.zeros((bsz, 1), jnp.int32)
-    _, best_i = jax.lax.fori_loop(0, nch, body, (neg, zero))
+    best_m, best_i = jax.lax.fori_loop(0, nch, body, (neg, zero))
     tok_ref[...] = best_i
+    max_ref[...] = best_m
 
 
 def pick_block(vocab: int) -> Optional[int]:
@@ -99,18 +106,30 @@ def supported(head_blk) -> bool:
 def repack_head(
     head_q: Dict[str, jnp.ndarray], bs: Optional[int] = None
 ) -> Dict[str, jnp.ndarray]:
-    """head_q {"w8": (K, V), "s": (V,)} -> chunk-major kernel layout."""
+    """head_q {"w8": (K, V), "s": (V,)} -> chunk-major kernel layout.
+
+    When no lane-aligned chunk width divides V (typical for TP vocab
+    shards, e.g. 257152/8 = 32144), the vocab is zero-padded up to the
+    next chunk multiple; the kernel masks padded columns to -inf using the
+    true width (recovered from the unpadded ``s``)."""
     w8, s = head_q["w8"], head_q["s"]
     k, v = w8.shape
     if bs is None:
         bs = pick_block(v)
-    assert bs is not None and v % bs == 0, (v, bs)
-    nch = v // bs
+    if bs is None:  # pad to the next multiple of a lane-aligned width
+        bs = min(8192, ((v + 127) // 128) * 128)
+    v_pad = ((v + bs - 1) // bs) * bs
+    if v_pad != v:
+        w8 = jnp.pad(w8, ((0, 0), (0, v_pad - v)))
+    nch = v_pad // bs
     return {
         "w8_blk": w8.reshape(k, nch, bs).transpose(1, 0, 2),
-        "s_blk": s.reshape(nch, 1, bs).astype(jnp.float32),
-        # original kept for the sampling path (lm_head) and batched decode
-        "w8": w8,
+        "s_blk": jnp.pad(s, (0, v_pad - v)).reshape(nch, 1, bs).astype(
+            jnp.float32
+        ),
+        # original kept for the sampling path (lm_head), batched decode,
+        # and as the kernel's true-vocab-width record (s.shape[0])
+        "w8": head_q["w8"],
         "s": s,
     }
 
@@ -119,25 +138,38 @@ def head_argmax_fused(
     y: jnp.ndarray,  # (B, 1, K) or (B, K) — final-norm output
     head_blk: Dict[str, jnp.ndarray],  # repack_head() output
     interpret: Optional[bool] = None,
+    return_max: bool = False,
 ) -> jnp.ndarray:
-    """Greedy token ids (shape (B,) int32) without materializing logits."""
+    """Greedy token ids (shape (B,) int32) without materializing logits.
+
+    ``return_max=True`` additionally returns the winning logit value
+    (B,) f32 — a TP vocab shard combines (id, max) pairs across shards
+    with an all_gather + argmax (kernels/decode_layer_tp.py)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     k = y.shape[-1]
     y2 = y.reshape(-1, k)
     b = y2.shape[0]
     nch, _, bs = head_blk["w8_blk"].shape
+    n_valid = head_blk["s"].shape[0]
 
-    tok = pl.pallas_call(
-        functools.partial(_kernel, nch=nch, bs=bs),
+    tok, mx = pl.pallas_call(
+        functools.partial(_kernel, nch=nch, bs=bs, n_valid=n_valid),
         grid=(1,),
         in_specs=[
             pl.BlockSpec((b, k), lambda g: (0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            # HBM-pinned (not ANY): see decode_mlp.mlp_decode_fused
+            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((b, 1), lambda g: (0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, 1), jnp.int32),
+        out_specs=[
+            pl.BlockSpec((b, 1), lambda g: (0, 0)),
+            pl.BlockSpec((b, 1), lambda g: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((2, k, bs), jnp.int8),
             pltpu.SemaphoreType.DMA((2,)),
@@ -147,6 +179,8 @@ def head_argmax_fused(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(y2, head_blk["w8_blk"], head_blk["s_blk"])
+    if return_max:
+        return tok[:, 0], mx[:, 0]
     return tok[:, 0]
 
 

@@ -379,13 +379,16 @@ def layers_decode_fused(
             pl.BlockSpec((b, window), lambda l, s: (0, 0)),
             pl.BlockSpec((1, 1, k), lambda l, s: (l, 0, 0)),
             pl.BlockSpec((1, 1, k), lambda l, s: (l, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            # weight stacks pinned to HBM (not ANY): small stacks otherwise
+            # get promoted to VMEM and the manual DMAs miscompile — see
+            # decode_mlp.mlp_decode_fused for the full note
+            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec((1, 1, nq2), lambda l, s: (l, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec((1, 1, k), lambda l, s: (l, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec((1, nc, bs), lambda l, s: (l, 0, 0)),
             pl.BlockSpec((1, nc, bs), lambda l, s: (l, 0, 0)),
             pl.BlockSpec((1, 1, k), lambda l, s: (l, 0, 0)),

@@ -189,14 +189,21 @@ def mlp_decode_fused(
     packed: Dict[str, jnp.ndarray],  # repack() output
     layer_idx: jnp.ndarray,  # scalar int32
     interpret: Optional[bool] = None,
+    out_dtype=None,
 ) -> jnp.ndarray:
     """One layer's int8 GeGLU MLP at decode shape. Returns y-shaped output.
 
     Weight-streaming is batch-invariant, so any (small) B rides the same
     DMA schedule — batched lockstep decode and the serving slot pool use
-    the identical kernel."""
+    the identical kernel.
+
+    ``out_dtype``: defaults to y.dtype; a TP shard passes float32 so the
+    cross-shard psum of partial down-projections runs at full precision
+    before the single cast back to the activation dtype."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if out_dtype is None:
+        out_dtype = y.dtype
     shape_in = y.shape
     k = shape_in[-1]
     y2 = y.reshape(-1, k)
@@ -208,9 +215,13 @@ def mlp_decode_fused(
         grid=(1,),
         in_specs=[
             pl.BlockSpec((b, k), lambda g, idx: (0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            # weight stacks pinned to HBM: under ANY, stacks small enough
+            # for VMEM get promoted there and the chunk DMAs miscompile
+            # ("DMA source and target shape mismatch") — only bites at
+            # sub-production sizes, but pinning costs nothing at full size
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec((1, nc, bs), lambda g, idx: (idx[0], 0, 0)),
             pl.BlockSpec((1, nc, bs), lambda g, idx: (idx[0], 0, 0)),
             pl.BlockSpec((1, 1, k), lambda g, idx: (idx[0], 0, 0)),
@@ -227,7 +238,7 @@ def mlp_decode_fused(
     out = pl.pallas_call(
         functools.partial(_kernel, nc=nc, bs=bs),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, k), y.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, k), out_dtype),
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             # 3 weight streams x 2 ring slots exceeds the default 16M

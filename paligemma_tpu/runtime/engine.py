@@ -104,12 +104,13 @@ class PaliGemmaEngine:
         if fused_mlp is None:
             fused_mlp = False
         self.fused_mlp = fused_mlp
-        # Whole-layer fused decode kernel (kernels/decode_layer): B==1 only
-        # (B>1 traces fall back to the XLA path inside gemma.forward);
-        # subsumes fused_mlp. Default ON for TPU single-chip int8 decode —
-        # measured 3.578 vs 3.761 ms/step at the 3B bench shape.
+        # Whole-layer fused decode kernel (kernels/decode_layer): subsumes
+        # fused_mlp. Default ON for TPU int8 decode — measured 3.578 vs
+        # 3.761 ms/step at the 3B bench shape. Under a mesh the TP variant
+        # (kernels/decode_layer_tp: per-layer kernels + psum glue) is used
+        # instead of the grid-over-layers kernel.
         if fused_layer is None:
-            fused_layer = jax.default_backend() == "tpu" and mesh is None
+            fused_layer = jax.default_backend() == "tpu"
         self.fused_layer = fused_layer
         self.mesh = mesh
         if mesh is not None:
@@ -129,6 +130,28 @@ class PaliGemmaEngine:
                 )
         self.params = params
         self.decode_params = decode_params if decode_params is not None else params
+
+        # Under a mesh, the fused decode path is the tensor-parallel
+        # variant: per-layer kernels under shard_map with the o/down psums
+        # in the XLA glue (the single grid-over-layers kernel cannot host
+        # the per-layer collectives). Structural support is checked here;
+        # the per-call batch bound (32 rows per data shard) gates in
+        # decode_chunk.
+        self._tp_packed = self._tp_specs = None
+        if mesh is not None and (self.fused_mlp or self.fused_layer):
+            from ..kernels import decode_layer_tp as _tp
+
+            tc = config.text_config
+            layers = self.decode_params["lm"]["layers"]
+            if (
+                _tp.supported(tc, mesh, layers, batch=1)
+                and "head_q" in self.decode_params["lm"]
+            ):
+                self._tp_packed, self._tp_specs = _tp.repack_for_tp(
+                    self.decode_params["lm"], tc, mesh
+                )
+            self.fused_mlp = False
+            self.fused_layer = False
 
         if self.fused_mlp or self.fused_layer:
             from ..kernels import decode_layer as _dl
@@ -298,9 +321,15 @@ class PaliGemmaEngine:
             key = jax.random.PRNGKey(0)
         if done is None:
             done = jnp.zeros((logits.shape[0],), bool)
+        b = logits.shape[0]
+        use_tp = False
+        if self._tp_packed is not None and not do_sample:
+            nd = int(self.mesh.shape.get("data", 1))
+            use_tp = b % nd == 0 and b // nd <= 32
         fn = self._get_chunk(n_steps, temperature, top_p, do_sample, eos,
-                             kv_bucket)
-        return fn(self.decode_params, logits, state, done, key)
+                             kv_bucket, use_tp)
+        weights = self._tp_packed if use_tp else self.decode_params
+        return fn(weights, logits, state, done, key)
 
     def kv_bucket_for(self, highest_write_pos: int) -> Optional[int]:
         """Smallest power-of-two cache window (>=512) covering the given
@@ -312,11 +341,56 @@ class PaliGemmaEngine:
         return b if b < self.max_seq_len else None
 
     def _get_chunk(self, n_steps, temperature, top_p, do_sample, eos,
-                   kv_bucket=None):
-        sig = (n_steps, temperature, top_p, do_sample, eos, kv_bucket)
+                   kv_bucket=None, use_tp=False):
+        sig = (n_steps, temperature, top_p, do_sample, eos, kv_bucket, use_tp)
         if sig in self._chunk_cache:
             return self._chunk_cache[sig]
         cfg = self.config
+
+        if use_tp:
+            # TP fused greedy chunk: like chunk_greedy below, but each step
+            # is the shard_map'd per-layer kernel path. ``params`` is the
+            # repack_for_tp tree (passed, never closed over — closures over
+            # weights become HLO constants and blow up the remote compiler).
+            from ..kernels import decode_layer_tp as _tp
+
+            specs = self._tp_specs
+            mesh = self.mesh
+            tc = cfg.text_config
+
+            @functools.partial(
+                jax.jit, donate_argnums=(1, 2, 3),
+                compiler_options=self._decode_jit_opts,
+            )
+            def chunk_greedy_tp(params, seed, state: KVState, done, key):
+                token0 = (
+                    jnp.argmax(seed, -1).astype(jnp.int32)
+                    if seed.ndim == 2
+                    else seed
+                )
+
+                def body(carry, _):
+                    token, state, done = carry
+                    token = jnp.where(done, eos, token)
+                    done = done | (token == eos)
+                    valid = state.valid.at[:, state.write_pos].set(True)
+                    next_tok, cache = _tp.decode_step_greedy_tp(
+                        params, specs, tc, token, state.cache,
+                        cache_pos=state.write_pos, kv_valid=valid,
+                        position_ids=state.pos_ids, kv_bucket=kv_bucket,
+                        mesh=mesh,
+                    )
+                    new_state = KVState(cache, valid, state.write_pos + 1,
+                                        state.pos_ids + 1)
+                    return (next_tok, new_state, done), token
+
+                (tok, state, done), tokens = jax.lax.scan(
+                    body, (token0, state, done), None, length=n_steps
+                )
+                return tok, state, tokens.T, done
+
+            self._chunk_cache[sig] = chunk_greedy_tp
+            return chunk_greedy_tp
 
         if not do_sample and self._greedy_head_fused:
             # Greedy fast path: the fused head+argmax kernel returns the

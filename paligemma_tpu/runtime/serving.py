@@ -111,8 +111,25 @@ class ServingEngine:
         # read fresh logits from the XLA sampling variant; greedy tokens
         # never read state["logits"]).
         if fused_decode is None:
-            fused_decode = jax.default_backend() == "tpu" and mesh is None
-        if fused_decode:
+            fused_decode = jax.default_backend() == "tpu"
+        self._tp_packed = self._tp_specs = None
+        if fused_decode and mesh is not None:
+            # mesh serving: the fused tick is the tensor-parallel variant
+            # (kernels/decode_layer_tp) — per-layer kernels per shard with
+            # the o/down psums riding ICI between kernel calls
+            from ..kernels import decode_layer_tp as _tp
+
+            tc0 = config.text_config
+            layers = self.decode_params["lm"]["layers"]
+            fused_decode = (
+                _tp.supported(tc0, mesh, layers, batch=max_slots)
+                and "head_q" in self.decode_params["lm"]
+            )
+            if fused_decode:
+                self._tp_packed, self._tp_specs = _tp.repack_for_tp(
+                    self.decode_params["lm"], tc0, mesh
+                )
+        elif fused_decode:
             from ..kernels import decode_layer as _dl
             from ..kernels import decode_mlp as _dm
 
@@ -125,20 +142,19 @@ class ServingEngine:
                 and _dm.supported(layers["mlp"])
                 and max_slots <= 32
             )
-        if fused_decode:
-            from ..kernels import decode_head as _dh
-            from ..kernels import decode_layer as _dl
+            if fused_decode:
+                from ..kernels import decode_head as _dh
 
-            dp = dict(self.decode_params)
-            dp["lm"] = dict(dp["lm"])
-            dp["lm"]["layers"] = jax.jit(_dl.repack_layers)(
-                dp["lm"]["layers"]
-            )
-            if "head_q" in dp["lm"]:
-                dp["lm"]["head_q"] = jax.jit(_dh.repack_head)(
-                    dp["lm"]["head_q"]
+                dp = dict(self.decode_params)
+                dp["lm"] = dict(dp["lm"])
+                dp["lm"]["layers"] = jax.jit(_dl.repack_layers)(
+                    dp["lm"]["layers"]
                 )
-            self.decode_params = dp
+                if "head_q" in dp["lm"]:
+                    dp["lm"]["head_q"] = jax.jit(_dh.repack_head)(
+                        dp["lm"]["head_q"]
+                    )
+                self.decode_params = dp
         self.fused_decode = fused_decode
         self.config = config
         self.max_slots = max_slots
@@ -213,11 +229,12 @@ class ServingEngine:
             return cache, state
 
         @functools.partial(
-            jax.jit, donate_argnums=(1, 2),
+            jax.jit, donate_argnums=(2, 3),
             static_argnames=("with_sampling", "kv_bucket"),
         )
-        def _decode_all(params, cache, state, active, key, temps, top_ps,
-                        do_samples, with_sampling=False, kv_bucket=None):
+        def _decode_all(params, tp_packed, cache, state, active, key, temps,
+                        top_ps, do_samples, with_sampling=False,
+                        kv_bucket=None):
             # greedy tokens come from the carried next-token ids — exact
             # regardless of whether the previous tick materialized logits
             greedy_tok = state["next_tok"]
@@ -240,12 +257,23 @@ class ServingEngine:
             inc = active.astype(jnp.int32)
             if not with_sampling and self.fused_decode:
                 # fused greedy tick: one grid-over-layers kernel + fused
-                # head/argmax; the (slots, 257k) logits never materialize
-                next_tok, cache = paligemma.decode_step_greedy(
-                    params, cfg, token, cache,
-                    cache_pos=write_pos, kv_valid=valid,
-                    position_ids=state["pos_ids"], kv_bucket=kv_bucket,
-                )
+                # head/argmax; the (slots, 257k) logits never materialize.
+                # Under a mesh the TP per-layer kernels run instead.
+                if tp_packed is not None:
+                    from ..kernels import decode_layer_tp as _tp
+
+                    next_tok, cache = _tp.decode_step_greedy_tp(
+                        tp_packed, self._tp_specs, tcfg, token, cache,
+                        cache_pos=write_pos, kv_valid=valid,
+                        position_ids=state["pos_ids"], kv_bucket=kv_bucket,
+                        mesh=mesh,
+                    )
+                else:
+                    next_tok, cache = paligemma.decode_step_greedy(
+                        params, cfg, token, cache,
+                        cache_pos=write_pos, kv_valid=valid,
+                        position_ids=state["pos_ids"], kv_bucket=kv_bucket,
+                    )
                 state = {
                     "valid": valid,
                     "write_pos": write_pos + inc,
@@ -372,9 +400,9 @@ class ServingEngine:
             scratch_state = self._zero_state()
             zeros_f = jnp.zeros((self.max_slots,), jnp.float32)
             self._decode_all(
-                self.decode_params, scratch_cache, scratch_state,
-                jnp.zeros((self.max_slots,), bool), jax.random.PRNGKey(0),
-                zeros_f + 1.0, zeros_f + 1.0,
+                self.decode_params, self._tp_packed, scratch_cache,
+                scratch_state, jnp.zeros((self.max_slots,), bool),
+                jax.random.PRNGKey(0), zeros_f + 1.0, zeros_f + 1.0,
                 jnp.zeros((self.max_slots,), bool),
                 with_sampling=with_sampling, kv_bucket=kv_bucket,
             )
@@ -391,6 +419,13 @@ class ServingEngine:
                 f"tokens exceeds the per-slot budget ({budget} = max_seq_len "
                 f"{self.max_seq_len} - 1 decode slot)"
             )
+        # clamp generation so prompt + generated never writes past
+        # max_seq_len: an uncapped request would wrap write_pos//page_size
+        # past the page table (paged) or the dense cache end and silently
+        # corrupt an interior KV slot
+        req.max_new_tokens = min(
+            req.max_new_tokens, self.max_seq_len - len(req.input_ids)
+        )
         self.pending.append(req)
 
     def _bucket_of(self, req: Request) -> int:
@@ -493,7 +528,7 @@ class ServingEngine:
         for _ in range(ticks):
             self._key, sub = jax.random.split(self._key)
             token, self.cache, self.state = self._decode_all(
-                self.decode_params, self.cache, self.state,
+                self.decode_params, self._tp_packed, self.cache, self.state,
                 active, sub, temps_j, top_j, do_j,
                 with_sampling=with_sampling, kv_bucket=kv_bucket,
             )
