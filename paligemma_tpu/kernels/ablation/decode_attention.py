@@ -214,7 +214,7 @@ def reference_decode_attention(
     q, k_cache, v_cache, seg0_end, seg1_start, kv_len, scale=None
 ):
     """XLA-semantics reference (testing): same 3-scalar mask."""
-    from ..ops import attention as xla_attention
+    from ...ops import attention as xla_attention
 
     if scale is None:
         scale = q.shape[-1] ** -0.5

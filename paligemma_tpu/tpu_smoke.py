@@ -8,9 +8,10 @@ mid-benchmark. ``bench.py`` calls :func:`run` first; it is also runnable as
 ``python -m paligemma_tpu.tpu_smoke``.
 
 Checks cover the production kernel surface only (ablation kernels are
-excluded on purpose): int8 matmuls, flash attention fwd+bwd, the fused
-decode stack (grid-over-layers layer kernel + fused MLP + greedy head, end
-to end through gemma.forward), and paged decode attention.
+excluded on purpose): flash attention fwd+bwd, the fused decode stack
+(grid-over-layers layer kernel + fused MLP + greedy head, end to end
+through gemma.forward), the tensor-parallel per-layer kernels at a TP8
+per-shard geometry, and paged decode attention.
 """
 
 from __future__ import annotations
@@ -23,21 +24,79 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _check_int8_matmul():
-    from .kernels import quant
+def _check_decode_layer_tp():
+    """TP per-layer kernels on a 1-device mesh at the TP8 per-shard
+    geometry of the 3B model: ONE local q head — the shape the kernel only
+    ever sees as a tensor-parallel shard, exercising its (1, W)-shaped
+    attention ops on real Mosaic."""
+    from .core.config import GemmaConfig
+    from .core.mesh import make_mesh
+    from .kernels import decode_layer_tp
+    from .models import gemma
+    from .runtime.quantize import quantize_lm_for_serving
 
-    key = jax.random.PRNGKey(0)
-    x = jax.random.normal(key, (8, 256), jnp.bfloat16)
-    w = jax.random.normal(jax.random.PRNGKey(1), (256, 384), jnp.float32)
-    q = quant.quantize_int8(w)
-    ref = np.asarray(x.astype(jnp.float32) @ quant.dequantize(q), np.float32)
-    out = np.asarray(quant.int8_matmul(x, q["w8"], q["s"]), np.float32)
-    np.testing.assert_allclose(out, ref, rtol=0.05, atol=0.1)
-    qn = quant.quantize_int8_nmajor(w)
-    out_n = np.asarray(
-        quant.int8_matmul_nmajor(x, qn["w8t"], qn["s"]), np.float32
+    cfg = GemmaConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=2048,
+        num_hidden_layers=2, num_attention_heads=1, num_key_value_heads=1,
+        head_dim=256, max_position_embeddings=1024,
     )
-    np.testing.assert_allclose(out_n, ref, rtol=0.05, atol=0.1)
+    full = {"lm": gemma.init_params(jax.random.PRNGKey(7), cfg, jnp.bfloat16)}
+    lm = quantize_lm_for_serving(full)["lm"]
+    mesh = make_mesh(1, 1)
+
+    B, S, n_prefill = 1, 512, 4
+    rng = np.random.default_rng(7)
+    ids = jnp.asarray(rng.integers(5, 250, (B, n_prefill)), jnp.int32)
+    cache = gemma.init_kv_cache(cfg, B, S, jnp.bfloat16)
+    valid = jnp.zeros((B, S), bool).at[:, :n_prefill].set(True)
+    embeds = jnp.take(lm["embed"], ids, axis=0).astype(jnp.bfloat16)
+    pos = jnp.arange(1, n_prefill + 1, dtype=jnp.int32)[None]
+    logits, cache = gemma.forward(
+        lm, cfg, embeds, pos, cache,
+        cache_pos=jnp.asarray(0, jnp.int32), kv_valid=valid,
+    )
+    tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+    packed, specs = decode_layer_tp.repack_for_tp(lm, cfg, mesh)
+
+    # XLA reference steps vs TP-kernel steps, same state threading
+    def xla_steps(tok0, cache0, valid0):
+        tok, cache, valid = tok0, dict(cache0), valid0
+        out, write, p = [], n_prefill, n_prefill + 1
+        for _ in range(2):
+            valid = valid.at[:, write].set(True)
+            emb = jnp.take(lm["embed"], tok, axis=0)[:, None].astype(
+                jnp.bfloat16
+            )
+            lg, cache = gemma.forward(
+                lm, cfg, emb, jnp.full((B, 1), p, jnp.int32), cache,
+                cache_pos=jnp.asarray(write, jnp.int32), kv_valid=valid,
+                kv_bucket=512,
+            )
+            tok = jnp.argmax(lg[:, 0], -1).astype(jnp.int32)
+            out.append(int(np.asarray(tok)[0]))
+            write += 1
+            p += 1
+        return out
+
+    def tp_steps(tok0, cache0, valid0):
+        tok, cache, valid = tok0, dict(cache0), valid0
+        out, write, p = [], n_prefill, n_prefill + 1
+        for _ in range(2):
+            valid = valid.at[:, write].set(True)
+            tok, cache = decode_layer_tp.decode_step_greedy_tp(
+                packed, specs, cfg, tok, cache,
+                cache_pos=jnp.asarray(write, jnp.int32), kv_valid=valid,
+                position_ids=jnp.full((B,), p, jnp.int32),
+                kv_bucket=512, mesh=mesh,
+            )
+            out.append(int(np.asarray(tok)[0]))
+            write += 1
+            p += 1
+        return out
+
+    want = xla_steps(tok, cache, valid)
+    got = tp_steps(tok, cache, valid)
+    assert want == got, (want, got)
 
 
 def _check_flash_attention():
@@ -182,11 +241,11 @@ def _check_paged_attention():
 
 
 CHECKS: List[Tuple[str, Callable[[], None]]] = [
-    ("int8_matmul", _check_int8_matmul),
     ("flash_attention", _check_flash_attention),
     ("decode_mlp", _check_decode_mlp),
     ("decode_head", _check_decode_head),
     ("decode_layer_stack", _check_fused_decode_layer),
+    ("decode_layer_tp", _check_decode_layer_tp),
     ("paged_attention", _check_paged_attention),
 ]
 

@@ -6,7 +6,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from paligemma_tpu.kernels.decode_attention import (
+from paligemma_tpu.kernels.ablation.decode_attention import (
     decode_attention,
     reference_decode_attention,
     supported,

@@ -5,7 +5,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from paligemma_tpu.kernels.quant4 import dequantize_int4, int4_matmul, quantize_int4
+from paligemma_tpu.kernels.ablation.quant4 import dequantize_int4, int4_matmul, quantize_int4
 
 
 def test_pack_unpack_roundtrip_exact():

@@ -6,7 +6,7 @@ import jax
 import jax.numpy as jnp
 
 from paligemma_tpu.core.config import tiny_test_config
-from paligemma_tpu.kernels.quant import dequantize, int8_matmul, matmul_any, quantize_int8
+from paligemma_tpu.kernels.quant import dequantize, matmul_any, quantize_int8
 from paligemma_tpu.models import gemma, paligemma
 from paligemma_tpu.runtime.engine import PaliGemmaEngine
 from paligemma_tpu.runtime.quantize import quantize_lm_for_serving
@@ -35,12 +35,22 @@ def test_quantize_chunked_2d_matches_unchunked():
 
 
 def test_int8_matmul_matches_dequant_matmul():
+    # ablation-shelf Pallas variants (production dispatch is XLA)
+    from paligemma_tpu.kernels.ablation.quant_pallas import (
+        int8_matmul,
+        int8_matmul_nmajor,
+        quantize_int8_nmajor,
+    )
+
     x = jax.random.normal(jax.random.PRNGKey(1), (4, 64))
     w = jax.random.normal(jax.random.PRNGKey(2), (64, 200)) * 0.2  # unaligned N
     q = quantize_int8(w)
-    got = int8_matmul(x, q["w8"], q["s"])
     want = x @ dequantize(q)
+    got = int8_matmul(x, q["w8"], q["s"])
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+    qn = quantize_int8_nmajor(w)
+    got_n = int8_matmul_nmajor(x, qn["w8t"], qn["s"])
+    np.testing.assert_allclose(np.asarray(got_n), np.asarray(want), rtol=1e-4, atol=1e-4)
 
 
 def test_matmul_any_dispatch():
