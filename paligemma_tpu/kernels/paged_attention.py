@@ -233,6 +233,435 @@ def paged_decode_attention(
     return out[:, :, :group, :].reshape(b, hq, d)
 
 
+def _kernel_multi(
+    # scalar prefetch (SMEM)
+    lay_ref,  # (1,) int32
+    pt_ref,  # (B, P_max) int32 physical page ids (pre-clamped)
+    lastsb_ref,  # (B,) int32: last SUPER-block index each row needs
+    kvlen_ref,  # (B,) int32
+    # blocks
+    q_ref,  # (1, 1, G_pad, D)
+    k_pool_ref,  # (L, n_pages, page_size, Hkv*D) HBM
+    v_pool_ref,  # HBM
+    o_ref,  # (1, 1, G_pad, D)
+    # scratch
+    kbuf,  # (2, P_SUB*page_size, D)
+    vbuf,
+    acc_ref,  # (G_pad, D) f32
+    m_ref,  # (G_pad, 128) f32
+    l_ref,  # (G_pad, 128) f32
+    sems,  # DMA (2, 2, P_SUB)
+    *,
+    scale: float,
+    page_size: int,
+    p_sub: int,
+    head_dim: int,
+    n_pages: int,
+):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    s = pl.program_id(2)
+    n_sb = pl.num_programs(2)
+    lay = lay_ref[0]
+
+    def dma(pool_ref, buf, kv, sb, slot, j):
+        # logical page sb*p_sub + j -> physical id via the clamped table
+        pid = pt_ref[b, jnp.minimum(sb * p_sub + j, pt_ref.shape[1] - 1)]
+        pid = jnp.clip(pid, 0, n_pages - 1)
+        return pltpu.make_async_copy(
+            pool_ref.at[lay, pid, :, pl.ds(h * head_dim, head_dim)],
+            buf.at[slot, pl.ds(j * page_size, page_size)],
+            sems.at[kv, slot, j],
+        )
+
+    def start_super(sb, slot):
+        for j in range(p_sub):
+            dma(k_pool_ref, kbuf, 0, sb, slot, j).start()
+            dma(v_pool_ref, vbuf, 1, sb, slot, j).start()
+
+    def wait_super(sb, slot):
+        for j in range(p_sub):
+            dma(k_pool_ref, kbuf, 0, sb, slot, j).wait()
+            dma(v_pool_ref, vbuf, 1, sb, slot, j).wait()
+
+    @pl.when(s == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        start_super(0, 0)
+
+    # prefetch the next super-block this row still needs
+    @pl.when((s + 1 <= lastsb_ref[b]) & (s + 1 < n_sb))
+    def _prefetch():
+        start_super(s + 1, jax.lax.rem(s + 1, 2))
+
+    @pl.when(s <= lastsb_ref[b])
+    def _compute():
+        slot = jax.lax.rem(s, 2)
+        wait_super(s, slot)
+        g_pad = q_ref.shape[2]
+        width = p_sub * page_size
+        q = q_ref[0, 0]  # (G_pad, D)
+        k = kbuf[slot]  # (width, D)
+        v = vbuf[slot]
+        sc = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (G_pad, width)
+        col = (
+            jax.lax.broadcasted_iota(jnp.int32, (g_pad, width), 1)
+            + s * width
+        )
+        valid = col < kvlen_ref[b]
+        sc = jnp.where(valid, sc, NEG_INF)
+        m_i = m_ref[...][:, :1]
+        l_i = l_ref[...][:, :1]
+        m_new = jnp.maximum(m_i, jnp.max(sc, axis=-1, keepdims=True))
+        p = jnp.where(valid, jnp.exp(sc - m_new), 0.0)
+        alpha = jnp.exp(m_i - m_new)
+        l_new = l_i * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(s == n_sb - 1)
+    def _finish():
+        l = l_ref[...][:, :1]
+        out = acc_ref[...] / jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+def paged_decode_attention_multi(
+    q: jnp.ndarray,  # (B, Hq, D)
+    k_pool: jnp.ndarray,  # (n_pages, page_size, Hkv, D) or (L, ...)
+    v_pool: jnp.ndarray,
+    page_table: jnp.ndarray,  # (B, P_max) int32
+    kv_len: jnp.ndarray,  # (B,) int32
+    scale: Optional[float] = None,
+    interpret: Optional[bool] = None,
+    layer_idx: Optional[jnp.ndarray] = None,
+    pages_per_step: int = 8,
+) -> jnp.ndarray:
+    """Multi-page-per-step paged decode attention (manual double-buffered
+    DMA). Same contract as :func:`paged_decode_attention`.
+
+    The one-page-per-grid-step kernel is bounded at ~140 GB/s effective by
+    the fixed ~4-8 us Mosaic cost per grid step (docs/PERFORMANCE.md
+    "Kernel note"). Here each grid step hand-gathers ``pages_per_step``
+    pages into a VMEM ring while the previous super-block computes, so the
+    per-step overhead amortizes over pages_per_step x more bytes. Skipped
+    super-blocks (rows shorter than the bucket) cost no DMA traffic at
+    all — only rows that need a super-block fetch it."""
+    b, hq, d = q.shape
+    if layer_idx is None:
+        assert k_pool.ndim == 4, k_pool.shape
+        page_size, hkv = k_pool.shape[1], k_pool.shape[2]
+        n_pages = k_pool.shape[0]
+        lay = jnp.zeros((1,), jnp.int32)
+        k_pool = k_pool[None]
+        v_pool = v_pool[None]
+    else:
+        assert k_pool.ndim == 5, k_pool.shape
+        page_size, hkv = k_pool.shape[2], k_pool.shape[3]
+        n_pages = k_pool.shape[1]
+        lay = jnp.reshape(layer_idx.astype(jnp.int32), (1,))
+    p_max = page_table.shape[1]
+    p_sub = min(pages_per_step, p_max)
+    n_super = (p_max + p_sub - 1) // p_sub
+    group = hq // hkv
+    if scale is None:
+        scale = d**-0.5
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    assert page_size % 16 == 0, page_size
+    assert d % 128 == 0, d
+
+    sub = 16 if q.dtype == jnp.bfloat16 else 8
+    g_pad = ((group + sub - 1) // sub) * sub
+    qf = q.reshape(b, hkv, group, d)
+    if g_pad != group:
+        qf = jnp.pad(qf, ((0, 0), (0, 0), (0, g_pad - group), (0, 0)))
+
+    k2 = k_pool.reshape(k_pool.shape[0], n_pages, page_size, hkv * d)
+    v2 = v_pool.reshape(v_pool.shape[0], n_pages, page_size, hkv * d)
+
+    lastpb = jnp.maximum(kv_len.astype(jnp.int32) - 1, 0) // page_size
+    lastsb = lastpb // p_sub
+    pb_ids = jnp.minimum(jnp.arange(p_max)[None, :], lastpb[:, None])
+    pt = jnp.take_along_axis(page_table.astype(jnp.int32), pb_ids, axis=1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(b, hkv, n_super),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, g_pad, d),
+                lambda bi, h, sb, lyr, tab, lsb, kl: (bi, h, 0, 0),
+            ),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, g_pad, d),
+            lambda bi, h, sb, lyr, tab, lsb, kl: (bi, h, 0, 0),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, p_sub * page_size, d), q.dtype),
+            pltpu.VMEM((2, p_sub * page_size, d), q.dtype),
+            pltpu.VMEM((g_pad, d), jnp.float32),
+            pltpu.VMEM((g_pad, 128), jnp.float32),
+            pltpu.VMEM((g_pad, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2, p_sub)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_multi, scale=scale, page_size=page_size, p_sub=p_sub,
+            head_dim=d, n_pages=n_pages,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, g_pad, d), q.dtype),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )(
+        lay,
+        pt,
+        lastsb,
+        kv_len.astype(jnp.int32),
+        qf,
+        k2,
+        v2,
+    )
+    return out[:, :, :group, :].reshape(b, hq, d)
+
+
+def _kernel_batched(
+    # scalar prefetch (SMEM)
+    lay_ref,  # (1,) int32
+    pt_ref,  # (B, P_max) int32 physical page ids (pre-clamped)
+    lastsb_ref,  # (B,) int32 last super-block each row needs
+    kvlen_ref,  # (B,) int32
+    # blocks
+    q_ref,  # (1, B*G_pad, D) — this kv-head's queries, rows stacked
+    k_pool_ref,  # (L, n_pages, page_size, Hkv*D) HBM
+    v_pool_ref,  # HBM
+    o_ref,  # (1, B*G_pad, D)
+    # scratch
+    kbuf,  # (2, B, W, D)   W = p_sub*page_size
+    vbuf,
+    acc_ref,  # (B*G_pad, D) f32
+    m_ref,  # (B*G_pad, 128) f32
+    l_ref,  # (B*G_pad, 128) f32
+    sems,  # DMA (2, 2, B, P_SUB)
+    *,
+    scale: float,
+    page_size: int,
+    p_sub: int,
+    g_pad: int,
+    head_dim: int,
+    n_pages: int,
+    batch: int,
+):
+    h = pl.program_id(0)
+    s = pl.program_id(1)
+    n_sb = pl.num_programs(1)
+    lay = lay_ref[0]
+
+    def dma(pool_ref, buf, kv, r, sb, slot, j):
+        pid = pt_ref[r, jnp.minimum(sb * p_sub + j, pt_ref.shape[1] - 1)]
+        pid = jnp.clip(pid, 0, n_pages - 1)
+        return pltpu.make_async_copy(
+            pool_ref.at[lay, pid, :, pl.ds(h * head_dim, head_dim)],
+            buf.at[slot, r, pl.ds(j * page_size, page_size)],
+            sems.at[kv, slot, r, j],
+        )
+
+    def start_super(sb, slot):
+        # every row that still needs super-block sb fetches it; shorter
+        # rows cost zero DMA traffic here
+        for r in range(batch):
+            @pl.when(sb <= lastsb_ref[r])
+            def _():
+                for j in range(p_sub):
+                    dma(k_pool_ref, kbuf, 0, r, sb, slot, j).start()
+                    dma(v_pool_ref, vbuf, 1, r, sb, slot, j).start()
+
+    @pl.when(s == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        start_super(0, 0)
+
+    @pl.when(s + 1 < n_sb)
+    def _prefetch():
+        start_super(s + 1, jax.lax.rem(s + 1, 2))
+
+    slot = jax.lax.rem(s, 2)
+    width = p_sub * page_size
+    qa = q_ref[0]  # (B*G_pad, D)
+    for r in range(batch):
+        @pl.when(s <= lastsb_ref[r])
+        def _():
+            for j in range(p_sub):
+                dma(k_pool_ref, kbuf, 0, r, s, slot, j).wait()
+                dma(v_pool_ref, vbuf, 1, r, s, slot, j).wait()
+            q_r = qa[r * g_pad : (r + 1) * g_pad]  # (G_pad, D)
+            k = kbuf[slot, r]  # (width, D)
+            v = vbuf[slot, r]
+            sc = jax.lax.dot_general(
+                q_r, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale  # (G_pad, width)
+            col = (
+                jax.lax.broadcasted_iota(jnp.int32, (g_pad, width), 1)
+                + s * width
+            )
+            valid = col < kvlen_ref[r]
+            sc = jnp.where(valid, sc, NEG_INF)
+            m_i = m_ref[r * g_pad : (r + 1) * g_pad, :1]
+            l_i = l_ref[r * g_pad : (r + 1) * g_pad, :1]
+            m_new = jnp.maximum(m_i, jnp.max(sc, axis=-1, keepdims=True))
+            p = jnp.where(valid, jnp.exp(sc - m_new), 0.0)
+            alpha = jnp.exp(m_i - m_new)
+            l_new = l_i * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            acc_ref[r * g_pad : (r + 1) * g_pad, :] = (
+                acc_ref[r * g_pad : (r + 1) * g_pad, :] * alpha
+                + jax.lax.dot_general(
+                    p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+            m_ref[r * g_pad : (r + 1) * g_pad, :] = jnp.broadcast_to(
+                m_new, (g_pad, 128)
+            )
+            l_ref[r * g_pad : (r + 1) * g_pad, :] = jnp.broadcast_to(
+                l_new, (g_pad, 128)
+            )
+
+    @pl.when(s == n_sb - 1)
+    def _finish():
+        l = l_ref[...][:, :1]
+        out = acc_ref[...] / jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = out.astype(o_ref.dtype)
+
+
+def paged_decode_attention_batched(
+    q: jnp.ndarray,  # (B, Hq, D)
+    k_pool: jnp.ndarray,  # (n_pages, page_size, Hkv, D) or (L, ...)
+    v_pool: jnp.ndarray,
+    page_table: jnp.ndarray,  # (B, P_max) int32
+    kv_len: jnp.ndarray,  # (B,) int32
+    scale: Optional[float] = None,
+    interpret: Optional[bool] = None,
+    layer_idx: Optional[jnp.ndarray] = None,
+    pages_per_step: int = 8,
+) -> jnp.ndarray:
+    """Row-batched multi-page paged decode attention.
+
+    Third-generation paged kernel: the grid walks SUPER-BLOCKS only
+    (``ceil(P_max/pages_per_step)`` steps total) and every grid step
+    hand-gathers ``pages_per_step`` pages for ALL rows at once with
+    double-buffered DMA, so the fixed per-grid-step Mosaic cost (the
+    one-page kernel's ~4-8 us bound) amortizes over the whole batch's
+    pages and the next super-block streams while the current one computes.
+    Per-row VMEM: 2 slots x 2 (k,v) x pages_per_step x page_size x D."""
+    b, hq, d = q.shape
+    if layer_idx is None:
+        assert k_pool.ndim == 4, k_pool.shape
+        page_size, hkv = k_pool.shape[1], k_pool.shape[2]
+        n_pages = k_pool.shape[0]
+        lay = jnp.zeros((1,), jnp.int32)
+        k_pool = k_pool[None]
+        v_pool = v_pool[None]
+    else:
+        assert k_pool.ndim == 5, k_pool.shape
+        page_size, hkv = k_pool.shape[2], k_pool.shape[3]
+        n_pages = k_pool.shape[1]
+        lay = jnp.reshape(layer_idx.astype(jnp.int32), (1,))
+    p_max = page_table.shape[1]
+    p_sub = min(pages_per_step, p_max)
+    n_super = (p_max + p_sub - 1) // p_sub
+    group = hq // hkv
+    if scale is None:
+        scale = d**-0.5
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    assert page_size % 16 == 0, page_size
+    assert d % 128 == 0, d
+
+    sub = 16 if q.dtype == jnp.bfloat16 else 8
+    g_pad = ((group + sub - 1) // sub) * sub
+    qf = q.reshape(b, hkv, group, d)
+    if g_pad != group:
+        qf = jnp.pad(qf, ((0, 0), (0, 0), (0, g_pad - group), (0, 0)))
+    # (Hkv, B*G_pad, D): one block per kv head, rows stacked
+    qh = qf.transpose(1, 0, 2, 3).reshape(hkv, b * g_pad, d)
+
+    k2 = k_pool.reshape(k_pool.shape[0], n_pages, page_size, hkv * d)
+    v2 = v_pool.reshape(v_pool.shape[0], n_pages, page_size, hkv * d)
+
+    lastpb = jnp.maximum(kv_len.astype(jnp.int32) - 1, 0) // page_size
+    lastsb = lastpb // p_sub
+    pb_ids = jnp.minimum(jnp.arange(p_max)[None, :], lastpb[:, None])
+    pt = jnp.take_along_axis(page_table.astype(jnp.int32), pb_ids, axis=1)
+
+    width = p_sub * page_size
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(hkv, n_super),
+        in_specs=[
+            pl.BlockSpec(
+                (1, b * g_pad, d),
+                lambda h, sb, lyr, tab, lsb, kl: (h, 0, 0),
+            ),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, b * g_pad, d),
+            lambda h, sb, lyr, tab, lsb, kl: (h, 0, 0),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, b, width, d), q.dtype),
+            pltpu.VMEM((2, b, width, d), q.dtype),
+            pltpu.VMEM((b * g_pad, d), jnp.float32),
+            pltpu.VMEM((b * g_pad, 128), jnp.float32),
+            pltpu.VMEM((b * g_pad, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2, b, p_sub)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_batched, scale=scale, page_size=page_size, p_sub=p_sub,
+            g_pad=g_pad, head_dim=d, n_pages=n_pages, batch=b,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((hkv, b * g_pad, d), q.dtype),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )(
+        lay,
+        pt,
+        lastsb,
+        kv_len.astype(jnp.int32),
+        qh,
+        k2,
+        v2,
+    )
+    out = out.reshape(hkv, b, g_pad, d).transpose(1, 0, 2, 3)
+    return out[:, :, :group, :].reshape(b, hq, d)
+
+
 def reference_paged_decode_attention(
     q, k_pool, v_pool, page_table, kv_len, scale=None, layer_idx=None
 ):

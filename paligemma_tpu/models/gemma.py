@@ -512,7 +512,10 @@ def forward_paged_decode(
             k_pool = jax.lax.dynamic_update_slice(k_pool, kr, w_idx)
             v_pool = jax.lax.dynamic_update_slice(v_pool, vr, w_idx)
         if use_kernel:
-            a = paged_attn.paged_decode_attention(
+            # multi-page variant: one grid step hand-gathers 8 pages, so
+            # the fixed per-step Mosaic cost amortizes 8x (the one-page
+            # kernel measured ~140 GB/s effective against that bound)
+            a = paged_attn.paged_decode_attention_multi(
                 q[:, 0], k_pool, v_pool, page_table, kv_len,
                 scale=hd**-0.5, layer_idx=idx,
             )[:, None]

@@ -13,6 +13,8 @@ import pytest
 from paligemma_tpu.core.config import tiny_test_config
 from paligemma_tpu.kernels.paged_attention import (
     paged_decode_attention,
+    paged_decode_attention_batched,
+    paged_decode_attention_multi,
     reference_paged_decode_attention,
 )
 from paligemma_tpu.models import paligemma
@@ -65,6 +67,99 @@ def test_paged_kernel_matches_reference(hq, hkv):
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("hq,hkv,psub", [(8, 1, 8), (8, 1, 3), (8, 2, 2), (4, 4, 2)])
+def test_paged_multi_kernel_matches_reference(hq, hkv, psub):
+    """Multi-page-per-step kernel (manual double-buffered page DMA): same
+    contract as the one-page kernel at every (GQA grouping, pages/step),
+    including p_max not divisible by pages_per_step."""
+    ps, d, p_max, n_pages, b = 16, 128, 7, 12, 3
+    key = jax.random.PRNGKey(0)
+    kq, kp = jax.random.split(key)
+    q = jax.random.normal(kq, (b, hq, d), jnp.float32)
+    k_pool, v_pool = _rand_pool(kp, n_pages, ps, hkv, d)
+    page_table = jnp.asarray(
+        [[3, 7, 1, 0, 2, 8, 10], [5, 0, 0, 0, 0, 0, 0],
+         [2, 9, 11, 4, 6, 1, 3]], jnp.int32
+    )
+    kv_len = jnp.asarray([37, 5, 112], jnp.int32)
+    got = paged_decode_attention_multi(
+        q, k_pool, v_pool, page_table, kv_len, interpret=True,
+        pages_per_step=psub,
+    )
+    want = reference_paged_decode_attention(
+        q, k_pool, v_pool, page_table, kv_len
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_paged_multi_kernel_inactive_and_stacked():
+    ps, d, b, n_pages = 16, 128, 2, 8
+    key = jax.random.PRNGKey(1)
+    shape = (3, n_pages, ps, 1, d)
+    k_pool = jax.random.normal(key, shape, jnp.float32)
+    v_pool = jax.random.normal(jax.random.PRNGKey(2), shape, jnp.float32)
+    q = jax.random.normal(jax.random.PRNGKey(3), (b, 8, d), jnp.float32)
+    table = jnp.asarray([[0, 2, 4, 6], [1, 3, 5, 7]], jnp.int32)
+    kv_len = jnp.asarray([0, 50], jnp.int32)
+    li = jnp.asarray(1, jnp.int32)
+    got = np.asarray(paged_decode_attention_multi(
+        q, k_pool, v_pool, table, kv_len, interpret=True, layer_idx=li,
+        pages_per_step=4,
+    ))
+    assert np.all(got[0] == 0.0)  # inactive slot contract
+    want = np.asarray(reference_paged_decode_attention(
+        q, k_pool, v_pool, table, kv_len, layer_idx=li
+    ))
+    np.testing.assert_allclose(got[1], want[1], rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("hq,hkv,psub", [(8, 1, 8), (8, 1, 3), (8, 2, 2), (4, 4, 2)])
+def test_paged_batched_kernel_matches_reference(hq, hkv, psub):
+    """Row-batched super-block kernel (grid walks super-blocks only, all
+    rows gather in lockstep with double-buffered page DMA)."""
+    ps, d, p_max, n_pages, b = 16, 128, 7, 24, 3
+    key = jax.random.PRNGKey(0)
+    kq, kp = jax.random.split(key)
+    q = jax.random.normal(kq, (b, hq, d), jnp.float32)
+    k_pool, v_pool = _rand_pool(kp, n_pages, ps, hkv, d)
+    page_table = jnp.asarray(
+        [[3, 7, 1, 0, 2, 8, 10], [5, 0, 0, 0, 0, 0, 0],
+         [2, 9, 11, 4, 6, 1, 3]], jnp.int32
+    )
+    kv_len = jnp.asarray([37, 5, 112], jnp.int32)
+    got = paged_decode_attention_batched(
+        q, k_pool, v_pool, page_table, kv_len, interpret=True,
+        pages_per_step=psub,
+    )
+    want = reference_paged_decode_attention(
+        q, k_pool, v_pool, page_table, kv_len
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_paged_batched_kernel_inactive_and_stacked():
+    ps, d, b, n_pages = 16, 128, 2, 8
+    key = jax.random.PRNGKey(1)
+    shape = (3, n_pages, ps, 1, d)
+    k_pool = jax.random.normal(key, shape, jnp.float32)
+    v_pool = jax.random.normal(jax.random.PRNGKey(2), shape, jnp.float32)
+    q = jax.random.normal(jax.random.PRNGKey(3), (b, 8, d), jnp.float32)
+    table = jnp.asarray([[0, 2, 4, 6], [1, 3, 5, 7]], jnp.int32)
+    kv_len = jnp.asarray([0, 50], jnp.int32)
+    li = jnp.asarray(1, jnp.int32)
+    got = np.asarray(paged_decode_attention_batched(
+        q, k_pool, v_pool, table, kv_len, interpret=True, layer_idx=li,
+        pages_per_step=2,
+    ))
+    assert np.all(got[0] == 0.0)
+    want = np.asarray(reference_paged_decode_attention(
+        q, k_pool, v_pool, table, kv_len, layer_idx=li
+    ))
+    np.testing.assert_allclose(got[1], want[1], rtol=2e-5, atol=2e-5)
 
 
 def test_paged_kernel_deeply_negative_scores():
