@@ -458,7 +458,10 @@ def _kernel_batched(
     acc_ref,  # (B*G_pad, D) f32
     m_ref,  # (B*G_pad, 128) f32
     l_ref,  # (B*G_pad, 128) f32
-    sems,  # DMA (2, 2, B, P_SUB)
+    sems,  # DMA (2, 2, B) — ONE semaphore per (kv, slot, row): all of a
+    #        row's page copies signal it and are all waited before the
+    #        buffer is read (per-page semaphores blow the 2 KB sflag space
+    #        at 2*2*16*8 = 512 of them)
     *,
     scale: float,
     page_size: int,
@@ -479,7 +482,7 @@ def _kernel_batched(
         return pltpu.make_async_copy(
             pool_ref.at[lay, pid, :, pl.ds(h * head_dim, head_dim)],
             buf.at[slot, r, pl.ds(j * page_size, page_size)],
-            sems.at[kv, slot, r, j],
+            sems.at[kv, slot, r],
         )
 
     def start_super(sb, slot):
@@ -634,7 +637,7 @@ def paged_decode_attention_batched(
             pltpu.VMEM((b * g_pad, d), jnp.float32),
             pltpu.VMEM((b * g_pad, 128), jnp.float32),
             pltpu.VMEM((b * g_pad, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2, b, p_sub)),
+            pltpu.SemaphoreType.DMA((2, 2, b)),
         ],
     )
     out = pl.pallas_call(
