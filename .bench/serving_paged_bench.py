@@ -73,10 +73,14 @@ dense = ServingEngine(params, cfg, max_slots=8, max_seq_len=MAX_SEQ,
 dense_rate = run(dense, "dense-8slot")
 del dense
 
-print("== paged: 24 slots, same 256-page (8x2048) HBM budget ==")
+import os
+
+KERNEL = os.environ.get("PAGED_KERNEL", "multi")
+print(f"== paged: 24 slots, same 256-page (8x2048) HBM budget, kernel={KERNEL} ==")
 paged = PagedServingEngine(params, cfg, max_slots=24, max_seq_len=MAX_SEQ,
                            page_size=PAGE, n_pages=dense_pages,
-                           decode_params=qparams, sync_every=16)
-pg_rate = run(paged, f"paged-24slot (preemptions={paged.preemptions})")
+                           decode_params=qparams, sync_every=16,
+                           paged_kernel=KERNEL)
+pg_rate = run(paged, f"paged-24slot-{KERNEL} (preemptions={paged.preemptions})")
 print(f"preemptions: {paged.preemptions}")
 print(f"speedup at equal HBM: {pg_rate/dense_rate:.2f}x")

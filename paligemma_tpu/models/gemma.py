@@ -451,6 +451,7 @@ def forward_paged_decode(
     write_pos: jnp.ndarray,  # (B,) int32: slot-local position this token lands at
     use_kernel: Optional[bool] = None,
     pages_bucket: Optional[int] = None,  # static bound on logical pages walked
+    paged_kernel: str = "multi",  # "one" | "multi" | "batched" (A/B knob)
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Single-token decode over the PAGED KV pool (runtime.paged_cache).
 
@@ -512,10 +513,16 @@ def forward_paged_decode(
             k_pool = jax.lax.dynamic_update_slice(k_pool, kr, w_idx)
             v_pool = jax.lax.dynamic_update_slice(v_pool, vr, w_idx)
         if use_kernel:
-            # multi-page variant: one grid step hand-gathers 8 pages, so
-            # the fixed per-step Mosaic cost amortizes 8x (the one-page
-            # kernel measured ~140 GB/s effective against that bound)
-            a = paged_attn.paged_decode_attention_multi(
+            # "multi": one grid step hand-gathers 8 pages, so the fixed
+            # per-step Mosaic cost amortizes 8x (the one-page kernel
+            # measured ~140 GB/s effective against that bound); "one" and
+            # "batched" kept selectable for A/B (docs/PERFORMANCE.md)
+            kfn = {
+                "one": paged_attn.paged_decode_attention,
+                "multi": paged_attn.paged_decode_attention_multi,
+                "batched": paged_attn.paged_decode_attention_batched,
+            }[paged_kernel]
+            a = kfn(
                 q[:, 0], k_pool, v_pool, page_table, kv_len,
                 scale=hd**-0.5, layer_idx=idx,
             )[:, None]

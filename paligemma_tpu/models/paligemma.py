@@ -316,6 +316,7 @@ def decode_step_paged(
     write_pos: jnp.ndarray,  # (B,) int32 slot-local position of this token
     position_ids: jnp.ndarray,  # (B,) int32 RoPE position of this token
     pages_bucket=None,  # static bound on logical pages walked (host-managed)
+    paged_kernel: str = "multi",  # kernel variant (gemma.forward_paged_decode)
 ) -> Tuple[jnp.ndarray, gemma.KVCache]:
     """Single-token decode over the paged KV pool (runtime.paged_cache).
     Returns ((B, vocab) logits, new pool). See gemma.forward_paged_decode."""
@@ -329,5 +330,6 @@ def decode_step_paged(
         page_table,
         write_pos,
         pages_bucket=pages_bucket,
+        paged_kernel=paged_kernel,
     )
     return logits[:, 0, :], pool

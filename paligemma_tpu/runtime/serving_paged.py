@@ -56,6 +56,7 @@ class PagedServingEngine(ServingEngine):
         decode_params: Optional[Dict[str, Any]] = None,
         sync_every: int = 8,
         mesh=None,
+        paged_kernel: str = "multi",
     ):
         """``n_pages``: physical pool size (default: half the dense engine's
         reservation — the honest demonstration that more slots fit in less
@@ -66,6 +67,7 @@ class PagedServingEngine(ServingEngine):
         pool is replicated; shard the dense engine instead)."""
         assert mesh is None, "paged serving is single-chip for now"
         assert max_seq_len % page_size == 0, (max_seq_len, page_size)
+        self.paged_kernel = paged_kernel
         if n_pages is None:
             n_pages = max(max_slots * max_seq_len // page_size // 2, 8)
         self.page_size = page_size
@@ -130,7 +132,7 @@ class PagedServingEngine(ServingEngine):
             new_logits, pool = paligemma.decode_step_paged(
                 params, cfg, token, pool, page_table,
                 write_pos=write_pos, position_ids=state["pos_ids"],
-                pages_bucket=pages_bucket,
+                pages_bucket=pages_bucket, paged_kernel=self.paged_kernel,
             )
             inc = active.astype(jnp.int32)
             state = {
