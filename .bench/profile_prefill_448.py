@@ -61,7 +61,7 @@ def main():
 
     # vision tower alone
     vis = jax.jit(
-        lambda p, px: siglip.forward(p["vision"], cfg.vision_config, px)
+        lambda p, px: siglip.encode(p["vision"], cfg.vision_config, px)
     )
     tv = timeit(vis, params, pixels)
     print(f"vision tower ({n_img} patches): {tv*1e3:.2f} ms", flush=True)
