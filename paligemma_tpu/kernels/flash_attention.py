@@ -135,24 +135,63 @@ def _prep(q, k, v, block_q, block_k):
     """Shared forward/backward layout. q is folded to
     (B, Hkv, group*Sq_p, Dp) — query heads sharing a KV head stack in the
     row dim so one kernel instance streams K/V once per KV head — and K/V
-    pad to (B, Hkv, Skv_p, Dp). Returns (q_p, k_p, v_p, dims)."""
+    pad to (B, Hkv, Skv_p, Dp). Returns (q_p, k_p, v_p, dims).
+
+    Sq pads only to the 128-lane tile, NOT to block_q: q blocks may span
+    head boundaries in the folded row dim (rows are independent and share
+    the same KV head, and the in-kernel position map is ``flat % sq_p``),
+    so padding per head to a large block_q would waste up to
+    ``group * (block_q - 128)`` rows of MXU work. The rows axis is padded
+    to a block_q multiple only at the very end if needed."""
     b, sq, hq, d = q.shape
     hkv = k.shape[2]
     group = hq // hkv
     d_pad = max(128, ((d + 127) // 128) * 128)
-    q_p = _fold_rows(q, block_q, d_pad)
+    q_p = _fold_rows(q, 128, d_pad)
     sq_p = q_p.shape[2]
     k_p = _fold_rows(k, block_k, d_pad)
     v_p = _fold_rows(v, block_k, d_pad)
     rows = group * sq_p
     q_p = q_p.reshape(b, hkv, rows, d_pad)
+    rows_p = ((rows + block_q - 1) // block_q) * block_q
+    if rows_p != rows:
+        q_p = _pad_to(q_p, 2, block_q)
     dims = dict(b=b, sq=sq, hq=hq, d=d, hkv=hkv, group=group, sq_p=sq_p,
-                d_pad=d_pad, skv_p=k_p.shape[2], rows=rows)
+                d_pad=d_pad, skv_p=k_p.shape[2], rows=rows, rows_p=rows_p)
     return q_p, k_p, v_p, dims
 
 
+def _auto_blocks(sq, hq, hkv, skv, block_q, block_k):
+    """Pick forward block sizes when the caller didn't.
+
+    block_k defaults to the whole (128-padded) KV when it fits a VMEM
+    budget: the online-softmax loop then runs ONCE, so the per-k-block
+    rescale (acc*alpha, running m/l updates) and its VPU traffic vanish
+    and the QK/PV dots run at their widest. block_q prefers the largest
+    of {1024, 512, 256, 128} whose end-of-rows padding stays under ~12%:
+    fewer grid steps amortize this toolchain's ~4-8 us/step cost, but a
+    big block over a short rows axis would waste more MXU work in padding
+    than it saves in steps (the rows axis is padded to a block multiple
+    by _prep, so any choice is *correct*)."""
+    group = hq // hkv
+    sq_p = ((sq + 127) // 128) * 128
+    rows = group * sq_p
+    skv_p = ((skv + 127) // 128) * 128
+    if block_k is None:
+        block_k = skv_p if skv_p <= 2048 else 512
+    if block_q is None:
+        block_q = 128
+        for cand in (1024, 512, 256):
+            rows_p = ((rows + cand - 1) // cand) * cand
+            if rows_p - rows <= rows // 8:
+                block_q = cand
+                break
+    return block_q, block_k
+
+
 def _unfold_out(out, dims):
-    """Folded (B, Hkv, rows, Dp) -> (B, Sq, Hq, D)."""
+    """Folded (B, Hkv, rows_p, Dp) -> (B, Sq, Hq, D)."""
+    out = out[:, :, : dims["rows"], :]
     out = out.reshape(dims["b"], dims["hq"], dims["sq_p"], dims["d_pad"])
     return out[:, :, : dims["sq"], : dims["d"]].transpose(0, 2, 1, 3)
 
@@ -162,7 +201,7 @@ def _flash_forward(
     return_lse=False,
 ):
     q_p, k_p, v_p, dims = _prep(q, k, v, block_q, block_k)
-    b, hkv, rows = dims["b"], dims["hkv"], dims["rows"]
+    b, hkv, rows = dims["b"], dims["hkv"], dims["rows_p"]
     d_pad, skv_p, sq_p = dims["d_pad"], dims["skv_p"], dims["sq_p"]
 
     grid = (b, hkv, rows // block_q)
@@ -354,10 +393,15 @@ def _flash_backward(
     """Blockwise FA2 backward: recompute p from (q, k, lse); never
     materializes the (rows, Skv) logits in HBM."""
     q_p, k_p, v_p, dims = _prep(q, k, v, block_q, block_k)
-    b, hkv, rows = dims["b"], dims["hkv"], dims["rows"]
+    b, hkv, rows = dims["b"], dims["hkv"], dims["rows_p"]
     d_pad, skv_p, sq_p = dims["d_pad"], dims["skv_p"], dims["sq_p"]
-    do_p = _fold_rows(g, block_q, d_pad).reshape(b, hkv, rows, d_pad)
-    out_p = _fold_rows(out, block_q, d_pad).reshape(b, hkv, rows, d_pad)
+
+    def fold_g(x):  # same 128-tile fold + tail rows pad as _prep's q path
+        x = _fold_rows(x, 128, d_pad).reshape(b, hkv, dims["rows"], d_pad)
+        return _pad_to(x, 2, block_q) if rows != dims["rows"] else x
+
+    do_p = fold_g(g)
+    out_p = fold_g(out)
     n_qb, n_kb = rows // block_q, skv_p // block_k
 
     # delta_i = sum_d dO_i * O_i, broadcast on the 128-lane minor dim like lse
@@ -476,15 +520,23 @@ def flash_attention(
     kv_len: jnp.ndarray,  # (B,) int32 — total valid key length
     scale: Optional[float] = None,
     q_offset: int = 0,
-    block_q: int = 256,
-    block_k: int = 256,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
-    """Blockwise prefix-LM flash attention. See module docstring for the mask."""
+    """Blockwise prefix-LM flash attention. See module docstring for the mask.
+
+    block_q/block_k default to shape-dependent auto sizes (``_auto_blocks``):
+    whole-KV k blocks when the KV fits VMEM (one-shot softmax, no online
+    rescale) and 512-row q blocks over the folded rows axis. Both are
+    resolved here, before the custom_vjp, so forward and backward agree."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    block_q, block_k = _auto_blocks(
+        q.shape[1], q.shape[2], k.shape[2], k.shape[1], block_q, block_k
+    )
     return _flash(
         q, k, v, prefix_len, kv_len, scale, q_offset, block_q, block_k, interpret
     )

@@ -441,6 +441,89 @@ def forward(
     return logits, {"k": new_k, "v": new_v}
 
 
+def forward_paged_decode_staged(
+    params: Params,
+    cfg: GemmaConfig,
+    input_embeds: jnp.ndarray,  # (B, 1, H)
+    position_ids: jnp.ndarray,  # (B, 1) int32
+    pool: KVCache,  # page pool (L, n_pages, page_size, n_kv, d)
+    page_table: jnp.ndarray,  # (B, P_max) int32
+    write_pos: jnp.ndarray,  # (B,) int32
+    pages_bucket: int,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Paged decode through the FUSED dense layer kernel via staging.
+
+    The grid-over-layers kernel (kernels/decode_layer) reads its attention
+    window as two contiguous (B, W, D) DMAs per layer — a page-table-aware
+    window read would need ~B x pages x 2 x L separate DMA issues per tick
+    at ~0.5-1 us of *issue* cost each on this toolchain (measured round 3,
+    docs/PERFORMANCE.md "Kernel note"). Instead, STAGE: gather every
+    active row's pages into a dense (L, B, W, D) scratch with ONE XLA
+    gather per tick (pages are staged in logical order, so the scratch is
+    exactly the dense cache prefix the kernel already understands), run
+    the unmodified fused kernel over it, then scatter each row's fresh
+    K/V back into its current page. Extra traffic: one window
+    read + write (~0.3 GB at B16/W1024) against the ~2.5 GB weight stream
+    the fused kernel saves its XLA-boundary bubbles on.
+    """
+    from ..kernels import decode_layer
+
+    b = input_embeds.shape[0]
+    nkv, hd = cfg.num_key_value_heads, cfg.head_dim
+    n_layers = pool["k"].shape[0]
+    ps = pool["k"].shape[2]
+    p_max = page_table.shape[1]
+    pb = min(pages_bucket, p_max)
+    window = pb * ps
+    dtype = input_embeds.dtype
+
+    x = input_embeds * jnp.asarray(cfg.hidden_size**0.5, dtype)
+    cos, sin = rope_cos_sin(position_ids, cfg.head_dim, cfg.rope_theta, dtype)
+    write_pos = write_pos.astype(jnp.int32)
+
+    # -- stage: (L, n_pages, ps, nkv, d) -> (L, B, W, D) dense window
+    page_ids = page_table[:, :pb].astype(jnp.int32).reshape(-1)  # (B*pb,)
+    k_st = jnp.take(pool["k"], page_ids, axis=1).reshape(
+        n_layers, b, window, nkv * hd
+    )
+    v_st = jnp.take(pool["v"], page_ids, axis=1).reshape(
+        n_layers, b, window, nkv * hd
+    )
+
+    # validity incl. this token's slot (the kernel overrides the stale
+    # cache read at slot write_pos with the fresh score arithmetically)
+    valid = (
+        jax.lax.broadcasted_iota(jnp.int32, (b, window), 1)
+        <= write_pos[:, None]
+    )
+
+    h, k_news, v_news = decode_layer.layers_decode_fused(
+        x, params["layers"], k_st, v_st, write_pos, valid,
+        cos[:, 0], sin[:, 0], window, cfg.num_attention_heads, hd,
+        cfg.rms_norm_eps,
+    )
+
+    # -- scatter the fresh K/V into each row's current page (pages are
+    # shared across layers, so one (L,1,1,nkv,d) write per row suffices)
+    page_of = jnp.take_along_axis(
+        page_table.astype(jnp.int32),
+        (write_pos[:, None] // ps), axis=1,
+    )[:, 0]
+    off_of = write_pos % ps
+    zero = jnp.zeros((), jnp.int32)
+    new_k, new_v = pool["k"], pool["v"]
+    for r in range(b):
+        kr = k_news[:, r].reshape(n_layers, 1, 1, nkv, hd).astype(new_k.dtype)
+        vr = v_news[:, r].reshape(n_layers, 1, 1, nkv, hd).astype(new_v.dtype)
+        idx = (zero, page_of[r], off_of[r], zero, zero)
+        new_k = jax.lax.dynamic_update_slice(new_k, kr, idx)
+        new_v = jax.lax.dynamic_update_slice(new_v, vr, idx)
+
+    h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
+    logits = lm_head(params, h).astype(jnp.float32)
+    return logits, {"k": new_k, "v": new_v}
+
+
 def forward_paged_decode(
     params: Params,
     cfg: GemmaConfig,
