@@ -67,13 +67,15 @@ MAX_SEQ = 2048
 PAGE = 64
 dense_pages = 8 * MAX_SEQ // PAGE  # dense engine's reservation in pages
 
-print("== dense: 8 slots x 2048 ==")
-dense = ServingEngine(params, cfg, max_slots=8, max_seq_len=MAX_SEQ,
-                      decode_params=qparams, sync_every=16)
-dense_rate = run(dense, "dense-8slot")
-del dense
-
 import os
+
+dense_rate = None
+if not os.environ.get("SKIP_DENSE"):
+    print("== dense: 8 slots x 2048 ==")
+    dense = ServingEngine(params, cfg, max_slots=8, max_seq_len=MAX_SEQ,
+                          decode_params=qparams, sync_every=16)
+    dense_rate = run(dense, "dense-8slot")
+    del dense
 
 KERNEL = os.environ.get("PAGED_KERNEL", "multi")
 print(f"== paged: 24 slots, same 256-page (8x2048) HBM budget, kernel={KERNEL} ==")
@@ -83,4 +85,5 @@ paged = PagedServingEngine(params, cfg, max_slots=24, max_seq_len=MAX_SEQ,
                            paged_kernel=KERNEL)
 pg_rate = run(paged, f"paged-24slot-{KERNEL} (preemptions={paged.preemptions})")
 print(f"preemptions: {paged.preemptions}")
-print(f"speedup at equal HBM: {pg_rate/dense_rate:.2f}x")
+if dense_rate:
+    print(f"speedup at equal HBM: {pg_rate/dense_rate:.2f}x")

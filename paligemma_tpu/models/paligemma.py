@@ -319,17 +319,35 @@ def decode_step_paged(
     paged_kernel: str = "multi",  # kernel variant (gemma.forward_paged_decode)
 ) -> Tuple[jnp.ndarray, gemma.KVCache]:
     """Single-token decode over the paged KV pool (runtime.paged_cache).
-    Returns ((B, vocab) logits, new pool). See gemma.forward_paged_decode."""
+    Returns ((B, vocab) logits, new pool). See gemma.forward_paged_decode.
+
+    ``paged_kernel="staged"`` takes the staging hybrid instead of the
+    page-walk kernels: gather the window dense, run the fused dense layer
+    kernel, scatter the fresh K/V back (gemma.forward_paged_decode_staged).
+    The caller (PagedServingEngine) is responsible for having repacked
+    ``params["lm"]["layers"]`` via kernels.decode_layer.repack_layers."""
     embeds = params["lm"]["embed"][token][:, None, :]  # (B, 1, H)
-    logits, pool = gemma.forward_paged_decode(
-        params["lm"],
-        cfg.text_config,
-        embeds,
-        position_ids[:, None],
-        pool,
-        page_table,
-        write_pos,
-        pages_bucket=pages_bucket,
-        paged_kernel=paged_kernel,
-    )
+    if paged_kernel == "staged":
+        logits, pool = gemma.forward_paged_decode_staged(
+            params["lm"],
+            cfg.text_config,
+            embeds,
+            position_ids[:, None],
+            pool,
+            page_table,
+            write_pos,
+            pages_bucket=pages_bucket or page_table.shape[1],
+        )
+    else:
+        logits, pool = gemma.forward_paged_decode(
+            params["lm"],
+            cfg.text_config,
+            embeds,
+            position_ids[:, None],
+            pool,
+            page_table,
+            write_pos,
+            pages_bucket=pages_bucket,
+            paged_kernel=paged_kernel,
+        )
     return logits[:, 0, :], pool

@@ -82,6 +82,33 @@ class PagedServingEngine(ServingEngine):
             # the paged pool has its own decode path (_decode_all_paged)
             fused_decode=False,
         )
+        if self.paged_kernel == "staged":
+            # staging hybrid (models/gemma.forward_paged_decode_staged):
+            # gather the window dense once per tick, run the fused dense
+            # layer kernel, scatter the fresh K/V back into the pages.
+            # Needs the int8 repacked layer tree the dense fused tick uses
+            # (repack keeps the original mlp weights alongside, so the
+            # prefill/fallback paths through the same tree still work).
+            from ..kernels import decode_layer as _dl
+
+            tc0 = config.text_config
+            layers = self.decode_params["lm"]["layers"]
+            staged_ok = (
+                tc0.num_key_value_heads == 1
+                and tc0.head_dim % 128 == 0
+                and isinstance(layers["attn"].get("qkv"), dict)
+                and "w8" in layers["attn"]["qkv"]
+                and max_slots <= 32
+            )
+            if staged_ok:
+                dp = dict(self.decode_params)
+                dp["lm"] = dict(dp["lm"])
+                dp["lm"]["layers"] = jax.jit(_dl.repack_layers)(
+                    dp["lm"]["layers"]
+                )
+                self.decode_params = dp
+            else:
+                self.paged_kernel = "multi"  # graceful degrade
         # page-aligned prefill buckets: a short prompt occupies exactly its
         # pages, not a 64-token bucket's worth
         self._bucket_gran = max(page_size, 16)
@@ -114,10 +141,11 @@ class PagedServingEngine(ServingEngine):
             return pool
 
         @functools.partial(jax.jit, donate_argnums=(1, 2),
-                           static_argnames=("with_sampling", "pages_bucket"))
+                           static_argnames=("with_sampling", "pages_bucket",
+                                            "kernel"))
         def _decode_all_paged(params, pool, state, page_table, active, key,
                               temps, top_ps, do_samples, with_sampling=False,
-                              pages_bucket=None):
+                              pages_bucket=None, kernel=None):
             logits = state["logits"]
             greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             if with_sampling:
@@ -132,7 +160,8 @@ class PagedServingEngine(ServingEngine):
             new_logits, pool = paligemma.decode_step_paged(
                 params, cfg, token, pool, page_table,
                 write_pos=write_pos, position_ids=state["pos_ids"],
-                pages_bucket=pages_bucket, paged_kernel=self.paged_kernel,
+                pages_bucket=pages_bucket,
+                paged_kernel=kernel or self.paged_kernel,
             )
             inc = active.astype(jnp.int32)
             state = {
@@ -282,10 +311,25 @@ class PagedServingEngine(ServingEngine):
             b *= 2
         return min(b, p_max)
 
+    # staged kernel VMEM budget: the fused layer kernel double-buffers the
+    # (B, W, D) K/V windows -> 2 rings x 2 tensors x B x W x D x 2 bytes;
+    # weight rings take another ~30 MB of the ~128 MB VMEM. Past this the
+    # tick must fall back to the page-walk kernel for that window.
+    _STAGED_WINDOW_BYTES = 72 * 1024 * 1024
+
+    def _kernel_for_bucket(self, pages_bucket: int) -> str:
+        if self.paged_kernel != "staged":
+            return self.paged_kernel
+        window = pages_bucket * self.page_size
+        hd = self.config.text_config.head_dim
+        ring = 2 * 2 * self.max_slots * window * hd * 2
+        return "staged" if ring <= self._STAGED_WINDOW_BYTES else "multi"
+
     def _run_window(self, ticks, active, temps_j, top_j, do_j,
                     with_sampling) -> np.ndarray:
         page_table = self.paged.page_table
         pages_bucket = self._pages_bucket(ticks)
+        kernel = self._kernel_for_bucket(pages_bucket)
         tokens = []
         for _ in range(ticks):
             self._key, sub = jax.random.split(self._key)
@@ -293,6 +337,7 @@ class PagedServingEngine(ServingEngine):
                 self.decode_params, self.cache, self.state, page_table,
                 active, sub, temps_j, top_j, do_j,
                 with_sampling=with_sampling, pages_bucket=pages_bucket,
+                kernel=kernel,
             )
             tokens.append(token)
         return np.asarray(jnp.stack(tokens))
@@ -332,6 +377,15 @@ class PagedServingEngine(ServingEngine):
                     jnp.zeros((n_chunks,), jnp.int32),
                     jnp.zeros((), jnp.int32), n_chunks,
                 )
+        # warm the decode tick at the pages bucket the first real window
+        # will use (the bucket is a static jit arg — and the staged kernel
+        # must never trace at the table's full width: at max_slots x
+        # max_seq_len the window rings alone exceed VMEM)
+        need = self.paged.pages_for(max(buckets) + self.sync_every)
+        pb = 1
+        while pb < need:
+            pb *= 2
+        pb = min(pb, self.max_seq_len // self.page_size)
         variants = (False, True) if sampling else (False,)
         for with_sampling in variants:
             scratch = jax.tree.map(jnp.copy, self.paged.pool)
@@ -341,5 +395,6 @@ class PagedServingEngine(ServingEngine):
                 self.paged.page_table, jnp.zeros((self.max_slots,), bool),
                 jax.random.PRNGKey(0), zeros_f + 1.0, zeros_f + 1.0,
                 jnp.zeros((self.max_slots,), bool),
-                with_sampling=with_sampling,
+                with_sampling=with_sampling, pages_bucket=pb,
+                kernel=self._kernel_for_bucket(pb),
             )

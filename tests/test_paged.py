@@ -342,3 +342,144 @@ def test_paged_cache_grow_and_release():
     pages = c.slot_pages(1)
     assert table[1, :4].tolist() == pages
     assert 0 not in pages  # page 0 is never allocated
+
+
+# ---------------------------------------------------------------------------
+# Staging hybrid: fused dense layer kernel over a gathered page window
+# (gemma.forward_paged_decode_staged; ROADMAP "paged cannot reuse the fused
+# LAYER kernel" -> resolved by staging)
+# ---------------------------------------------------------------------------
+def _mqa_int8_setup(seed=0):
+    from paligemma_tpu.core.config import GemmaConfig
+    from paligemma_tpu.models import gemma
+    from paligemma_tpu.runtime.quantize import quantize_lm_for_serving
+
+    cfg = GemmaConfig(
+        vocab_size=256, hidden_size=128, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=1,
+        head_dim=128, max_position_embeddings=128,
+    )
+    full = {"lm": gemma.init_params(jax.random.PRNGKey(seed), cfg,
+                                    jnp.bfloat16)}
+    return cfg, quantize_lm_for_serving(full)["lm"]
+
+
+def test_staged_paged_decode_matches_walk():
+    """forward_paged_decode_staged (gather window -> fused dense kernel ->
+    scatter fresh K/V) vs the reference page walk: same logits (within
+    int8-kernel tolerance), same greedy tokens, same pool writes — over
+    two chained steps so each path consumes its OWN first-step writes."""
+    from paligemma_tpu.kernels import decode_layer
+    from paligemma_tpu.models import gemma
+
+    cfg, lm = _mqa_int8_setup()
+    L, ps, hd = cfg.num_hidden_layers, 16, cfg.head_dim
+    B, n_pages, p_max = 2, 8, 4
+    rng = np.random.default_rng(0)
+    pool0 = {
+        n: jnp.asarray(rng.normal(size=(L, n_pages, ps, 1, hd)) * 0.3,
+                       jnp.bfloat16)
+        for n in ("k", "v")
+    }
+    page_table = jnp.asarray([[1, 2, 0, 0], [3, 4, 0, 0]], jnp.int32)
+    write_pos = jnp.asarray([5, 17], jnp.int32)  # staggered; row1 on page 2
+
+    lm_rp = dict(lm)
+    lm_rp["layers"] = decode_layer.repack_layers(lm["layers"])
+
+    tok = jnp.asarray([7, 9], jnp.int32)
+    pools = {"walk": jax.tree.map(jnp.copy, pool0),
+             "staged": jax.tree.map(jnp.copy, pool0)}
+    wp = write_pos
+    for step in range(2):
+        embeds = jnp.take(lm["embed"], tok, axis=0)[:, None].astype(
+            jnp.bfloat16
+        )
+        pos = (wp + 1)[:, None]
+        ref, pools["walk"] = gemma.forward_paged_decode(
+            lm, cfg, embeds, pos, pools["walk"], page_table, wp,
+            use_kernel=False, pages_bucket=2,
+        )
+        got, pools["staged"] = gemma.forward_paged_decode_staged(
+            lm_rp, cfg, embeds, pos, pools["staged"], page_table, wp,
+            pages_bucket=2,
+        )
+        a = np.asarray(ref[:, 0], np.float32)
+        b = np.asarray(got[:, 0], np.float32)
+        for r in range(B):
+            denom = np.max(np.abs(a[r])) + 1e-9
+            assert np.max(np.abs(a[r] - b[r])) / denom < 0.05, (step, r)
+            assert np.argmax(a[r]) == np.argmax(b[r]), (step, r)
+        # fresh K/V landed in the same slots with the same values
+        for n in ("k", "v"):
+            np.testing.assert_allclose(
+                np.asarray(pools["staged"][n], np.float32),
+                np.asarray(pools["walk"][n], np.float32),
+                rtol=5e-2, atol=5e-2,
+            )
+        tok = jnp.argmax(ref[:, 0], -1).astype(jnp.int32)
+        wp = wp + 1
+
+
+def test_paged_engine_staged_kernel_matches_walk():
+    """PagedServingEngine(paged_kernel="staged") produces the same greedy
+    tokens as the page-walk engine (int8 MQA config the fused kernel
+    supports), exercising repack + staging + scatter through the real
+    scheduler (admission, grouped prefills, windows)."""
+    from paligemma_tpu.core.config import (
+        GemmaConfig,
+        PaliGemmaConfig,
+        SiglipVisionConfig,
+    )
+    from paligemma_tpu.runtime.quantize import quantize_lm_for_serving
+
+    cfg = PaliGemmaConfig(
+        vision_config=SiglipVisionConfig(
+            image_size=28, patch_size=14, hidden_size=64,
+            intermediate_size=128, num_hidden_layers=2,
+            num_attention_heads=4, projection_dim=128,
+        ),
+        text_config=GemmaConfig(
+            vocab_size=256, hidden_size=128, intermediate_size=512,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=1, head_dim=128,
+            max_position_embeddings=256,
+        ),
+        projection_dim=128, hidden_size=128, image_token_index=250,
+        vocab_size=256,
+    )
+    params = paligemma.init_params(jax.random.PRNGKey(5), cfg, jnp.float32)
+    q = quantize_lm_for_serving(params)
+
+    def reqs(seed_base=30):
+        out = []
+        rng = np.random.default_rng(seed_base)
+        for i, max_new in ((0, 6), (1, 4), (2, 5)):
+            ids = np.concatenate(
+                [[cfg.image_token_index] * 4,
+                 rng.integers(5, 200, 3 + i)]
+            ).astype(np.int32)
+            out.append(Request(
+                request_id=i,
+                pixel_values=np.asarray(
+                    np.random.default_rng(i).normal(size=(3, 28, 28)),
+                    np.float32),
+                input_ids=ids, max_new_tokens=max_new, eos_token_id=-1,
+            ))
+        return out
+
+    def run(kernel):
+        eng = PagedServingEngine(
+            q, cfg, max_slots=2, max_seq_len=64, page_size=16,
+            use_flash=False, paged_kernel=kernel,
+        )
+        assert eng.paged_kernel == kernel  # no silent degrade
+        for r in reqs():
+            eng.submit(r)
+        done = sorted(eng.run_to_completion(), key=lambda r: r.request_id)
+        return [np.asarray(r.tokens) for r in done]
+
+    ref = run("multi")
+    fus = run("staged")
+    for a, b in zip(ref, fus):
+        np.testing.assert_array_equal(a, b)
