@@ -93,6 +93,23 @@ def prefill_position_ids(attention_mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(attention_mask == 0, 1, pos)
 
 
+def _vision_flash_profitable(cfg: PaliGemmaConfig, mesh) -> bool:
+    """Whether the Pallas flash kernel is worth using for the VISION tower.
+
+    Flash pads head_dim to the 128-lane tile; at SigLIP-So400m's
+    head_dim=72 that wastes 44% of the attention FLOPs and measures 29%
+    SLOWER than XLA attention at the 448px/1024-patch shape (9.72 vs
+    7.53 ms full tower, .bench/vision_probe.py) — the unpadded XLA (s, s)
+    attention wins whenever the tower's head_dim doesn't fill the lane
+    tile. The LM (head_dim 256) is unaffected; callers gate only the
+    ``siglip.encode`` flag through this. Under a mesh the sharded flash
+    path is kept: its head-partitioned shard_map collectives are built
+    around the kernel. ``siglip.encode(use_flash=True)`` called directly
+    still honors the explicit request (tests exercise the kernel there).
+    """
+    return mesh is not None or cfg.vision_config.head_dim % 128 == 0
+
+
 def prefill(
     params: Params,
     cfg: PaliGemmaConfig,
@@ -121,7 +138,7 @@ def prefill(
     dtype = params["lm"]["embed"].dtype
     image_features = siglip.encode(
         params["vision"], cfg.vision_config, pixel_values.astype(dtype),
-        use_flash=use_flash, mesh=mesh,
+        use_flash=use_flash and _vision_flash_profitable(cfg, mesh), mesh=mesh,
     )
     image_embeds = project_image_features(params, image_features)
 
@@ -216,7 +233,7 @@ def forward_train(
     dtype = params["lm"]["embed"].dtype
     image_features = siglip.encode(
         params["vision"], cfg.vision_config, pixel_values.astype(dtype),
-        use_flash=use_flash,
+        use_flash=use_flash and _vision_flash_profitable(cfg, None),
     )
     image_embeds = project_image_features(params, image_features)
     text_embeds = params["lm"]["embed"][input_ids]
