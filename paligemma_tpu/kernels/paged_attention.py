@@ -690,6 +690,362 @@ def paged_decode_attention_batched(
     return out[:, :, :group, :].reshape(b, hq, d)
 
 
+def _kernel_runs(
+    # scalar prefetch (SMEM)
+    lay_ref,  # (1,) int32
+    pt_ref,  # (B, P_max) int32 physical page ids (pre-clamped)
+    start_ref,  # (B, n_super) int32: first physical page of the super-block
+    contig_ref,  # (B, n_super) int32: 1 => the whole super-block is one
+    #              physically-consecutive run starting at start_ref
+    lastsb_ref,  # (B,) int32 last super-block each row needs
+    kvlen_ref,  # (B,) int32
+    # blocks
+    q_ref,  # (1, B*G_pad, D) — this kv-head's queries, rows stacked
+    kvrep_ref,  # (B*G_pad, 128) int32 — kv_len broadcast per query row
+    k_pool_ref,  # (L, n_pages, page_size, Hkv*D) HBM
+    v_pool_ref,  # HBM
+    o_ref,  # (1, B*G_pad, D)
+    # scratch
+    kbuf,  # (2, B, P_SUB, page_size, D)
+    vbuf,
+    sc_buf,  # (B*G_pad, R*W) f32 — per-GROUP stacked scores/probabilities
+    pv_buf,  # (B*G_pad, D) f32
+    acc_ref,  # (B*G_pad, D) f32
+    m_ref,  # (B*G_pad, 128) f32
+    l_ref,  # (B*G_pad, 128) f32
+    sems,  # DMA (2, 2, B) — one semaphore per (kv, slot, row); every copy
+    #        of that row signals it and is waited individually
+    *,
+    scale: float,
+    page_size: int,
+    p_sub: int,
+    g_pad: int,
+    head_dim: int,
+    n_pages: int,
+    batch: int,
+    rows_per_mm: int,
+):
+    h = pl.program_id(0)
+    s = pl.program_id(1)
+    n_sb = pl.num_programs(1)
+    lay = lay_ref[0]
+    width = p_sub * page_size
+
+    def dma_run(pool_ref, buf, kv, r, sb, slot):
+        # ONE copy for the whole super-block: p_sub physically-consecutive
+        # pages -> (p_sub, page_size, D). This is the entire point of the
+        # kernel: DMA *issue* cost (~0.4-0.7 us each on this toolchain) is
+        # the page-walk bound, so the allocator hands out consecutive runs
+        # (runtime/paged_cache.py) and the kernel fetches each run with a
+        # single issue instead of p_sub of them.
+        first = jnp.clip(start_ref[r, sb], 0, n_pages - p_sub)
+        return pltpu.make_async_copy(
+            pool_ref.at[lay, pl.ds(first, p_sub), :,
+                        pl.ds(h * head_dim, head_dim)],
+            buf.at[slot, r],
+            sems.at[kv, slot, r],
+        )
+
+    def dma_page(pool_ref, buf, kv, r, sb, slot, j):
+        pid = pt_ref[r, jnp.minimum(sb * p_sub + j, pt_ref.shape[1] - 1)]
+        pid = jnp.clip(pid, 0, n_pages - 1)
+        return pltpu.make_async_copy(
+            pool_ref.at[lay, pid, :, pl.ds(h * head_dim, head_dim)],
+            buf.at[slot, r, j],
+            sems.at[kv, slot, r],
+        )
+
+    def start_super(sb, slot):
+        for r in range(batch):
+            @pl.when((sb <= lastsb_ref[r]) & (contig_ref[r, sb] == 1))
+            def _fast():
+                dma_run(k_pool_ref, kbuf, 0, r, sb, slot).start()
+                dma_run(v_pool_ref, vbuf, 1, r, sb, slot).start()
+
+            @pl.when((sb <= lastsb_ref[r]) & (contig_ref[r, sb] == 0))
+            def _pages():
+                for j in range(p_sub):
+                    dma_page(k_pool_ref, kbuf, 0, r, sb, slot, j).start()
+                    dma_page(v_pool_ref, vbuf, 1, r, sb, slot, j).start()
+
+    def wait_super(sb, slot):
+        for r in range(batch):
+            @pl.when((sb <= lastsb_ref[r]) & (contig_ref[r, sb] == 1))
+            def _fast():
+                dma_run(k_pool_ref, kbuf, 0, r, sb, slot).wait()
+                dma_run(v_pool_ref, vbuf, 1, r, sb, slot).wait()
+
+            @pl.when((sb <= lastsb_ref[r]) & (contig_ref[r, sb] == 0))
+            def _pages():
+                for j in range(p_sub):
+                    dma_page(k_pool_ref, kbuf, 0, r, sb, slot, j).wait()
+                    dma_page(v_pool_ref, vbuf, 1, r, sb, slot, j).wait()
+
+    @pl.when(s == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        # Rows that never reach super-block 1 never DMA into vbuf slot 1,
+        # yet the STACKED pv matmul still contracts over their columns
+        # when a sibling row in the group is alive: p is exactly 0 there,
+        # but 0 x (uninitialized VMEM) = NaN if the stale bits decode to
+        # NaN/inf (observed in interpret mode; arbitrary on hardware).
+        # Zeroing V's slot-1 row once makes every later read finite —
+        # after that, "stale" is always a previous super-block's real
+        # pool bytes. K needs no init: NaN scores die in the where() mask
+        # before they can reach a contraction.
+        @pl.when(n_sb > 1)
+        def _sanitize():
+            for r in range(batch):
+                @pl.when(lastsb_ref[r] < 1)
+                def _z():
+                    vbuf[1, r] = jnp.zeros_like(vbuf[1, r])
+
+        start_super(0, 0)
+
+    @pl.when(s + 1 < n_sb)
+    def _prefetch():
+        start_super(s + 1, jax.lax.rem(s + 1, 2))
+
+    slot = jax.lax.rem(s, 2)
+    wait_super(s, slot)
+    qa = q_ref[0]  # (B*G_pad, D)
+
+    # Pass A (MXU): ONE stacked matmul per ROW GROUP instead of one per row
+    # — the per-row variant measured small-matmul-serialization-bound (~half
+    # the kernel time at B=16). Group g's scores land block-diagonally in
+    # (R*G_pad, R*W); the off-diagonal row pairs are wasted FLOPs (R x) but
+    # decode attention has MXU headroom to burn and the mask kills them.
+    n_groups = batch // rows_per_mm
+    r_rows = rows_per_mm * g_pad
+    for g in range(n_groups):
+        gl = lastsb_ref[g * rows_per_mm]
+        for rr in range(1, rows_per_mm):
+            gl = jnp.maximum(gl, lastsb_ref[g * rows_per_mm + rr])
+
+        @pl.when(s <= gl)
+        def _scores():
+            kg = kbuf[slot, g * rows_per_mm : (g + 1) * rows_per_mm]
+            sc_buf[g * r_rows : (g + 1) * r_rows, :] = jax.lax.dot_general(
+                qa[g * r_rows : (g + 1) * r_rows],
+                kg.reshape(rows_per_mm * width, head_dim),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+    # Vectorized online-softmax across ALL rows/groups at once. Validity:
+    # the key column must belong to the SAME local row (block diagonal)
+    # AND lie under the row's kv_len. Rows past their last super-block have
+    # s*width + w >= kv_len everywhere, so their stale scratch is fully
+    # masked and their state (m, l, acc) provably does not move.
+    q_idx = jax.lax.broadcasted_iota(
+        jnp.int32, (batch * g_pad, rows_per_mm * width), 0
+    )
+    c_idx = jax.lax.broadcasted_iota(
+        jnp.int32, (batch * g_pad, rows_per_mm * width), 1
+    )
+    same_row = (q_idx // g_pad) % rows_per_mm == c_idx // width
+    col = c_idx % width + s * width
+    valid = same_row & (col < kvrep_ref[...][:, :1])
+    sc = jnp.where(valid, sc_buf[...] * scale, NEG_INF)
+    m_i = m_ref[...][:, :1]
+    l_i = l_ref[...][:, :1]
+    m_new = jnp.maximum(m_i, jnp.max(sc, axis=-1, keepdims=True))
+    p = jnp.where(valid, jnp.exp(sc - m_new), 0.0)
+    alpha = jnp.exp(m_i - m_new)
+    l_ref[...] = jnp.broadcast_to(
+        l_i * alpha + jnp.sum(p, axis=-1, keepdims=True),
+        (batch * g_pad, 128),
+    )
+    m_ref[...] = jnp.broadcast_to(m_new, (batch * g_pad, 128))
+    sc_buf[...] = p
+
+    # Pass B (MXU): stacked p @ v per group; off-diagonal p is exactly 0,
+    # so each query row only accumulates its own row's values.
+    pv_buf[...] = jnp.zeros_like(pv_buf)
+    for g in range(n_groups):
+        gl = lastsb_ref[g * rows_per_mm]
+        for rr in range(1, rows_per_mm):
+            gl = jnp.maximum(gl, lastsb_ref[g * rows_per_mm + rr])
+
+        @pl.when(s <= gl)
+        def _pv():
+            vg = vbuf[slot, g * rows_per_mm : (g + 1) * rows_per_mm]
+            pv_buf[g * r_rows : (g + 1) * r_rows, :] = jax.lax.dot_general(
+                sc_buf[g * r_rows : (g + 1) * r_rows].astype(vbuf.dtype),
+                vg.reshape(rows_per_mm * width, head_dim),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    acc_ref[...] = acc_ref[...] * alpha + pv_buf[...]
+
+    @pl.when(s == n_sb - 1)
+    def _finish():
+        l = l_ref[...][:, :1]
+        out = acc_ref[...] / jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = out.astype(o_ref.dtype)
+
+
+def paged_decode_attention_runs(
+    q: jnp.ndarray,  # (B, Hq, D)
+    k_pool: jnp.ndarray,  # (n_pages, page_size, Hkv, D) or (L, ...)
+    v_pool: jnp.ndarray,
+    page_table: jnp.ndarray,  # (B, P_max) int32
+    kv_len: jnp.ndarray,  # (B,) int32
+    scale: Optional[float] = None,
+    interpret: Optional[bool] = None,
+    layer_idx: Optional[jnp.ndarray] = None,
+    pages_per_step: int = 8,
+    rows_per_matmul: int = 8,
+) -> jnp.ndarray:
+    """Run-coalesced, row-grouped paged decode attention (4th generation).
+
+    The page-walk kernels are bounded by two serial costs this toolchain
+    charges (measured, docs/PERFORMANCE.md "Kernel note"):
+
+    * ~0.4-0.7 us of DMA *issue* cost per copy — B x pages x 2 issues per
+      call for any per-page gather;
+    * small-matmul serialization — one (G_pad, W) score + one (G_pad, D)
+      pv dot PER ROW per step, each paying fixed MXU latency.
+
+    This kernel attacks both. The page allocator hands out physically
+    CONSECUTIVE page runs whenever it can (runtime/paged_cache.py — a
+    prompt's pages are allocated in one call, so runs are the common
+    case); for a super-block that is one run, the kernel fetches all
+    ``pages_per_step`` pages with ONE DMA issue (B x 2 issues per
+    super-block instead of B x p_sub x 2), falling back to per-page
+    copies for fragmented rows. Scores/pv are computed with one stacked
+    block-diagonally-masked matmul per ``rows_per_matmul`` rows instead
+    of per row — R x wasted FLOPs, but decode attention is bandwidth-
+    bound with idle MXU, and it removes (R-1)/R of the fixed-latency
+    dots. ``rows_per_matmul`` must divide B."""
+    b, hq, d = q.shape
+    if layer_idx is None:
+        assert k_pool.ndim == 4, k_pool.shape
+        page_size, hkv = k_pool.shape[1], k_pool.shape[2]
+        n_pages = k_pool.shape[0]
+        lay = jnp.zeros((1,), jnp.int32)
+        k_pool = k_pool[None]
+        v_pool = v_pool[None]
+    else:
+        assert k_pool.ndim == 5, k_pool.shape
+        page_size, hkv = k_pool.shape[2], k_pool.shape[3]
+        n_pages = k_pool.shape[1]
+        lay = jnp.reshape(layer_idx.astype(jnp.int32), (1,))
+    p_max = page_table.shape[1]
+    p_sub = min(pages_per_step, p_max)
+    n_super = (p_max + p_sub - 1) // p_sub
+    group = hq // hkv
+    rows_per_mm = min(rows_per_matmul, b)
+    while b % rows_per_mm:
+        rows_per_mm -= 1
+    if scale is None:
+        scale = d**-0.5
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    assert page_size % 16 == 0, page_size
+    assert d % 128 == 0, d
+    assert n_pages > p_sub, (n_pages, p_sub)
+
+    sub = 16 if q.dtype == jnp.bfloat16 else 8
+    g_pad = ((group + sub - 1) // sub) * sub
+    qf = q.reshape(b, hkv, group, d)
+    if g_pad != group:
+        qf = jnp.pad(qf, ((0, 0), (0, 0), (0, g_pad - group), (0, 0)))
+    qh = qf.transpose(1, 0, 2, 3).reshape(hkv, b * g_pad, d)
+
+    k2 = k_pool.reshape(k_pool.shape[0], n_pages, page_size, hkv * d)
+    v2 = v_pool.reshape(v_pool.shape[0], n_pages, page_size, hkv * d)
+
+    lastpb = jnp.maximum(kv_len.astype(jnp.int32) - 1, 0) // page_size
+    lastsb = lastpb // p_sub
+    pb_ids = jnp.minimum(jnp.arange(p_max)[None, :], lastpb[:, None])
+    pt = jnp.take_along_axis(page_table.astype(jnp.int32), pb_ids, axis=1)
+
+    # Run metadata (XLA glue, trivially cheap): a super-block is "one run"
+    # iff every VALID logical page in it sits at start+j physically; pages
+    # past the row's last page are don't-care (the run DMA copies whatever
+    # lives there and the kv_len mask kills it), but the run must stay in
+    # the pool.
+    padded = n_super * p_sub
+    tbl = page_table.astype(jnp.int32)
+    if padded != p_max:
+        tbl = jnp.pad(tbl, ((0, 0), (0, padded - p_max)))
+    tbl = tbl.reshape(b, n_super, p_sub)
+    start = tbl[:, :, 0]
+    expect = start[:, :, None] + jnp.arange(p_sub, dtype=jnp.int32)
+    logical = (
+        jnp.arange(padded, dtype=jnp.int32).reshape(n_super, p_sub)[None]
+    )
+    care = logical <= lastpb[:, None, None]
+    contig = jnp.where(care, tbl == expect, True).all(axis=2)
+    contig &= (start >= 0) & (start + p_sub <= n_pages)
+    contig = contig.astype(jnp.int32)
+
+    width = p_sub * page_size
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(hkv, n_super),
+        in_specs=[
+            pl.BlockSpec(
+                (1, b * g_pad, d),
+                lambda h, sb, lyr, tab, st, cg, lsb, kl: (h, 0, 0),
+            ),
+            pl.BlockSpec(
+                (b * g_pad, 128),
+                lambda h, sb, lyr, tab, st, cg, lsb, kl: (0, 0),
+            ),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, b * g_pad, d),
+            lambda h, sb, lyr, tab, st, cg, lsb, kl: (h, 0, 0),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, b, p_sub, page_size, d), q.dtype),
+            pltpu.VMEM((2, b, p_sub, page_size, d), q.dtype),
+            pltpu.VMEM((b * g_pad, rows_per_mm * width), jnp.float32),
+            pltpu.VMEM((b * g_pad, d), jnp.float32),
+            pltpu.VMEM((b * g_pad, d), jnp.float32),
+            pltpu.VMEM((b * g_pad, 128), jnp.float32),
+            pltpu.VMEM((b * g_pad, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2, b)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_runs, scale=scale, page_size=page_size, p_sub=p_sub,
+            g_pad=g_pad, head_dim=d, n_pages=n_pages, batch=b,
+            rows_per_mm=rows_per_mm,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((hkv, b * g_pad, d), q.dtype),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )(
+        lay,
+        pt,
+        start,
+        contig,
+        lastsb,
+        kv_len.astype(jnp.int32),
+        qh,
+        jnp.broadcast_to(
+            jnp.repeat(kv_len.astype(jnp.int32), g_pad)[:, None],
+            (b * g_pad, 128),
+        ),
+        k2,
+        v2,
+    )
+    out = out.reshape(hkv, b, g_pad, d).transpose(1, 0, 2, 3)
+    return out[:, :, :group, :].reshape(b, hq, d)
+
+
 def reference_paged_decode_attention(
     q, k_pool, v_pool, page_table, kv_len, scale=None, layer_idx=None
 ):

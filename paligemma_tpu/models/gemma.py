@@ -534,7 +534,7 @@ def forward_paged_decode(
     write_pos: jnp.ndarray,  # (B,) int32: slot-local position this token lands at
     use_kernel: Optional[bool] = None,
     pages_bucket: Optional[int] = None,  # static bound on logical pages walked
-    paged_kernel: str = "multi",  # "one" | "multi" | "batched" (A/B knob)
+    paged_kernel: str = "multi",  # "one"|"multi"|"batched"|"runs" (A/B knob)
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Single-token decode over the PAGED KV pool (runtime.paged_cache).
 
@@ -604,6 +604,12 @@ def forward_paged_decode(
                 "one": paged_attn.paged_decode_attention,
                 "multi": paged_attn.paged_decode_attention_multi,
                 "batched": paged_attn.paged_decode_attention_batched,
+                # "runs": ONE DMA issue per physically-consecutive
+                # super-block (the allocator hands out runs) + stacked
+                # block-diagonal matmuls across rows — attacks both
+                # measured page-walk bounds (DMA issue cost and
+                # small-matmul serialization)
+                "runs": paged_attn.paged_decode_attention_runs,
             }[paged_kernel]
             a = kfn(
                 q[:, 0], k_pool, v_pool, page_table, kv_len,

@@ -34,16 +34,27 @@ from ..core.config import GemmaConfig
 
 
 class PageAllocator:
-    """Free-list page allocator. Pages are ints in [first, n_pages).
+    """Contiguity-preferring free-list page allocator, pages in
+    [first, n_pages).
 
     ``first=1`` reserves physical page 0 as a never-allocated GARBAGE page:
     inactive slot rows keep page-table entries of 0, so their (discarded)
     lockstep writes and clamped attention reads land there instead of in
-    pages that may have been reallocated to live requests."""
+    pages that may have been reallocated to live requests.
+
+    Allocation policy (host-side, O(n_pages) scans are ~us next to a
+    device tick): first try to EXTEND the owner's tail run (decode growth
+    stays physically consecutive with the prompt), then FIRST-FIT a
+    consecutive run of ``n``, then fall back to arbitrary free pages.
+    Physically-consecutive runs are what let the run-coalesced paged
+    attention kernel (kernels/paged_attention.paged_decode_attention_runs)
+    fetch a whole super-block with ONE DMA issue instead of one per page —
+    DMA issue cost is the measured page-walk bound on this toolchain
+    (docs/PERFORMANCE.md "Kernel note")."""
 
     def __init__(self, n_pages: int, first: int = 0):
         self.n_pages = n_pages
-        self._free: List[int] = list(range(n_pages - 1, first - 1, -1))
+        self._free = set(range(first, n_pages))
         self._owned: Dict[int, List[int]] = {}  # owner id -> page list
 
     @property
@@ -53,17 +64,44 @@ class PageAllocator:
     def pages_of(self, owner: int) -> List[int]:
         return self._owned.get(owner, [])
 
+    def _take(self, owner: int, pages: List[int]) -> List[int]:
+        self._free.difference_update(pages)
+        self._owned.setdefault(owner, []).extend(pages)
+        return pages
+
     def alloc(self, owner: int, n: int) -> Optional[List[int]]:
         """Append ``n`` pages to ``owner``; None (and no change) if the pool
         can't cover it — the caller decides to defer admission or preempt."""
         if n > len(self._free):
             return None
-        pages = [self._free.pop() for _ in range(n)]
-        self._owned.setdefault(owner, []).extend(pages)
-        return pages
+        if n == 0:
+            return []
+        owned = self._owned.get(owner)
+        # grow: continue the owner's tail run if the next pages are free
+        if owned:
+            tail = owned[-1]
+            run = list(range(tail + 1, tail + 1 + n))
+            if run and run[-1] < self.n_pages and self._free.issuperset(run):
+                return self._take(owner, run)
+        # fresh (or fragmented-grow): first-fit a consecutive run of n
+        free_sorted = sorted(self._free)
+        run_start, run_len = free_sorted[0], 1
+        for prev, cur in zip(free_sorted, free_sorted[1:]):
+            run_len = run_len + 1 if cur == prev + 1 else 1
+            if run_len == 1:
+                run_start = cur
+            if run_len >= n:
+                return self._take(
+                    owner, list(range(run_start, run_start + n))
+                )
+        if n == 1 and free_sorted:  # loop above never sees a 1-run of [0]
+            return self._take(owner, free_sorted[:1])
+        # fragmented pool: hand out whatever is free (the runs kernel
+        # falls back to per-page DMA for non-contiguous super-blocks)
+        return self._take(owner, free_sorted[:n])
 
     def free(self, owner: int) -> None:
-        self._free.extend(self._owned.pop(owner, []))
+        self._free.update(self._owned.pop(owner, []))
 
 
 class PagedKVCache:

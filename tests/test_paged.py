@@ -15,6 +15,7 @@ from paligemma_tpu.kernels.paged_attention import (
     paged_decode_attention,
     paged_decode_attention_batched,
     paged_decode_attention_multi,
+    paged_decode_attention_runs,
     reference_paged_decode_attention,
 )
 from paligemma_tpu.models import paligemma
@@ -156,6 +157,61 @@ def test_paged_batched_kernel_inactive_and_stacked():
         pages_per_step=2,
     ))
     assert np.all(got[0] == 0.0)
+    want = np.asarray(reference_paged_decode_attention(
+        q, k_pool, v_pool, table, kv_len, layer_idx=li
+    ))
+    np.testing.assert_allclose(got[1], want[1], rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize(
+    "hq,hkv,psub,rpm", [(8, 1, 4, 4), (8, 1, 3, 2), (8, 2, 2, 3), (4, 4, 2, 1)]
+)
+def test_paged_runs_kernel_matches_reference(hq, hkv, psub, rpm):
+    """Run-coalesced kernel: one DMA per physically-consecutive super-block
+    (fragmented rows fall back to per-page copies) + stacked block-diagonal
+    matmuls across rows. Mixed table: row 0 contiguous, rows 1-2 scattered;
+    rpm=3 exercises the divisor fallback (b=3), rpm=1 the per-row path."""
+    ps, d, p_max, n_pages, b = 16, 128, 7, 24, 3
+    key = jax.random.PRNGKey(0)
+    kq, kp = jax.random.split(key)
+    q = jax.random.normal(kq, (b, hq, d), jnp.float32)
+    k_pool, v_pool = _rand_pool(kp, n_pages, ps, hkv, d)
+    page_table = jnp.asarray(
+        [[3, 4, 5, 6, 7, 8, 9], [15, 0, 0, 0, 0, 0, 0],
+         [2, 19, 11, 14, 6, 1, 3]], jnp.int32
+    )
+    kv_len = jnp.asarray([37, 5, 112], jnp.int32)
+    got = paged_decode_attention_runs(
+        q, k_pool, v_pool, page_table, kv_len, interpret=True,
+        pages_per_step=psub, rows_per_matmul=rpm,
+    )
+    want = reference_paged_decode_attention(
+        q, k_pool, v_pool, page_table, kv_len
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_paged_runs_kernel_inactive_and_stacked():
+    """kv_len==0 rows emit exact zeros; stacked (L, ...) pool addressing;
+    short rows next to long ones (the uninitialized-slot-1 NaN regression:
+    a dead row's stale V buffer leaks NaN through the stacked pv matmul
+    unless sanitized)."""
+    ps, d, b, n_pages = 16, 128, 2, 12
+    key = jax.random.PRNGKey(1)
+    shape = (3, n_pages, ps, 1, d)
+    k_pool = jax.random.normal(key, shape, jnp.float32)
+    v_pool = jax.random.normal(jax.random.PRNGKey(2), shape, jnp.float32)
+    q = jax.random.normal(jax.random.PRNGKey(3), (b, 8, d), jnp.float32)
+    table = jnp.asarray([[1, 2, 3, 4], [5, 6, 7, 8]], jnp.int32)
+    kv_len = jnp.asarray([0, 50], jnp.int32)
+    li = jnp.asarray(1, jnp.int32)
+    got = np.asarray(paged_decode_attention_runs(
+        q, k_pool, v_pool, table, kv_len, interpret=True, layer_idx=li,
+        pages_per_step=2, rows_per_matmul=2,
+    ))
+    assert np.all(got[0] == 0.0)
+    assert np.all(np.isfinite(got))
     want = np.asarray(reference_paged_decode_attention(
         q, k_pool, v_pool, table, kv_len, layer_idx=li
     ))
@@ -314,6 +370,36 @@ def test_page_allocator_alloc_free_reuse():
     got = a.alloc(2, 2)
     assert got is not None and a.free_pages == 0
     assert set(got) <= set(range(4))
+
+
+def test_page_allocator_prefers_contiguous_runs():
+    """The allocator first-fits consecutive runs and extends an owner's
+    tail run on growth — physically-consecutive pages are what let the
+    runs kernel coalesce a super-block into ONE DMA issue."""
+    a = PageAllocator(32, first=1)
+    p0 = a.alloc(0, 4)
+    assert p0 == list(range(p0[0], p0[0] + 4))  # fresh alloc is a run
+    p1 = a.alloc(1, 4)
+    assert p1 == list(range(p1[0], p1[0] + 4))
+    assert not set(p0) & set(p1)
+    # growth continues the tail run when the next page is free
+    a.free(1)
+    g = a.alloc(0, 2)
+    assert g == [p0[-1] + 1, p0[-1] + 2]
+    # fragmented pool still allocates (fallback), just not contiguously
+    b = PageAllocator(8, first=1)
+    b.alloc(0, 1)
+    b.alloc(1, 1)
+    b.alloc(2, 1)
+    b.alloc(3, 1)
+    b.free(0)
+    b.free(2)  # free pages now {1, 3} + tail {5, 6, 7}
+    got = b.alloc(4, 4)  # no 4-run exists; must still succeed
+    assert got is not None and len(got) == 4
+    b.free(1)
+    b.free(3)
+    b.free(4)
+    assert b.free_pages == 7
 
 
 def test_paged_cache_grow_and_release():
