@@ -51,20 +51,21 @@ def main():
           flush=True)
 
     L = 18
-    cases = [("batched8", None, None,
-              lambda *a, **k: paged_decode_attention_batched(
-                  *a, pages_per_step=max(P_MAX // 8, 1), **k))]
-    for pps in (4, 8, 16):
-        if pps > P_MAX:
+    cases = []
+    combos = os.environ.get("COMBOS", "8:2,8:4,16:2,16:4,16:8")
+    if os.environ.get("BASELINE", "0") == "1":
+        cases.append(("batched8", None, None,
+                      lambda *a, **k: paged_decode_attention_batched(
+                          *a, pages_per_step=max(P_MAX // 8, 1), **k)))
+    for combo in combos.split(","):
+        pps, rpm = (int(x) for x in combo.split(":"))
+        if pps > P_MAX or rpm > B:
             continue
-        for rpm in (4, 8, 16):
-            if rpm > B:
-                continue
-            cases.append((
-                f"runs p{pps} r{rpm}", pps, rpm,
-                lambda *a, pps=pps, rpm=rpm, **k: paged_decode_attention_runs(
-                    *a, pages_per_step=pps, rows_per_matmul=rpm, **k),
-            ))
+        cases.append((
+            f"runs p{pps} r{rpm}", pps, rpm,
+            lambda *a, pps=pps, rpm=rpm, **k: paged_decode_attention_runs(
+                *a, pages_per_step=pps, rows_per_matmul=rpm, **k),
+        ))
 
     for tab_name, tab in (("contig", contig), ("permuted", perm)):
         table = jnp.asarray(tab, jnp.int32)
@@ -87,10 +88,13 @@ def main():
                 continue
 
             def many(q, k_pool, v_pool, table, kv_len, fn=fn):
-                acc = jnp.zeros_like(q)
-                for _ in range(L):
-                    acc = acc + fn(q + acc * 0, k_pool, v_pool, table, kv_len)
-                return acc
+                # fori_loop: body traced ONCE (unrolling 18 pallas_calls
+                # costs minutes of trace time on a 1-core host) and the
+                # q + acc*0 carry dependency stops XLA hoisting the body
+                def step(_, acc):
+                    return acc + fn(q + acc * 0, k_pool, v_pool, table, kv_len)
+
+                return jax.lax.fori_loop(0, L, step, jnp.zeros_like(q))
 
             f = jax.jit(many)
             out = f(q, k_pool, v_pool, table, kv_len)

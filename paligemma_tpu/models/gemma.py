@@ -524,6 +524,75 @@ def forward_paged_decode_staged(
     return logits, {"k": new_k, "v": new_v}
 
 
+def forward_paged_decode_fused(
+    params: Params,
+    cfg: GemmaConfig,
+    input_embeds: jnp.ndarray,  # (B, 1, H)
+    position_ids: jnp.ndarray,  # (B, 1) int32
+    pool: KVCache,  # page pool (L, n_pages, page_size, n_kv, d)
+    page_table: jnp.ndarray,  # (B, P_max) int32
+    write_pos: jnp.ndarray,  # (B,) int32
+    pages_bucket: int,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Paged decode through the grid-over-layers fused kernel with
+    IN-KERNEL page-table window reads (kernels/decode_layer_paged).
+
+    Supersedes the staging hybrid for the common case: a pallas_call
+    costs ~217 us of launch floor on this runtime
+    (.bench/call_floor_probe.py), so the per-layer page-walk tick pays
+    ~3.9 ms/tick in floors at 18 layers, and staging pays a
+    DMA-issue-bound XLA gather (docs/PERFORMANCE.md). Here the ONE fused
+    kernel fetches each row's window as a single DMA per tensor per layer
+    when the row's pages are physically consecutive — which the
+    contiguity-preferring allocator (runtime/paged_cache.PageAllocator)
+    makes the common case — falling back to per-page copies otherwise.
+
+    Caller contract matches forward_paged_decode_staged: params["layers"]
+    must be repacked via kernels.decode_layer.repack_layers.
+    """
+    from ..kernels import decode_layer_paged
+
+    b = input_embeds.shape[0]
+    nkv, hd = cfg.num_key_value_heads, cfg.head_dim
+    assert nkv == 1, "fused paged decode is MQA-only (Gemma)"
+    n_layers = pool["k"].shape[0]
+    n_pages, ps = pool["k"].shape[1], pool["k"].shape[2]
+    p_max = page_table.shape[1]
+    pb = min(pages_bucket, p_max)
+    dtype = input_embeds.dtype
+
+    x = input_embeds * jnp.asarray(cfg.hidden_size**0.5, dtype)
+    cos, sin = rope_cos_sin(position_ids, cfg.head_dim, cfg.rope_theta, dtype)
+    write_pos = write_pos.astype(jnp.int32)
+
+    k_flat = pool["k"].reshape(n_layers, n_pages, ps, hd)
+    v_flat = pool["v"].reshape(n_layers, n_pages, ps, hd)
+    h, k_news, v_news = decode_layer_paged.layers_decode_fused_paged(
+        x, params["layers"], k_flat, v_flat,
+        page_table[:, :pb].astype(jnp.int32), write_pos,
+        cos[:, 0], sin[:, 0], cfg.num_attention_heads, hd, cfg.rms_norm_eps,
+    )
+
+    # scatter the fresh K/V into each row's current page (pages shared
+    # across layers => one (L,1,1,nkv,d) write per row)
+    page_of = jnp.take_along_axis(
+        page_table.astype(jnp.int32), (write_pos[:, None] // ps), axis=1
+    )[:, 0]
+    off_of = write_pos % ps
+    zero = jnp.zeros((), jnp.int32)
+    new_k, new_v = pool["k"], pool["v"]
+    for r in range(b):
+        kr = k_news[:, r].reshape(n_layers, 1, 1, nkv, hd).astype(new_k.dtype)
+        vr = v_news[:, r].reshape(n_layers, 1, 1, nkv, hd).astype(new_v.dtype)
+        idx = (zero, page_of[r], off_of[r], zero, zero)
+        new_k = jax.lax.dynamic_update_slice(new_k, kr, idx)
+        new_v = jax.lax.dynamic_update_slice(new_v, vr, idx)
+
+    h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
+    logits = lm_head(params, h).astype(jnp.float32)
+    return logits, {"k": new_k, "v": new_v}
+
+
 def forward_paged_decode(
     params: Params,
     cfg: GemmaConfig,

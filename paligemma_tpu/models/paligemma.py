@@ -344,7 +344,22 @@ def decode_step_paged(
     The caller (PagedServingEngine) is responsible for having repacked
     ``params["lm"]["layers"]`` via kernels.decode_layer.repack_layers."""
     embeds = params["lm"]["embed"][token][:, None, :]  # (B, 1, H)
-    if paged_kernel == "staged":
+    if paged_kernel == "fused":
+        # grid-over-layers fused kernel with in-kernel page-table window
+        # reads — ONE pallas_call per tick instead of one per layer
+        # (gemma.forward_paged_decode_fused); same repacked-layers
+        # contract as "staged"
+        logits, pool = gemma.forward_paged_decode_fused(
+            params["lm"],
+            cfg.text_config,
+            embeds,
+            position_ids[:, None],
+            pool,
+            page_table,
+            write_pos,
+            pages_bucket=pages_bucket or page_table.shape[1],
+        )
+    elif paged_kernel == "staged":
         logits, pool = gemma.forward_paged_decode_staged(
             params["lm"],
             cfg.text_config,

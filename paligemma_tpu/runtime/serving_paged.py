@@ -82,13 +82,18 @@ class PagedServingEngine(ServingEngine):
             # the paged pool has its own decode path (_decode_all_paged)
             fused_decode=False,
         )
-        if self.paged_kernel == "staged":
-            # staging hybrid (models/gemma.forward_paged_decode_staged):
-            # gather the window dense once per tick, run the fused dense
-            # layer kernel, scatter the fresh K/V back into the pages.
-            # Needs the int8 repacked layer tree the dense fused tick uses
-            # (repack keeps the original mlp weights alongside, so the
-            # prefill/fallback paths through the same tree still work).
+        if self.paged_kernel in ("staged", "fused"):
+            # "fused": grid-over-layers kernel with IN-KERNEL page-table
+            # window reads (models/gemma.forward_paged_decode_fused) — one
+            # pallas_call per tick instead of one per layer, so the
+            # ~217 us/call launch floor is paid once (VERDICT r2 item 4;
+            # .bench/call_floor_probe.py).
+            # "staged" hybrid (forward_paged_decode_staged): gather the
+            # window dense once per tick, run the fused dense layer
+            # kernel, scatter the fresh K/V back into the pages.
+            # Both need the int8 repacked layer tree the dense fused tick
+            # uses (repack keeps the original mlp weights alongside, so
+            # the prefill/fallback paths through the same tree still work).
             from ..kernels import decode_layer as _dl
 
             tc0 = config.text_config
@@ -311,19 +316,21 @@ class PagedServingEngine(ServingEngine):
             b *= 2
         return min(b, p_max)
 
-    # staged kernel VMEM budget: the fused layer kernel double-buffers the
-    # (B, W, D) K/V windows -> 2 rings x 2 tensors x B x W x D x 2 bytes;
+    # fused/staged kernel VMEM budget: the fused layer kernels double-buffer
+    # the (B, W, D) K/V windows -> 2 rings x 2 tensors x B x W x D x 2 bytes;
     # weight rings take another ~30 MB of the ~128 MB VMEM. Past this the
     # tick must fall back to the page-walk kernel for that window.
     _STAGED_WINDOW_BYTES = 72 * 1024 * 1024
 
     def _kernel_for_bucket(self, pages_bucket: int) -> str:
-        if self.paged_kernel != "staged":
+        if self.paged_kernel not in ("staged", "fused"):
             return self.paged_kernel
         window = pages_bucket * self.page_size
         hd = self.config.text_config.head_dim
         ring = 2 * 2 * self.max_slots * window * hd * 2
-        return "staged" if ring <= self._STAGED_WINDOW_BYTES else "multi"
+        return (
+            self.paged_kernel if ring <= self._STAGED_WINDOW_BYTES else "multi"
+        )
 
     def _run_window(self, ticks, active, temps_j, top_j, do_j,
                     with_sampling) -> np.ndarray:

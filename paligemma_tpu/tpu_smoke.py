@@ -240,6 +240,63 @@ def _check_paged_attention():
     np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
 
 
+def _check_paged_attention_runs():
+    from .kernels import paged_attention as pa
+
+    b, hq, d, page, npages = 2, 8, 256, 16, 12
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (b, hq, d), jnp.bfloat16)
+    kp = jax.random.normal(jax.random.PRNGKey(1), (npages, page, 1, d),
+                           jnp.bfloat16)
+    vp = jax.random.normal(jax.random.PRNGKey(2), (npages, page, 1, d),
+                           jnp.bfloat16)
+    # row 0 a physical run (fast path), row 1 scattered (per-page fallback)
+    table = jnp.asarray([[1, 2, 3, 4], [9, 5, 11, 7]], jnp.int32)
+    kv_len = jnp.asarray([35, 61], jnp.int32)
+    out = np.asarray(pa.paged_decode_attention_runs(
+        q, kp, vp, table, kv_len, pages_per_step=2, rows_per_matmul=2,
+    ), np.float32)
+    ref = np.asarray(
+        pa.reference_paged_decode_attention(q, kp, vp, table, kv_len),
+        np.float32,
+    )
+    np.testing.assert_allclose(out, ref, rtol=3e-2, atol=3e-2)
+
+
+def _check_fused_paged_layer():
+    """Grid-over-layers fused kernel with in-kernel page-table reads vs the
+    XLA page walk, production Gemma ratios, mixed contiguity."""
+    from .kernels import decode_layer
+    from .models import gemma
+
+    cfg, lm = _fused_stack_setup()
+    L, ps, hd = cfg.num_hidden_layers, 16, cfg.head_dim
+    n_pages = 10
+    rng = np.random.default_rng(3)
+    pool = {
+        n: jnp.asarray(rng.normal(size=(L, n_pages, ps, 1, hd)) * 0.3,
+                       jnp.bfloat16)
+        for n in ("k", "v")
+    }
+    table = jnp.asarray([[1, 2, 0, 0], [7, 4, 0, 0]], jnp.int32)
+    wp = jnp.asarray([5, 17], jnp.int32)
+    lm_rp = dict(lm)
+    lm_rp["layers"] = decode_layer.repack_layers(lm["layers"])
+    tok = jnp.asarray([7, 9], jnp.int32)
+    embeds = jnp.take(lm["embed"], tok, axis=0)[:, None].astype(jnp.bfloat16)
+    pos = (wp + 1)[:, None]
+    ref, _ = gemma.forward_paged_decode(
+        lm, cfg, embeds, pos, jax.tree.map(jnp.copy, pool), table, wp,
+        use_kernel=False, pages_bucket=2,
+    )
+    got, _ = gemma.forward_paged_decode_fused(
+        lm_rp, cfg, embeds, pos, pool, table, wp, pages_bucket=2,
+    )
+    a = np.argmax(np.asarray(ref[:, 0], np.float32), -1)
+    b = np.argmax(np.asarray(got[:, 0], np.float32), -1)
+    np.testing.assert_array_equal(a, b)
+
+
 CHECKS: List[Tuple[str, Callable[[], None]]] = [
     ("flash_attention", _check_flash_attention),
     ("decode_mlp", _check_decode_mlp),
@@ -247,6 +304,8 @@ CHECKS: List[Tuple[str, Callable[[], None]]] = [
     ("decode_layer_stack", _check_fused_decode_layer),
     ("decode_layer_tp", _check_decode_layer_tp),
     ("paged_attention", _check_paged_attention),
+    ("paged_attention_runs", _check_paged_attention_runs),
+    ("decode_layer_paged", _check_fused_paged_layer),
 ]
 
 

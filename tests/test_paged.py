@@ -507,11 +507,73 @@ def test_staged_paged_decode_matches_walk():
         wp = wp + 1
 
 
-def test_paged_engine_staged_kernel_matches_walk():
-    """PagedServingEngine(paged_kernel="staged") produces the same greedy
-    tokens as the page-walk engine (int8 MQA config the fused kernel
-    supports), exercising repack + staging + scatter through the real
-    scheduler (admission, grouped prefills, windows)."""
+@pytest.mark.parametrize("frag", [False, True])
+def test_fused_paged_decode_matches_walk(frag):
+    """forward_paged_decode_fused (grid-over-layers kernel with IN-KERNEL
+    page-table window reads) vs the reference page walk: same logits,
+    same greedy tokens, same pool writes — over two chained steps. The
+    fragmented table exercises the per-page DMA fallback; the contiguous
+    one the single-run fast path."""
+    from paligemma_tpu.kernels import decode_layer
+    from paligemma_tpu.models import gemma
+
+    cfg, lm = _mqa_int8_setup()
+    L, ps, hd = cfg.num_hidden_layers, 16, cfg.head_dim
+    B, n_pages = 2, 8
+    rng = np.random.default_rng(0)
+    pool0 = {
+        n: jnp.asarray(rng.normal(size=(L, n_pages, ps, 1, hd)) * 0.3,
+                       jnp.bfloat16)
+        for n in ("k", "v")
+    }
+    if frag:
+        page_table = jnp.asarray([[5, 2, 0, 0], [7, 3, 0, 0]], jnp.int32)
+    else:
+        page_table = jnp.asarray([[1, 2, 0, 0], [3, 4, 0, 0]], jnp.int32)
+    write_pos = jnp.asarray([5, 17], jnp.int32)
+
+    lm_rp = dict(lm)
+    lm_rp["layers"] = decode_layer.repack_layers(lm["layers"])
+
+    tok = jnp.asarray([7, 9], jnp.int32)
+    pools = {"walk": jax.tree.map(jnp.copy, pool0),
+             "fused": jax.tree.map(jnp.copy, pool0)}
+    wp = write_pos
+    for step in range(2):
+        embeds = jnp.take(lm["embed"], tok, axis=0)[:, None].astype(
+            jnp.bfloat16
+        )
+        pos = (wp + 1)[:, None]
+        ref, pools["walk"] = gemma.forward_paged_decode(
+            lm, cfg, embeds, pos, pools["walk"], page_table, wp,
+            use_kernel=False, pages_bucket=2,
+        )
+        got, pools["fused"] = gemma.forward_paged_decode_fused(
+            lm_rp, cfg, embeds, pos, pools["fused"], page_table, wp,
+            pages_bucket=2,
+        )
+        a = np.asarray(ref[:, 0], np.float32)
+        b = np.asarray(got[:, 0], np.float32)
+        for r in range(B):
+            denom = np.max(np.abs(a[r])) + 1e-9
+            assert np.max(np.abs(a[r] - b[r])) / denom < 0.05, (step, r)
+            assert np.argmax(a[r]) == np.argmax(b[r]), (step, r)
+        for n in ("k", "v"):
+            np.testing.assert_allclose(
+                np.asarray(pools["fused"][n], np.float32),
+                np.asarray(pools["walk"][n], np.float32),
+                rtol=5e-2, atol=5e-2,
+            )
+        tok = jnp.argmax(ref[:, 0], -1).astype(jnp.int32)
+        wp = wp + 1
+
+
+@pytest.mark.parametrize("kernel", ["staged", "fused"])
+def test_paged_engine_fused_kernels_match_walk(kernel):
+    """PagedServingEngine(paged_kernel="staged"/"fused") produces the same
+    greedy tokens as the page-walk engine (int8 MQA config the fused
+    kernels support), exercising repack + window read + scatter through
+    the real scheduler (admission, grouped prefills, windows)."""
     from paligemma_tpu.core.config import (
         GemmaConfig,
         PaliGemmaConfig,
@@ -566,6 +628,6 @@ def test_paged_engine_staged_kernel_matches_walk():
         return [np.asarray(r.tokens) for r in done]
 
     ref = run("multi")
-    fus = run("staged")
+    fus = run(kernel)
     for a, b in zip(ref, fus):
         np.testing.assert_array_equal(a, b)
