@@ -56,7 +56,7 @@ class PagedServingEngine(ServingEngine):
         decode_params: Optional[Dict[str, Any]] = None,
         sync_every: int = 8,
         mesh=None,
-        paged_kernel: str = "multi",
+        paged_kernel: str = "fused",
     ):
         """``n_pages``: physical pool size (default: half the dense engine's
         reservation — the honest demonstration that more slots fit in less
