@@ -246,6 +246,48 @@ def main():
             "serving", serving
         )
 
+    # ---- 3b) paged serving: 24 slots from the dense 16-slot HBM budget,
+    # fused grid-over-layers tick with in-kernel page-table reads ----
+    def serving_paged():
+        from paligemma_tpu.runtime.serving import Request
+        from paligemma_tpu.runtime.serving_paged import PagedServingEngine
+
+        eng = PagedServingEngine(
+            params, cfg, max_slots=24, max_seq_len=512, page_size=64,
+            n_pages=16 * 512 // 64,  # == the dense engine's reservation
+            decode_params=qparams, sync_every=8,
+        )
+        rng = np.random.default_rng(0)
+        n_img = cfg.vision_config.num_patches
+
+        def req(i, n_new):
+            ids = np.concatenate(
+                [np.full((n_img,), cfg.image_token_index),
+                 rng.integers(3, 100, (10,))]
+            ).astype(np.int32)
+            return Request(
+                request_id=i, input_ids=ids,
+                pixel_values=rng.normal(size=(3, 224, 224)).astype(np.float32),
+                max_new_tokens=n_new, do_sample=False, eos_token_id=-1,
+            )
+
+        for i in range(24):  # warm wave: flush the compile caches
+            eng.submit(req(-100 - i, 4))
+        eng.run_to_completion()
+        reqs = [req(i, 64) for i in range(24)]
+        for r in reqs:
+            eng.submit(r)
+        t0 = time.perf_counter()
+        done = eng.run_to_completion()
+        dt = time.perf_counter() - t0
+        total = sum(len(r.tokens) for r in done)
+        return round(total / dt, 1)
+
+    if qparams is not None:
+        extra["paged_serving_aggregate_tokens_per_sec"] = attempt(
+            "serving_paged", serving_paged
+        )
+
     # ---- 4) 448px (1024 image tokens): fresh weights, bf16 freed first ----
     def px448():
         nonlocal params, qparams

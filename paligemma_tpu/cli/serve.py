@@ -1,0 +1,325 @@
+"""Serving CLI: continuous-batching inference over many requests.
+
+The reference has no serving story at all — its CLI handles exactly one
+request per process with a hard B==1 assert (ref: inference.py:109-154,
+processing_paligemma.py:174). This entrypoint exposes the framework's
+continuous-batching engines (runtime/serving.py, runtime/serving_paged.py)
+behind two user-facing modes:
+
+* **batch mode** (``--requests_jsonl FILE`` or ``-`` for stdin): read one
+  JSON request per line, run them all through the engine with continuous
+  batching (slots refill as requests finish — no head-of-line blocking),
+  and print one JSON result line per request in completion order.
+* **HTTP mode** (``--http PORT``): a minimal stdlib HTTP server.
+  ``POST /generate`` with the same JSON request shape returns the decoded
+  text; ``GET /healthz`` reports engine stats. A single background thread
+  owns the engine and ticks it while work exists; handlers block on a
+  per-request completion event, so concurrent requests batch together
+  into the same lockstep decode ticks.
+
+Request JSON: ``{"prompt": str, "image": path}`` plus optional
+``request_id``, ``max_new_tokens``, ``do_sample``, ``temperature``,
+``top_p``; HTTP requests may pass ``image_b64`` (base64-encoded image
+bytes) instead of a server-local path.
+
+Engine selection: ``--engine dense`` (default) is the slot-pool engine —
+supports tensor/data-parallel meshes (``--model_parallel``);
+``--engine paged`` is the paged-KV engine (more live requests from the
+same HBM; single-chip).
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import sys
+import threading
+
+import numpy as np
+
+
+def main(argv=None):
+    from .errors import user_errors
+
+    with user_errors():
+        _main(argv)
+
+
+def _build_parser():
+    p = argparse.ArgumentParser(
+        description="PaliGemma TPU continuous-batching server")
+    p.add_argument("--model_path", required=True,
+                   help="HF checkpoint directory")
+    p.add_argument("--engine", default="dense", choices=["dense", "paged"])
+    p.add_argument("--requests_jsonl", default=None,
+                   help="JSONL request file, or '-' for stdin (batch mode)")
+    p.add_argument("--http", type=int, default=None, metavar="PORT",
+                   help="serve HTTP on this port instead of batch mode")
+    p.add_argument("--max_slots", type=int, default=8)
+    p.add_argument("--max_seq_len", type=int, default=1024)
+    p.add_argument("--page_size", type=int, default=64,
+                   help="paged engine: tokens per KV page")
+    p.add_argument("--n_pages", type=int, default=None,
+                   help="paged engine: physical page-pool size "
+                        "(default: half the dense reservation)")
+    p.add_argument("--sync_every", type=int, default=8,
+                   help="decode ticks per host synchronization")
+    p.add_argument("--max_new_tokens", type=int, default=100,
+                   help="default per-request budget")
+    p.add_argument("--quantize_int8", action="store_true",
+                   help="int8 weight-only decode (recommended)")
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--only_cpu", action="store_true")
+    p.add_argument("--data_parallel", type=int, default=1)
+    p.add_argument("--model_parallel", type=int, default=1,
+                   help="dense engine only: tensor-parallel width")
+    return p
+
+
+def _main(argv=None):
+    args = _build_parser().parse_args(argv)
+    from .errors import require
+
+    require(args.requests_jsonl is not None or args.http is not None,
+            "pass --requests_jsonl FILE (or -) for batch mode, "
+            "or --http PORT for server mode")
+    srv = build_server(args)
+    if args.http is not None:
+        srv.serve_http(args.http)
+    else:
+        srv.run_batch(args.requests_jsonl)
+
+
+def build_server(args):
+    """Load the model and wire up a ready-to-run ``_Server`` (separated
+    from ``_main`` so tests can drive HTTP mode in-process)."""
+    from .errors import require
+
+    if args.only_cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+    from transformers import AutoTokenizer
+
+    from ..checkpoints.hf_loader import load_hf_model
+    from ..processing.processor import PaliGemmaProcessor
+    from ..runtime.quantize import quantize_lm_for_serving
+    from ..runtime.serving import ServingEngine
+    from ..runtime.serving_paged import PagedServingEngine
+
+    print(f"Device in use: {jax.devices()[0]}", file=sys.stderr)
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    params, config = load_hf_model(args.model_path, dtype)
+    decode_params = (
+        quantize_lm_for_serving(params) if args.quantize_int8 else None
+    )
+    tokenizer = AutoTokenizer.from_pretrained(
+        args.model_path, padding_side="right")
+    processor = PaliGemmaProcessor(
+        tokenizer,
+        num_image_tokens=config.vision_config.num_image_tokens,
+        image_size=config.vision_config.image_size,
+    )
+
+    mesh = None
+    if args.data_parallel * args.model_parallel > 1:
+        require(args.engine == "dense",
+                "--engine paged is single-chip; use --engine dense with "
+                "--model_parallel/--data_parallel")
+        from ..core.mesh import make_mesh
+
+        mesh = make_mesh(args.data_parallel, args.model_parallel)
+
+    if args.engine == "paged":
+        engine = PagedServingEngine(
+            params, config, max_slots=args.max_slots,
+            max_seq_len=args.max_seq_len, page_size=args.page_size,
+            n_pages=args.n_pages, decode_params=decode_params,
+            sync_every=args.sync_every,
+        )
+    else:
+        engine = ServingEngine(
+            params, config, max_slots=args.max_slots,
+            max_seq_len=args.max_seq_len, decode_params=decode_params,
+            sync_every=args.sync_every, mesh=mesh,
+        )
+
+    return _Server(engine, processor, tokenizer, args.max_new_tokens)
+
+
+class _Server:
+    """Shared request plumbing for batch and HTTP modes."""
+
+    def __init__(self, engine, processor, tokenizer, default_max_new):
+        self.engine = engine
+        self.processor = processor
+        self.tokenizer = tokenizer
+        self.default_max_new = default_max_new
+        self._next_id = 0
+        self._served = 0
+
+    def _to_request(self, row, image=None):
+        """JSON dict -> runtime Request (tokenize + preprocess here, on the
+        host, so engine ticks stay pure device work)."""
+        from PIL import Image
+
+        from ..runtime.serving import Request
+        from .errors import require
+
+        require("prompt" in row, "request JSON needs a 'prompt' field")
+        if image is None:
+            if "image_b64" in row:
+                image = Image.open(
+                    io.BytesIO(base64.b64decode(row["image_b64"])))
+            else:
+                require("image" in row,
+                        "request JSON needs 'image' (path) or 'image_b64'")
+                image = Image.open(row["image"])
+        inputs = self.processor(images=[image], text=[row["prompt"]])
+        rid = row.get("request_id")
+        if rid is None:
+            rid = self._next_id
+        self._next_id = max(self._next_id + 1, int(rid) + 1)
+        return Request(
+            request_id=int(rid),
+            input_ids=np.asarray(inputs["input_ids"][0], np.int32),
+            pixel_values=np.asarray(inputs["pixel_values"][0], np.float32),
+            max_new_tokens=int(
+                row.get("max_new_tokens", self.default_max_new)),
+            temperature=float(row.get("temperature", 0.8)),
+            top_p=float(row.get("top_p", 0.9)),
+            do_sample=bool(row.get("do_sample", False)),
+            eos_token_id=self.tokenizer.eos_token_id,
+        )
+
+    def _result(self, req):
+        self._served += 1
+        return {
+            "request_id": req.request_id,
+            "text": self.tokenizer.decode(
+                req.tokens, skip_special_tokens=True),
+            "num_tokens": len(req.tokens),
+        }
+
+    # ---- batch mode ----
+
+    def run_batch(self, path):
+        from .errors import CliError, require
+
+        fh = sys.stdin if path == "-" else open(path)
+        try:
+            rows = [json.loads(ln) for ln in fh if ln.strip()]
+        except json.JSONDecodeError as e:
+            raise CliError(f"bad JSON in requests file: {e}")
+        finally:
+            if fh is not sys.stdin:
+                fh.close()
+        require(rows, "requests file is empty")
+        for row in rows:
+            self.engine.submit(self._to_request(row))
+        while self.engine.has_work:
+            for req in self.engine.step():
+                print(json.dumps(self._result(req)), flush=True)
+        print(f"served {self._served} requests", file=sys.stderr)
+
+    # ---- HTTP mode ----
+
+    def serve_http(self, port, ready_event=None, max_requests=None):
+        """Single engine-owner thread + blocking handlers.
+
+        ``ready_event``/``max_requests`` exist for tests: the event fires
+        once the socket is listening, and the server shuts itself down
+        after serving that many /generate calls.
+        """
+        import http.server
+        import socketserver
+
+        lock = threading.Lock()  # guards engine.submit vs the tick loop
+        work = threading.Event()  # something was submitted
+        events = {}  # request_id -> (Event, result slot)
+        srv_ref = {}
+
+        def engine_loop():
+            while True:
+                work.wait()
+                with lock:
+                    if not self.engine.has_work:
+                        work.clear()
+                        continue
+                    done = self.engine.step()
+                for req in done:
+                    ev, slot = events.pop(req.request_id)
+                    slot.append(self._result(req))
+                    ev.set()
+
+        t = threading.Thread(target=engine_loop, daemon=True)
+        t.start()
+        outer = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _reply(self, code, obj):
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._reply(200, {
+                        "ok": True,
+                        "served": outer._served,
+                        "pending": len(events),
+                    })
+                else:
+                    self._reply(404, {"error": "unknown path"})
+
+            def do_POST(self):
+                if self.path != "/generate":
+                    self._reply(404, {"error": "unknown path"})
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    row = json.loads(self.rfile.read(n))
+                    with lock:
+                        req = outer._to_request(row)
+                        ev, slot = threading.Event(), []
+                        events[req.request_id] = (ev, slot)
+                        outer.engine.submit(req)
+                    work.set()
+                except Exception as e:  # bad request, not a server bug
+                    self._reply(400, {"error": str(e)})
+                    return
+                ev.wait()
+                self._reply(200, slot[0])
+                if (max_requests is not None
+                        and outer._served >= max_requests):
+                    threading.Thread(
+                        target=srv_ref["srv"].shutdown, daemon=True
+                    ).start()
+
+        class Srv(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        with Srv(("127.0.0.1", port), Handler) as srv:
+            srv_ref["srv"] = srv
+            self.http_port = srv.server_address[1]
+            print(f"listening on http://127.0.0.1:{self.http_port}",
+                  file=sys.stderr)
+            if ready_event is not None:
+                ready_event.set()
+            srv.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -346,3 +346,149 @@ def test_finetune_cli_friendly_errors(checkpoint_dir, tmp_path, capsys):
         ])
     assert ei.value.code == 2
     assert "not found" in capsys.readouterr().err
+
+
+def test_serve_cli_batch_jsonl(checkpoint_dir, image_path, tmp_path, capsys):
+    """Batch mode: 3 requests (one sampled) through the dense engine,
+    one JSON result line per request."""
+    from paligemma_tpu.cli.serve import main
+
+    reqs = tmp_path / "reqs.jsonl"
+    rows = [
+        {"request_id": 7, "prompt": "describe the image",
+         "image": image_path, "max_new_tokens": 4},
+        {"prompt": "hello world", "image": image_path,
+         "max_new_tokens": 3, "do_sample": True, "temperature": 0.7},
+        {"prompt": "this building is", "image": image_path,
+         "max_new_tokens": 5},
+    ]
+    reqs.write_text("\n".join(json.dumps(r) for r in rows))
+
+    main([
+        "--model_path", checkpoint_dir,
+        "--requests_jsonl", str(reqs),
+        "--max_slots", "2",
+        "--max_seq_len", "64",
+        "--dtype", "float32",
+    ])
+    out_lines = [json.loads(ln) for ln in
+                 capsys.readouterr().out.strip().splitlines()]
+    assert len(out_lines) == 3
+    by_id = {r["request_id"]: r for r in out_lines}
+    assert set(by_id) == {7, 8, 9}  # explicit id respected, rest follow on
+    assert by_id[7]["num_tokens"] == 4
+    assert by_id[9]["num_tokens"] == 5
+    assert all(isinstance(r["text"], str) for r in out_lines)
+
+
+def test_serve_cli_paged_engine(checkpoint_dir, image_path, tmp_path, capsys):
+    """--engine paged takes the paged-KV pool (2 slots, page 16) through
+    the same CLI contract."""
+    from paligemma_tpu.cli.serve import main
+
+    reqs = tmp_path / "reqs.jsonl"
+    rows = [
+        {"prompt": "extract json", "image": image_path, "max_new_tokens": 3}
+        for _ in range(3)
+    ]
+    reqs.write_text("\n".join(json.dumps(r) for r in rows))
+
+    main([
+        "--model_path", checkpoint_dir,
+        "--engine", "paged",
+        "--requests_jsonl", str(reqs),
+        "--max_slots", "2",
+        "--max_seq_len", "64",
+        "--page_size", "16",
+        "--dtype", "float32",
+    ])
+    out_lines = [json.loads(ln) for ln in
+                 capsys.readouterr().out.strip().splitlines()]
+    assert len(out_lines) == 3
+    assert all(r["num_tokens"] == 3 for r in out_lines)
+
+
+def test_serve_cli_http(checkpoint_dir, image_path):
+    """HTTP mode in-process: POST /generate (path + base64 image forms)
+    and GET /healthz against an ephemeral port."""
+    import base64
+    import threading
+    import urllib.request
+
+    from paligemma_tpu.cli.serve import _build_parser, build_server
+
+    args = _build_parser().parse_args([
+        "--model_path", checkpoint_dir,
+        "--http", "0",
+        "--max_slots", "2",
+        "--max_seq_len", "64",
+        "--dtype", "float32",
+    ])
+    srv = build_server(args)
+    ready = threading.Event()
+    t = threading.Thread(
+        target=srv.serve_http,
+        args=(0,), kwargs={"ready_event": ready, "max_requests": 2},
+        daemon=True,
+    )
+    t.start()
+    assert ready.wait(timeout=120)
+    base = f"http://127.0.0.1:{srv.http_port}"
+
+    def post(obj):
+        data = json.dumps(obj).encode()
+        req = urllib.request.Request(
+            base + "/generate", data=data,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=300) as resp:
+            return json.loads(resp.read())
+
+    r1 = post({"prompt": "describe the image", "image": image_path,
+               "max_new_tokens": 3})
+    assert r1["num_tokens"] == 3 and isinstance(r1["text"], str)
+
+    with open(image_path, "rb") as fh:
+        b64 = base64.b64encode(fh.read()).decode()
+    with urllib.request.urlopen(base + "/healthz", timeout=30) as resp:
+        health = json.loads(resp.read())
+    assert health["ok"] and health["served"] == 1
+
+    r2 = post({"prompt": "hello world", "image_b64": b64,
+               "max_new_tokens": 2})
+    assert r2["num_tokens"] == 2
+    t.join(timeout=60)
+    assert not t.is_alive()  # max_requests=2 shut the server down
+
+
+def test_serve_cli_friendly_errors(checkpoint_dir, tmp_path, capsys):
+    from paligemma_tpu.cli.serve import main
+
+    # neither batch nor http mode selected
+    with pytest.raises(SystemExit) as ei:
+        main(["--model_path", checkpoint_dir, "--only_cpu"])
+    assert ei.value.code == 2
+    assert "--requests_jsonl" in capsys.readouterr().err
+
+    # paged engine cannot shard
+    with pytest.raises(SystemExit) as ei:
+        main([
+            "--model_path", checkpoint_dir,
+            "--engine", "paged",
+            "--requests_jsonl", "-",
+            "--model_parallel", "2",
+            "--only_cpu",
+        ])
+    assert ei.value.code == 2
+    assert "single-chip" in capsys.readouterr().err
+
+    # malformed request JSON
+    bad = tmp_path / "bad.jsonl"
+    bad.write_text("{not json}\n")
+    with pytest.raises(SystemExit) as ei:
+        main([
+            "--model_path", checkpoint_dir,
+            "--requests_jsonl", str(bad),
+            "--only_cpu",
+        ])
+    assert ei.value.code == 2
+    assert "bad JSON" in capsys.readouterr().err
