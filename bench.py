@@ -247,13 +247,19 @@ def main():
         )
 
     # ---- 3b) paged serving: 24 slots from the dense 16-slot HBM budget,
-    # fused grid-over-layers tick with in-kernel page-table reads ----
+    # fused grid-over-layers tick with in-kernel page-table reads. The
+    # bf16 tree is dropped first and prefill runs from the int8 tree
+    # (like the 448px phase) — bf16 + int8 + the paged repack together
+    # exceed HBM ----
     def serving_paged():
+        nonlocal params
         from paligemma_tpu.runtime.serving import Request
         from paligemma_tpu.runtime.serving_paged import PagedServingEngine
 
+        params = None
+        gc.collect()
         eng = PagedServingEngine(
-            params, cfg, max_slots=24, max_seq_len=512, page_size=64,
+            qparams, cfg, max_slots=24, max_seq_len=512, page_size=64,
             n_pages=16 * 512 // 64,  # == the dense engine's reservation
             decode_params=qparams, sync_every=8,
         )

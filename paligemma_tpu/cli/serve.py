@@ -128,9 +128,9 @@ def build_server(args):
 
     mesh = None
     if args.data_parallel * args.model_parallel > 1:
-        require(args.engine == "dense",
-                "--engine paged is single-chip; use --engine dense with "
-                "--model_parallel/--data_parallel")
+        require(args.engine == "dense" or args.data_parallel == 1,
+                "--engine paged shards weights only (pure TP): use "
+                "--model_parallel N with --data_parallel 1")
         from ..core.mesh import make_mesh
 
         mesh = make_mesh(args.data_parallel, args.model_parallel)
@@ -140,7 +140,7 @@ def build_server(args):
             params, config, max_slots=args.max_slots,
             max_seq_len=args.max_seq_len, page_size=args.page_size,
             n_pages=args.n_pages, decode_params=decode_params,
-            sync_every=args.sync_every,
+            sync_every=args.sync_every, mesh=mesh,
         )
     else:
         engine = ServingEngine(

@@ -371,6 +371,9 @@ def decode_step_paged(
             pages_bucket=pages_bucket or page_table.shape[1],
         )
     else:
+        # "xla": pure-XLA gather attention (no Pallas call) — the variant
+        # a mesh can auto-partition (GSPMD); used by PagedServingEngine's
+        # sharded fallback when the TP paged kernels don't apply
         logits, pool = gemma.forward_paged_decode(
             params["lm"],
             cfg.text_config,
@@ -380,6 +383,7 @@ def decode_step_paged(
             page_table,
             write_pos,
             pages_bucket=pages_bucket,
-            paged_kernel=paged_kernel,
+            use_kernel=False if paged_kernel == "xla" else None,
+            paged_kernel="multi" if paged_kernel == "xla" else paged_kernel,
         )
     return logits[:, 0, :], pool

@@ -63,9 +63,18 @@ class PagedServingEngine(ServingEngine):
         HBM). ``max_seq_len`` still bounds one request's length (the page
         table's static width); it no longer reserves anything.
 
-        ``mesh`` is not supported yet for the paged path (the kernel's page
-        pool is replicated; shard the dense engine instead)."""
-        assert mesh is None, "paged serving is single-chip for now"
+        ``mesh``: optional pure-TP Mesh("data","model") with data == 1
+        (same contract as the dense engine). Weights shard Megatron-style;
+        the page pool REPLICATES over "model" (Gemma is MQA — one KV head,
+        every shard computes identical K/V). The tick runs the per-layer
+        TP paged kernels (kernels/decode_layer_paged_tp: paged window
+        reads per shard, o/down psums in the glue) when the geometry fits,
+        else the pure-XLA paged forward that GSPMD auto-partitions."""
+        if mesh is not None:
+            assert int(mesh.shape.get("data", 1)) == 1, (
+                "paged serving mesh must be pure TP (data=1); slots are "
+                "the batch"
+            )
         assert max_seq_len % page_size == 0, (max_seq_len, page_size)
         self.paged_kernel = paged_kernel
         if n_pages is None:
@@ -77,12 +86,29 @@ class PagedServingEngine(ServingEngine):
         super().__init__(
             params, config, max_slots=max_slots, max_seq_len=max_seq_len,
             cache_dtype=cache_dtype, use_flash=use_flash,
-            decode_params=decode_params, sync_every=sync_every, mesh=None,
+            decode_params=decode_params, sync_every=sync_every, mesh=mesh,
             # the fused decode kernels read a contiguous (L, B, S, D) cache;
             # the paged pool has its own decode path (_decode_all_paged)
             fused_decode=False,
         )
-        if self.paged_kernel in ("staged", "fused"):
+        self._ptp_packed = self._ptp_specs = None
+        if mesh is not None:
+            from ..kernels import decode_layer_paged_tp as _ptp
+            from ..kernels import decode_layer_tp as _tp
+
+            tc0 = config.text_config
+            layers = self.decode_params["lm"]["layers"]
+            if _ptp.supported(tc0, mesh, layers, batch=max_slots):
+                # same packed tree the dense TP tick uses (head included:
+                # the paged tick projects logits through the vocab-sharded
+                # head OUTSIDE the shard_map instead)
+                self._ptp_packed, self._ptp_specs = _tp.repack_for_tp(
+                    self.decode_params["lm"], tc0, mesh
+                )
+                self.paged_kernel = "fused_tp"
+            else:
+                self.paged_kernel = "xla"  # GSPMD-partitioned pure XLA
+        elif self.paged_kernel in ("staged", "fused"):
             # "fused": grid-over-layers kernel with IN-KERNEL page-table
             # window reads (models/gemma.forward_paged_decode_fused) — one
             # pallas_call per tick instead of one per layer, so the
@@ -162,12 +188,31 @@ class PagedServingEngine(ServingEngine):
                 token = greedy_tok
 
             write_pos = state["write_pos"]
-            new_logits, pool = paligemma.decode_step_paged(
-                params, cfg, token, pool, page_table,
-                write_pos=write_pos, position_ids=state["pos_ids"],
-                pages_bucket=pages_bucket,
-                paged_kernel=kernel or self.paged_kernel,
-            )
+            k = kernel or self.paged_kernel
+            if k == "fused_tp":
+                # per-layer TP paged kernels under shard_map (psums in the
+                # glue); logits through the vocab-sharded head out here so
+                # GSPMD inserts the all-gather
+                from ..kernels import decode_layer_paged_tp as _ptp
+                from ..models import gemma as gemma_mod
+
+                hidden, pool = _ptp.decode_step_paged_tp(
+                    self._ptp_packed, self._ptp_specs, cfg.text_config,
+                    token, pool, page_table, write_pos,
+                    position_ids=state["pos_ids"],
+                    pages_bucket=pages_bucket or page_table.shape[1],
+                    mesh=self.mesh,
+                )
+                new_logits = gemma_mod.lm_head(
+                    params["lm"], hidden[:, None, :]
+                )[:, 0].astype(jnp.float32)
+            else:
+                new_logits, pool = paligemma.decode_step_paged(
+                    params, cfg, token, pool, page_table,
+                    write_pos=write_pos, position_ids=state["pos_ids"],
+                    pages_bucket=pages_bucket,
+                    paged_kernel=k,
+                )
             inc = active.astype(jnp.int32)
             state = {
                 "write_pos": write_pos + inc,
@@ -200,6 +245,15 @@ class PagedServingEngine(ServingEngine):
             max_pages_per_slot=self.max_seq_len // self.page_size,
             dtype=self.cache_dtype,
         )
+        if self.mesh is not None:
+            # MQA: one KV head — the pool replicates over "model" (each
+            # shard computes identical K/V from the replicated kv proj)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(self.mesh, P(None, None, None, None, None))
+            self.paged.pool = jax.tree.map(
+                lambda x: jax.device_put(x, rep), self.paged.pool
+            )
         return self.paged.pool
 
     def _zero_state(self) -> Dict[str, jnp.ndarray]:
@@ -323,10 +377,14 @@ class PagedServingEngine(ServingEngine):
     _STAGED_WINDOW_BYTES = 72 * 1024 * 1024
 
     def _kernel_for_bucket(self, pages_bucket: int) -> str:
-        if self.paged_kernel not in ("staged", "fused"):
-            return self.paged_kernel
         window = pages_bucket * self.page_size
         hd = self.config.text_config.head_dim
+        if self.paged_kernel == "fused_tp":
+            # per-layer kernel: single-buffered (B, W, D) K/V rings
+            ring = 2 * self.max_slots * window * hd * 2
+            return "fused_tp" if ring <= self._STAGED_WINDOW_BYTES else "xla"
+        if self.paged_kernel not in ("staged", "fused"):
+            return self.paged_kernel
         ring = 2 * 2 * self.max_slots * window * hd * 2
         return (
             self.paged_kernel if ring <= self._STAGED_WINDOW_BYTES else "multi"

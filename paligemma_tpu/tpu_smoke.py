@@ -297,6 +297,54 @@ def _check_fused_paged_layer():
     np.testing.assert_array_equal(a, b)
 
 
+def _check_paged_layer_tp():
+    """Per-layer TP paged kernel (decode_layer_paged_tp) on a 1-device mesh
+    at the TP8 per-shard geometry (1 local q head), mixed page contiguity:
+    one tick vs the XLA page walk."""
+    from .core.config import GemmaConfig
+    from .core.mesh import make_mesh
+    from .kernels import decode_layer_paged_tp, decode_layer_tp
+    from .models import gemma
+    from .runtime.quantize import quantize_lm_for_serving
+
+    cfg = GemmaConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=2048,
+        num_hidden_layers=2, num_attention_heads=1, num_key_value_heads=1,
+        head_dim=256, max_position_embeddings=1024,
+    )
+    full = {"lm": gemma.init_params(jax.random.PRNGKey(9), cfg, jnp.bfloat16)}
+    lm = quantize_lm_for_serving(full)["lm"]
+    mesh = make_mesh(1, 1)
+    packed, specs = decode_layer_tp.repack_for_tp(lm, cfg, mesh)
+
+    L, ps, hd = cfg.num_hidden_layers, 64, cfg.head_dim
+    n_pages = 8
+    rng = np.random.default_rng(9)
+    pool = {
+        n: jnp.asarray(rng.normal(size=(L, n_pages, ps, 1, hd)) * 0.3,
+                       jnp.bfloat16)
+        for n in ("k", "v")
+    }
+    table = jnp.asarray([[0, 1], [3, 2]], jnp.int32)  # run / fragmented
+    wp = jnp.asarray([70, 90], jnp.int32)
+    tok = jnp.asarray([7, 9], jnp.int32)
+    pos = (wp + 1)
+
+    embeds = jnp.take(lm["embed"], tok, axis=0)[:, None].astype(jnp.bfloat16)
+    ref, _ = gemma.forward_paged_decode(
+        lm, cfg, embeds, pos[:, None], jax.tree.map(jnp.copy, pool),
+        table, wp, use_kernel=False, pages_bucket=2,
+    )
+    hidden, _ = decode_layer_paged_tp.decode_step_paged_tp(
+        packed, specs, cfg, tok, pool, table, wp,
+        position_ids=pos, pages_bucket=2, mesh=mesh,
+    )
+    got = gemma.lm_head(lm, hidden[:, None, :]).astype(jnp.float32)
+    a = np.argmax(np.asarray(ref[:, 0], np.float32), -1)
+    b = np.argmax(np.asarray(got[:, 0], np.float32), -1)
+    np.testing.assert_array_equal(a, b)
+
+
 CHECKS: List[Tuple[str, Callable[[], None]]] = [
     ("flash_attention", _check_flash_attention),
     ("decode_mlp", _check_decode_mlp),
@@ -306,6 +354,7 @@ CHECKS: List[Tuple[str, Callable[[], None]]] = [
     ("paged_attention", _check_paged_attention),
     ("paged_attention_runs", _check_paged_attention_runs),
     ("decode_layer_paged", _check_fused_paged_layer),
+    ("decode_layer_paged_tp", _check_paged_layer_tp),
 ]
 
 

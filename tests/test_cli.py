@@ -469,17 +469,17 @@ def test_serve_cli_friendly_errors(checkpoint_dir, tmp_path, capsys):
     assert ei.value.code == 2
     assert "--requests_jsonl" in capsys.readouterr().err
 
-    # paged engine cannot shard
+    # paged engine shards weights only (pure TP) — a data axis is invalid
     with pytest.raises(SystemExit) as ei:
         main([
             "--model_path", checkpoint_dir,
             "--engine", "paged",
             "--requests_jsonl", "-",
-            "--model_parallel", "2",
+            "--data_parallel", "2",
             "--only_cpu",
         ])
     assert ei.value.code == 2
-    assert "single-chip" in capsys.readouterr().err
+    assert "pure TP" in capsys.readouterr().err
 
     # malformed request JSON
     bad = tmp_path / "bad.jsonl"

@@ -631,3 +631,95 @@ def test_paged_engine_fused_kernels_match_walk(kernel):
     fus = run(kernel)
     for a, b in zip(ref, fus):
         np.testing.assert_array_equal(a, b)
+
+
+def _tp_cfg(vocab=256):
+    """MQA int8-TP-compatible geometry (mirrors test_decode_layer_tp)."""
+    from paligemma_tpu.core.config import (
+        GemmaConfig,
+        PaliGemmaConfig,
+        SiglipVisionConfig,
+    )
+
+    return PaliGemmaConfig(
+        vision_config=SiglipVisionConfig(
+            image_size=28, patch_size=14, hidden_size=64,
+            intermediate_size=128, num_hidden_layers=2,
+            num_attention_heads=4, projection_dim=256,
+        ),
+        text_config=GemmaConfig(
+            vocab_size=vocab, hidden_size=256, intermediate_size=2048,
+            num_hidden_layers=2, num_attention_heads=8,
+            num_key_value_heads=1, head_dim=256,
+            max_position_embeddings=256,
+        ),
+        projection_dim=256, hidden_size=256, image_token_index=250,
+        vocab_size=vocab,
+    )
+
+
+def _tp_req(cfg, rid, seed, n_txt, n_new):
+    r = np.random.default_rng(seed)
+    n_img = cfg.vision_config.num_patches
+    ids = np.concatenate(
+        [np.full((n_img,), cfg.image_token_index),
+         r.integers(3, 240, (n_txt,))]
+    ).astype(np.int32)
+    return Request(
+        request_id=rid, input_ids=ids,
+        pixel_values=r.normal(size=(3, 28, 28)).astype(np.float32),
+        max_new_tokens=n_new, do_sample=False, eos_token_id=-1,
+    )
+
+
+@pytest.mark.parametrize("tp", [2, 4])
+def test_paged_engine_tp_fused_matches_single_chip(tp):
+    """PagedServingEngine(mesh=TP) on the per-layer TP paged kernels
+    (kernels/decode_layer_paged_tp) produces the same greedy tokens as the
+    single-chip paged engine — through the real scheduler (admission,
+    page growth, grouped prefills)."""
+    from paligemma_tpu.core.mesh import make_mesh
+    from paligemma_tpu.runtime.quantize import quantize_lm_for_serving
+
+    cfg = _tp_cfg()
+    params = paligemma.init_params(jax.random.PRNGKey(2), cfg, jnp.float32)
+    q = quantize_lm_for_serving(params)
+
+    def run(mesh, expect_kernel):
+        eng = PagedServingEngine(
+            q, cfg, max_slots=2, max_seq_len=64, page_size=16,
+            use_flash=False, mesh=mesh,
+        )
+        assert eng.paged_kernel == expect_kernel
+        for i in range(3):
+            eng.submit(_tp_req(cfg, i, i + 20, 3 + i, 4))
+        done = eng.run_to_completion()
+        return {r.request_id: list(r.tokens) for r in done}
+
+    want = run(None, "fused")
+    got = run(make_mesh(1, tp), "fused_tp")
+    assert got == want
+
+
+def test_paged_engine_xla_fallback_under_mesh():
+    """A mesh whose geometry the TP paged kernels don't support (bf16
+    weights: no int8 qkv) degrades to the GSPMD-partitioned XLA paged
+    forward and still matches single-chip tokens."""
+    from paligemma_tpu.core.mesh import make_mesh
+
+    cfg = _tp_cfg()
+    params = paligemma.init_params(jax.random.PRNGKey(3), cfg, jnp.float32)
+
+    def run(mesh):
+        eng = PagedServingEngine(
+            params, cfg, max_slots=2, max_seq_len=64, page_size=16,
+            use_flash=False, mesh=mesh,
+        )
+        if mesh is not None:
+            assert eng.paged_kernel == "xla"
+        for i in range(3):
+            eng.submit(_tp_req(cfg, i, i + 40, 2 + i, 3))
+        return {r.request_id: list(r.tokens)
+                for r in eng.run_to_completion()}
+
+    assert run(make_mesh(1, 2)) == run(None)
