@@ -49,6 +49,18 @@ class Request:
     # engine-managed: bidirectional-prefix length for recompute prefills
     # (set on preemption to the ORIGINAL prompt length; None = whole prompt)
     prefix_len: Optional[int] = None
+    # engine-managed: bumped on preemption so in-flight pipelined windows
+    # dispatched before the eviction are discarded, not double-counted
+    epoch: int = 0
+
+
+@dataclasses.dataclass
+class _Window:
+    """One dispatched-but-not-synced decode window (pipelined scheduling)."""
+    tokens_dev: Any  # (ticks, max_slots) int32 device array — NOT synced
+    ticks: int
+    # (request, epoch-at-dispatch) per slot; None for empty/inactive rows
+    snapshot: List[Optional[tuple]]
 
 
 class ServingEngine:
@@ -64,6 +76,7 @@ class ServingEngine:
         sync_every: int = 8,
         mesh=None,
         fused_decode: Optional[bool] = None,
+        pipeline: Optional[bool] = None,
     ):
         """``decode_params``: optional int8-quantized weights used for the
         lockstep decode while ``params`` (bf16) serves the prefills.
@@ -72,6 +85,15 @@ class ServingEngine:
         readback costs a full device round trip (expensive through a
         tunneled TPU); batching K ticks amortizes it. EOS detection lags by
         up to K-1 tokens — the overshoot tokens are discarded.
+
+        ``pipeline``: overlap the host readback with device compute —
+        ``run_to_completion`` dispatches window N+1 BEFORE synchronizing
+        window N's tokens, so the device never idles through the ~35 ms
+        tunnel round trip a readback costs here. Window sizing uses
+        DISPATCHED token counts, so budgets never overrun; the cost is one
+        extra window of EOS-detection lag (up to ``2*sync_every - 1``
+        overshoot tokens, discarded) and one window of slot-reuse latency.
+        Default: on when the backend is a TPU, off for CPU tests.
 
         ``mesh``: optional tensor-parallel Mesh("data","model") with
         data == 1 (the slot pool is the batch; requests shard over "model"
@@ -310,8 +332,12 @@ class ServingEngine:
         self.slots: List[Optional[Request]] = [None] * max_slots
         self.pending: List[Request] = []
         self._key = jax.random.PRNGKey(0)
-        self._generated: Dict[int, int] = {}
+        self._generated: Dict[int, int] = {}  # absorbed (synced) tokens
+        self._dispatched: Dict[int, int] = {}  # dispatched (incl. in-flight)
         self.sync_every = max(1, sync_every)
+        if pipeline is None:
+            pipeline = jax.default_backend() == "tpu"
+        self.pipeline = pipeline
         self._sched_cache = None  # (fingerprint, device arrays)
         # prefill prompt-length bucket granularity: compiled (batch, bucket)
         # shape count trades against pad waste; the paged engine overrides
@@ -501,6 +527,7 @@ class ServingEngine:
                 self._insert_row(slot, req, r, cache1, mask, last_logits)
                 self.slots[slot] = req
                 self._generated[req.request_id] = 0
+                self._dispatched[req.request_id] = 0
 
     @property
     def has_work(self) -> bool:
@@ -511,15 +538,16 @@ class ServingEngine:
         the paged engine grows page allocations here (and may preempt)."""
 
     def _run_window(self, ticks: int, active, temps_j, top_j, do_j,
-                    with_sampling: bool) -> np.ndarray:
-        """Decode ``ticks`` lockstep tokens; ONE host sync at the end.
-        Returns (ticks, max_slots) int tokens. Backend hook."""
+                    with_sampling: bool) -> jnp.ndarray:
+        """Dispatch ``ticks`` lockstep decode calls; returns the stacked
+        (ticks, max_slots) token DEVICE array without synchronizing — the
+        caller decides when to pay the readback. Backend hook."""
         # static attended-cache window covering every active slot's write
         # positions for this window (host-side bookkeeping: prompt length +
-        # tokens generated so far) — one compiled tick per power-of-two
+        # tokens DISPATCHED so far) — one compiled tick per power-of-two
         kv_bucket = self._kv_bucket(
             max(
-                (len(r.input_ids) + self._generated[r.request_id]
+                (len(r.input_ids) + self._dispatched[r.request_id]
                  for r in self.slots if r is not None),
                 default=0,
             ) + ticks
@@ -533,28 +561,40 @@ class ServingEngine:
                 with_sampling=with_sampling, kv_bucket=kv_bucket,
             )
             tokens.append(token)
-        return np.asarray(jnp.stack(tokens))  # ONE sync for all ticks
+        return jnp.stack(tokens)
 
-    def step(self) -> List[Request]:
-        """One scheduler tick: fill free slots, decode one token for every
-        active slot, retire finished requests. Returns newly finished ones."""
+    def _dispatch(self) -> Optional[_Window]:
+        """Fill free slots, size one decode window from DISPATCHED budgets,
+        and enqueue it on the device. Returns the un-synced window (or None
+        when no slot can decode). Rows whose dispatched budget is exhausted
+        but whose tokens haven't been absorbed yet are masked INACTIVE, so a
+        pipelined lookahead window can never overrun a budget or write past
+        max_seq_len."""
         self._fill_slots()
-        # budget-aware window: don't overshoot the smallest remaining budget
-        min_left = min(
-            (r.max_new_tokens - self._generated[r.request_id]
-             for r in self.slots if r is not None),
-            default=1,
-        )
-        ticks = max(1, min(self.sync_every, min_left))
+        lefts = [
+            r.max_new_tokens - self._dispatched[r.request_id]
+            if r is not None else 0
+            for r in self.slots
+        ]
+        if not any(l > 0 for l in lefts):
+            return None
+        ticks = max(1, min(self.sync_every, min(l for l in lefts if l > 0)))
         self._before_window(ticks)  # may retire/preempt slots (paged)
 
-        active_np = np.asarray([r is not None for r in self.slots])
+        active_np = np.asarray([
+            r is not None
+            and r.max_new_tokens - self._dispatched[r.request_id] >= ticks
+            for r in self.slots
+        ])
         if not active_np.any():
-            return []
+            return None
         # device copies of the scheduling arrays, re-uploaded only when the
-        # slot composition changes (host->device transfers are expensive on
-        # tunneled platforms)
-        fingerprint = tuple(r.request_id if r else None for r in self.slots)
+        # slot composition or active mask changes (host->device transfers
+        # are expensive on tunneled platforms)
+        fingerprint = tuple(
+            (r.request_id if r else None, bool(a))
+            for r, a in zip(self.slots, active_np)
+        )
         if self._sched_cache is None or self._sched_cache[0] != fingerprint:
             temps = np.asarray(
                 [r.temperature if r else 1.0 for r in self.slots], np.float32
@@ -574,15 +614,31 @@ class ServingEngine:
         with_sampling = any(
             r is not None and r.do_sample for r in self.slots
         )
-        token_np = self._run_window(
+        tokens_dev = self._run_window(
             ticks, active, temps_j, top_j, do_j, with_sampling
         )
-
-        finished: List[Request] = []
+        snapshot: List[Optional[tuple]] = []
         for slot, req in enumerate(self.slots):
-            if req is None:
+            if req is not None and active_np[slot]:
+                self._dispatched[req.request_id] += ticks
+                snapshot.append((req, req.epoch))
+            else:
+                snapshot.append(None)
+        return _Window(tokens_dev, ticks, snapshot)
+
+    def _absorb(self, window: _Window) -> List[Request]:
+        """Synchronize one dispatched window's tokens (the only host
+        readback) and run retirement bookkeeping. Tokens for requests that
+        retired or were preempted after dispatch are discarded."""
+        token_np = np.asarray(window.tokens_dev)
+        finished: List[Request] = []
+        for slot, snap in enumerate(window.snapshot):
+            if snap is None:
                 continue
-            for t in range(ticks):
+            req, epoch = snap
+            if req.done or req.epoch != epoch or self.slots[slot] is not req:
+                continue  # retired/preempted since dispatch — discard
+            for t in range(window.ticks):
                 tok = int(token_np[t, slot])
                 req.tokens.append(tok)
                 self._generated[req.request_id] += 1
@@ -599,8 +655,38 @@ class ServingEngine:
                     break  # overshoot tokens within the window are discarded
         return finished
 
-    def run_to_completion(self) -> List[Request]:
+    def step(self) -> List[Request]:
+        """One scheduler tick: fill free slots, decode one window for every
+        active slot, retire finished requests. Returns newly finished ones.
+        Unpipelined — dispatch and absorb back-to-back (the HTTP server's
+        latency-oriented loop)."""
+        window = self._dispatch()
+        return self._absorb(window) if window is not None else []
+
+    def run_to_completion(self, pipeline: Optional[bool] = None) -> List[Request]:
+        """Drain the queue. With ``pipeline`` (default: the engine's
+        ``pipeline`` attribute), window N+1 is dispatched BEFORE window N's
+        tokens are read back, overlapping the host sync with device compute
+        — per-request results are identical (greedy tokens depend only on
+        each request's own prompt); only retirement/admission latency shifts
+        by one window."""
+        if pipeline is None:
+            pipeline = self.pipeline
         done: List[Request] = []
-        while self.has_work:
-            done.extend(self.step())
+        if not pipeline:
+            while self.has_work:
+                done.extend(self.step())
+            return done
+        inflight: Optional[_Window] = None
+        while self.has_work or inflight is not None:
+            window = self._dispatch() if self.has_work else None
+            if inflight is not None:
+                done.extend(self._absorb(inflight))
+            elif window is None and self.has_work:
+                # nothing dispatchable and nothing in flight (e.g. the head
+                # of the queue cannot be admitted yet) — fall back to the
+                # stepwise path for one round to make progress or surface
+                # the stall the same way the unpipelined loop would
+                done.extend(self.step())
+            inflight = window
         return done

@@ -311,12 +311,14 @@ class PagedServingEngine(ServingEngine):
 
     def _before_window(self, ticks: int) -> None:
         """Grow every active slot's pages to cover this window; preempt the
-        youngest request (recompute re-queue) whenever the pool is short."""
+        youngest request (recompute re-queue) whenever the pool is short.
+        Growth covers DISPATCHED positions (in-flight pipelined windows
+        write KV before their tokens are absorbed)."""
         for slot in list(self._admission_order):  # oldest first
             req = self.slots[slot]
             if req is None:
                 continue
-            need = len(req.input_ids) + self._generated[req.request_id] + ticks
+            need = len(req.input_ids) + self._dispatched[req.request_id] + ticks
             while not self.paged.grow_to(slot, min(need, self.max_seq_len)):
                 victim = self._preempt_youngest(exclude=slot)
                 if victim is None:
@@ -335,6 +337,10 @@ class PagedServingEngine(ServingEngine):
                 continue
             req = self.slots[slot]
             gen = self._generated.pop(req.request_id, 0)
+            self._dispatched.pop(req.request_id, None)
+            # in-flight pipelined windows dispatched before this eviction
+            # carry tokens past ``gen`` — the epoch bump discards them
+            req.epoch += 1
             if req.prefix_len is None:
                 # the ORIGINAL prompt stays the bidirectional prefix; the
                 # regenerated suffix was produced causally and must be
@@ -361,7 +367,7 @@ class PagedServingEngine(ServingEngine):
         p_max = self.max_seq_len // self.page_size
         need = max(
             (self.paged.pages_for(
-                len(r.input_ids) + self._generated[r.request_id] + ticks)
+                len(r.input_ids) + self._dispatched[r.request_id] + ticks)
              for r in self.slots if r is not None),
             default=1,
         )
@@ -391,7 +397,7 @@ class PagedServingEngine(ServingEngine):
         )
 
     def _run_window(self, ticks, active, temps_j, top_j, do_j,
-                    with_sampling) -> np.ndarray:
+                    with_sampling) -> jnp.ndarray:
         page_table = self.paged.page_table
         pages_bucket = self._pages_bucket(ticks)
         kernel = self._kernel_for_bucket(pages_bucket)
@@ -405,7 +411,7 @@ class PagedServingEngine(ServingEngine):
                 kernel=kernel,
             )
             tokens.append(token)
-        return np.asarray(jnp.stack(tokens))
+        return jnp.stack(tokens)  # device array; caller syncs (see _absorb)
 
     def warmup(self, prompt_lens, batch_sizes=(1, 2, 4, 8),
                sampling: bool = False) -> None:

@@ -723,3 +723,59 @@ def test_paged_engine_xla_fallback_under_mesh():
                 for r in eng.run_to_completion()}
 
     assert run(make_mesh(1, 2)) == run(None)
+
+
+# ---------------------------------------------------------------------------
+# Pipelined scheduling over the paged backend
+# ---------------------------------------------------------------------------
+def test_paged_pipelined_matches_stepwise():
+    """Pipelined run (window N+1 dispatched before window N syncs) over the
+    page pool: same per-request tokens as the stepwise loop, including slot
+    churn (6 requests through 2 slots)."""
+    params = paligemma.init_params(jax.random.PRNGKey(0), CFG)
+    reqs_a = [_req(i, 30 + i, 3 + (i % 4), 3 + (i % 5)) for i in range(6)]
+    reqs_b = [_req(i, 30 + i, 3 + (i % 4), 3 + (i % 5)) for i in range(6)]
+
+    a = PagedServingEngine(params, CFG, max_slots=2, max_seq_len=32,
+                           page_size=16, use_flash=False, sync_every=4)
+    for r in reqs_a:
+        a.submit(r)
+    a.run_to_completion(pipeline=False)
+
+    b = PagedServingEngine(params, CFG, max_slots=2, max_seq_len=32,
+                           page_size=16, use_flash=False, sync_every=4)
+    for r in reqs_b:
+        b.submit(r)
+    done = b.run_to_completion(pipeline=True)
+    assert len(done) == 6
+    for ra, rb in zip(reqs_a, reqs_b):
+        np.testing.assert_array_equal(np.asarray(ra.tokens),
+                                      np.asarray(rb.tokens))
+
+
+def test_paged_pipelined_preemption_recompute():
+    """Preemption with a window in flight: the evicted request's in-flight
+    tokens are discarded (epoch bump), it recomputes, and every request
+    still matches the dense engine exactly."""
+    params = paligemma.init_params(jax.random.PRNGKey(0), CFG)
+    reqs = [_req(0, 1, 4, 40), _req(1, 2, 4, 40)]
+    golden = [_req(0, 1, 4, 40), _req(1, 2, 4, 40)]
+
+    paged = PagedServingEngine(
+        params, CFG, max_slots=2, max_seq_len=64, page_size=16,
+        n_pages=5, sync_every=4, use_flash=False,
+    )
+    for r in reqs:
+        paged.submit(r)
+    done = paged.run_to_completion(pipeline=True)
+    assert len(done) == 2
+    assert paged.preemptions >= 1, "scenario must actually exercise eviction"
+
+    dense = ServingEngine(params, CFG, max_slots=2, max_seq_len=64,
+                          use_flash=False)
+    for r in golden:
+        dense.submit(r)
+    dense.run_to_completion(pipeline=False)
+    for ra, rb in zip(golden, reqs):
+        np.testing.assert_array_equal(np.asarray(ra.tokens),
+                                      np.asarray(rb.tokens))

@@ -281,3 +281,78 @@ def test_serving_fused_decode_matches_xla():
     fus = run(True)
     for a, b in zip(ref, fus):
         np.testing.assert_array_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# Pipelined scheduling: dispatch window N+1 before syncing window N
+# ---------------------------------------------------------------------------
+def test_pipelined_matches_stepwise():
+    """run_to_completion(pipeline=True) produces exactly the stepwise
+    loop's per-request tokens — greedy tokens depend only on each request's
+    own prompt, so the one-window readback lookahead must be invisible."""
+    params = paligemma.init_params(jax.random.PRNGKey(0), CFG)
+    reqs_a = [_req(i, 10 + i, 3 + (i % 4), 3 + (i % 5)) for i in range(6)]
+    reqs_b = [_req(i, 10 + i, 3 + (i % 4), 3 + (i % 5)) for i in range(6)]
+
+    step_eng = ServingEngine(params, CFG, max_slots=2, max_seq_len=32,
+                             use_flash=False, sync_every=4)
+    for r in reqs_a:
+        step_eng.submit(r)
+    step_eng.run_to_completion(pipeline=False)
+
+    pipe_eng = ServingEngine(params, CFG, max_slots=2, max_seq_len=32,
+                             use_flash=False, sync_every=4)
+    for r in reqs_b:
+        pipe_eng.submit(r)
+    done = pipe_eng.run_to_completion(pipeline=True)
+    assert len(done) == 6 and all(r.done for r in done)
+    for ra, rb in zip(reqs_a, reqs_b):
+        np.testing.assert_array_equal(np.asarray(ra.tokens),
+                                      np.asarray(rb.tokens))
+
+
+def test_pipelined_eos_early_stop():
+    """EOS hit mid-window under pipelining: the in-flight lookahead
+    window's overshoot tokens for the retired request are discarded and the
+    final token list still ends exactly at the EOS token."""
+    params = paligemma.init_params(jax.random.PRNGKey(0), CFG)
+    single = PaliGemmaEngine(params, CFG, max_seq_len=32, use_flash=False)
+    r0 = _req(0, 1, 4, 12)
+    probe = single.generate(
+        jnp.asarray(r0.pixel_values)[None], jnp.asarray(r0.input_ids)[None],
+        jnp.ones((1, len(r0.input_ids)), jnp.int32),
+        max_new_tokens=3, do_sample=False, eos_token_id=-1,
+    )[0]
+    eos = int(probe[2])
+
+    reqs = [_req(0, 1, 4, 12), _req(1, 2, 5, 6)]
+    for r in reqs:
+        r.eos_token_id = eos
+    eng = ServingEngine(params, CFG, max_slots=2, max_seq_len=32,
+                        use_flash=False, sync_every=4)
+    for r in reqs:
+        eng.submit(r)
+    done = eng.run_to_completion(pipeline=True)
+    assert len(done) == 2
+    r0_done = next(r for r in done if r.request_id == 0)
+    assert r0_done.tokens[-1] == eos
+    assert eos not in r0_done.tokens[:-1]
+    assert len(r0_done.tokens) <= 12
+
+
+def test_pipelined_budget_never_overruns():
+    """Budget exhaustion under pipelining: dispatched-count window sizing
+    must stop rows exactly at max_new_tokens — no request ever receives
+    more tokens than its budget even with a lookahead window in flight."""
+    params = paligemma.init_params(jax.random.PRNGKey(0), CFG)
+    # staggered budgets so rows exhaust at different windows
+    reqs = [_req(i, 20 + i, 4, 2 + 3 * i) for i in range(4)]
+    eng = ServingEngine(params, CFG, max_slots=4, max_seq_len=32,
+                        use_flash=False, sync_every=4)
+    for r in reqs:
+        eng.submit(r)
+    done = eng.run_to_completion(pipeline=True)
+    assert len(done) == 4
+    for r in reqs:
+        assert len(r.tokens) == min(r.max_new_tokens,
+                                    32 - len(r.input_ids)), r.request_id
