@@ -93,21 +93,31 @@ def prefill_position_ids(attention_mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(attention_mask == 0, 1, pos)
 
 
-def _vision_flash_profitable(cfg: PaliGemmaConfig, mesh) -> bool:
-    """Whether the Pallas flash kernel is worth using for the VISION tower.
+def _vision_attn_mode(cfg: PaliGemmaConfig, mesh, use_flash: bool) -> str:
+    """Pick the VISION tower attention path ("xla" | "flash" | "fused").
 
-    Flash pads head_dim to the 128-lane tile; at SigLIP-So400m's
-    head_dim=72 that wastes 44% of the attention FLOPs and measures 29%
-    SLOWER than XLA attention at the 448px/1024-patch shape (9.72 vs
-    7.53 ms full tower, .bench/vision_probe.py) — the unpadded XLA (s, s)
-    attention wins whenever the tower's head_dim doesn't fill the lane
-    tile. The LM (head_dim 256) is unaffected; callers gate only the
-    ``siglip.encode`` flag through this. Under a mesh the sharded flash
-    path is kept: its head-partitioned shard_map collectives are built
-    around the kernel. ``siglip.encode(use_flash=True)`` called directly
-    still honors the explicit request (tests exercise the kernel there).
+    At SigLIP-So400m's head_dim=72 the XLA materialized attention WINS on
+    this chip — measured twice: the generic flash kernel pads head_dim to
+    the 128-lane tile and is 29% slower at the 448px tower
+    (.bench/vision_probe.py), and the dedicated fused tower kernel
+    (kernels/ablation/vision_attention.py) recovers at most 9% of
+    attention-only time at S=1024 while losing 5x at S=256 and crashing
+    this Mosaic build at head_block >= 8 (.bench/vision_attn_probe.py;
+    numbers in the kernel docstring). XLA attention at these small-matmul
+    shapes is already near roofline, so "xla" is the single-chip answer
+    whenever head_dim doesn't fill the lane tile. Under a mesh the sharded
+    flash path is kept: its head-partitioned shard_map collectives are
+    built around that kernel. ``siglip.encode(use_flash=True)`` called
+    directly still honors the explicit request (tests exercise the generic
+    kernel there); ``attn="fused"`` runs the ablation kernel.
     """
-    return mesh is not None or cfg.vision_config.head_dim % 128 == 0
+    if not use_flash:
+        return "xla"
+    if mesh is not None:
+        return "flash"
+    if cfg.vision_config.head_dim % 128 == 0:
+        return "flash"  # no pad waste; generic kernel is fine
+    return "xla"
 
 
 def prefill(
@@ -138,7 +148,7 @@ def prefill(
     dtype = params["lm"]["embed"].dtype
     image_features = siglip.encode(
         params["vision"], cfg.vision_config, pixel_values.astype(dtype),
-        use_flash=use_flash and _vision_flash_profitable(cfg, mesh), mesh=mesh,
+        mesh=mesh, attn=_vision_attn_mode(cfg, mesh, use_flash),
     )
     image_embeds = project_image_features(params, image_features)
 
@@ -233,7 +243,12 @@ def forward_train(
     dtype = params["lm"]["embed"].dtype
     image_features = siglip.encode(
         params["vision"], cfg.vision_config, pixel_values.astype(dtype),
-        use_flash=use_flash and _vision_flash_profitable(cfg, None),
+        attn="xla" if not use_flash else (
+            # training differentiates through the tower: the fused kernel
+            # has no custom VJP, so the flash path (which does) is used
+            # when its padding is free, XLA otherwise
+            "flash" if cfg.vision_config.head_dim % 128 == 0 else "xla"
+        ),
     )
     image_embeds = project_image_features(params, image_features)
     text_embeds = params["lm"]["embed"][input_ids]

@@ -89,7 +89,7 @@ def patchify(pixel_values: jnp.ndarray, patch_size: int) -> jnp.ndarray:
 
 
 def _encoder_block(
-    cfg: SiglipVisionConfig, x: jnp.ndarray, lp: Params, use_flash: bool = False,
+    cfg: SiglipVisionConfig, x: jnp.ndarray, lp: Params, attn: str = "xla",
     mesh=None,
 ) -> jnp.ndarray:
     b, s, d = x.shape
@@ -102,7 +102,7 @@ def _encoder_block(
     q = (y @ lp["attn"]["q"]["kernel"] + lp["attn"]["q"]["bias"]).reshape(b, s, h, hd)
     k = (y @ lp["attn"]["k"]["kernel"] + lp["attn"]["k"]["bias"]).reshape(b, s, h, hd)
     v = (y @ lp["attn"]["v"]["kernel"] + lp["attn"]["v"]["bias"]).reshape(b, s, h, hd)
-    if use_flash:
+    if attn == "flash":
         from ..kernels.flash_attention import flash_attention, flash_attention_sharded
 
         full = jnp.full((b,), s, jnp.int32)  # all patches, fully bidirectional
@@ -110,6 +110,12 @@ def _encoder_block(
             a = flash_attention_sharded(q, k, v, full, full, mesh)
         else:
             a = flash_attention(q, k, v, full, full)
+    elif attn == "fused":
+        # ablation path: measured ~parity with XLA at these shapes
+        # (kernels/ablation/vision_attention.py docstring); not a default
+        from ..kernels.ablation.vision_attention import vision_attention
+
+        a = vision_attention(q, k, v)
     else:
         a = attention.mha(q, k, v)  # non-causal full attention over patches
     a = a.reshape(b, s, d) @ lp["attn"]["o"]["kernel"] + lp["attn"]["o"]["bias"]
@@ -128,12 +134,23 @@ def encode(
     pixel_values: jnp.ndarray,
     use_flash: bool = False,
     mesh=None,
+    attn: str = None,
 ):
     """Vision forward: (B, C, H, W) pixels -> (B, num_patches, hidden).
 
     Accepts NCHW for API parity with the reference processor output
     (ref: processing_paligemma.py:72); transposed to NHWC internally.
+
+    ``attn`` selects the attention path: "xla" (materialized — measured
+    FASTEST at So400m's head_dim=72 on this chip, the default on and off
+    TPU; see models/paligemma._vision_attn_mode), "flash" (generic
+    prefix-LM kernel, the sharded path), "fused" (the
+    kernels/ablation/vision_attention.py head-block kernel, explicit
+    opt-in only). ``attn=None`` derives it from the legacy ``use_flash``
+    flag.
     """
+    if attn is None:
+        attn = "flash" if use_flash else "xla"
     x = pixel_values.transpose(0, 2, 3, 1)  # NCHW -> NHWC
     dtype = params["pos_embed"].dtype
     patches = patchify(x, cfg.patch_size).astype(dtype)
@@ -141,7 +158,7 @@ def encode(
     emb = emb + params["pos_embed"][None]
 
     def body(h, lp):
-        return _encoder_block(cfg, h, lp, use_flash=use_flash, mesh=mesh), None
+        return _encoder_block(cfg, h, lp, attn=attn, mesh=mesh), None
 
     h, _ = jax.lax.scan(body, emb, params["layers"])
     return layer_norm(
