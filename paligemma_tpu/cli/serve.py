@@ -128,9 +128,15 @@ def build_server(args):
 
     mesh = None
     if args.data_parallel * args.model_parallel > 1:
-        require(args.engine == "dense" or args.data_parallel == 1,
-                "--engine paged shards weights only (pure TP): use "
-                "--model_parallel N with --data_parallel 1")
+        # dense serving is pure TP (slots are the batch; see
+        # runtime/serving.py); the PAGED engine also accepts a data axis —
+        # slots and the page pool shard over it (runtime/serving_paged.py)
+        require(args.engine == "paged" or args.data_parallel == 1,
+                "--engine dense shards weights only (pure TP): use "
+                "--model_parallel N with --data_parallel 1, or "
+                "--engine paged for a data axis")
+        require(args.engine == "dense" or args.max_slots % args.data_parallel == 0,
+                "--max_slots must divide evenly over --data_parallel shards")
         from ..core.mesh import make_mesh
 
         mesh = make_mesh(args.data_parallel, args.model_parallel)

@@ -42,14 +42,14 @@ from . import decode_layer_tp, decode_mlp
 
 
 def supported(cfg, mesh: Optional[Mesh], layers, batch: int) -> bool:
-    """Static gate: the dense TP requirements minus the data axis (the
-    paged pool is replicated; slots are the batch and they don't shard)."""
-    if mesh is None or int(mesh.shape.get("data", 1)) != 1:
+    """Static gate: the dense TP requirements. ``batch`` is the GLOBAL slot
+    count; with a data axis the slots (and the page pool) shard over it
+    (runtime/serving_paged.py DP mode), so each shard runs ``batch / data``
+    lockstep rows — decode_layer_tp.supported enforces the per-shard
+    bounds."""
+    if mesh is None:
         return False
-    return (
-        1 <= batch <= 32
-        and decode_layer_tp.supported(cfg, mesh, layers, batch=batch)
-    )
+    return decode_layer_tp.supported(cfg, mesh, layers, batch=batch)
 
 
 # ---------------------------------------------------------------------------
@@ -378,7 +378,10 @@ def decode_step_paged_tp(
     expect = start[:, None] + jnp.arange(pb, dtype=jnp.int32)[None]
     care = jnp.arange(pb, dtype=jnp.int32)[None] <= lastpb[:, None]
     contig = jnp.where(care, pt == expect, True).all(axis=1)
-    contig &= (start >= 0) & (start + pb <= n_pages)
+    # page ids are LOCAL to a data shard (runtime/paged_cache.py n_shards):
+    # the run fetch must stay inside the shard's local chunk of the pool
+    n_local = n_pages // int(mesh.shape.get("data", 1))
+    contig &= (start >= 0) & (start + pb <= n_local)
     contig = contig.astype(jnp.int32)
     pb_ids = jnp.minimum(jnp.arange(pb, dtype=jnp.int32)[None], lastpb[:, None])
     pt_clamped = jnp.take_along_axis(pt, pb_ids, axis=1)
@@ -408,6 +411,7 @@ def decode_step_paged_tp(
 
     def local_fn(emb, k_flat, v_flat, start, contig, pt, bias, posmask,
                  page_of, off_of, cos, sin, pk):
+        bl = emb.shape[0]  # slots LOCAL to this data shard (== b when dp=1)
         x = (emb * jnp.asarray(normalizer, emb.dtype)).astype(emb.dtype)
 
         def layer_body(l, carry):
@@ -423,7 +427,7 @@ def decode_step_paged_tp(
             # kv projection is replicated, so every shard writes the same
             # values — the pool stays replicated)
             zero = jnp.zeros((), jnp.int32)
-            for r in range(b):
+            for r in range(bl):
                 idx = (li, page_of[r], off_of[r], zero)
                 kp = jax.lax.dynamic_update_slice(
                     kp, k_new[None, r : r + 1, None].astype(kp.dtype), idx
@@ -450,18 +454,23 @@ def decode_step_paged_tp(
     # gather into its own collective
     emb = jnp.take(packed["embed"], token, axis=0).astype(dtype)
 
-    rep1 = P(None)
-    rep2 = P(None, None)
-    pool_spec = P(None, None, None, None)
+    # per-slot tensors shard over "data" (no-op at data=1); the pool shards
+    # its PAGES over "data" — page-table entries are shard-local ids
+    # (runtime/paged_cache.py n_shards) so each shard's reads/writes stay
+    # inside its own chunk. Weight specs mention only "model" => replicated
+    # over "data", which is what DP means for weights.
+    row1 = P("data")
+    row2 = P("data", None)
+    pool_spec = P(None, "data", None, None)
     local_keys = [kk for kk in packed if kk not in ("embed", "head")]
     hidden, k_flat, v_flat = jax.shard_map(
         local_fn, mesh=mesh,
         in_specs=(
-            rep2, pool_spec, pool_spec, rep1, rep1, rep2, rep2, rep2,
-            rep1, rep1, rep2, rep2,
+            row2, pool_spec, pool_spec, row1, row1, row2, row2, row2,
+            row1, row1, row2, row2,
             {kk: specs[kk] for kk in local_keys},
         ),
-        out_specs=(rep2, pool_spec, pool_spec),
+        out_specs=(row2, pool_spec, pool_spec),
         check_vma=False,
     )(
         emb, k_flat, v_flat, start, contig, pt_clamped, bias, posmask,

@@ -109,7 +109,17 @@ class PagedKVCache:
 
     ``max_pages_per_slot`` bounds the page table's static width (the
     attention grid walks logical pages up to each row's length, so unused
-    width costs nothing but table bytes)."""
+    width costs nothing but table bytes).
+
+    ``n_shards`` > 1 partitions BOTH the slots and the pool into equal
+    data-parallel shards: slot ``s`` belongs to shard ``s // slots_per_
+    shard``, its pages come from that shard's private allocator, and every
+    page-table entry is a SHARD-LOCAL physical id in
+    ``[0, n_pages / n_shards)``. The device pool keeps its global
+    ``(L, n_pages, ...)`` shape — the engine shards axis 1 over the mesh's
+    "data" axis, so each device shard indexes its local chunk with exactly
+    the local ids this table holds. Each shard reserves its own local page
+    0 as the garbage page."""
 
     def __init__(
         self,
@@ -119,24 +129,46 @@ class PagedKVCache:
         max_slots: int,
         max_pages_per_slot: int,
         dtype=jnp.bfloat16,
+        n_shards: int = 1,
     ):
         assert page_size % 16 == 0, page_size  # bf16 sublane tile
+        assert n_pages % n_shards == 0, (n_pages, n_shards)
+        assert max_slots % n_shards == 0, (max_slots, n_shards)
         self.cfg = cfg
         self.page_size = page_size
         self.n_pages = n_pages
         self.max_slots = max_slots
         self.max_pages_per_slot = max_pages_per_slot
+        self.n_shards = n_shards
+        self.slots_per_shard = max_slots // n_shards
+        self.pages_per_shard = n_pages // n_shards
         shape = (
             cfg.num_hidden_layers, n_pages, page_size,
             cfg.num_key_value_heads, cfg.head_dim,
         )
         self.pool = {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
-        # page 0 is the reserved garbage page (see PageAllocator)
-        self.alloc = PageAllocator(n_pages, first=1)
-        # host-side page table; slot rows point at the garbage page 0 until
-        # assigned — inactive rows' writes/reads land there harmlessly
+        # local page 0 of every shard is its reserved garbage page
+        self._allocs = [
+            PageAllocator(self.pages_per_shard, first=1)
+            for _ in range(n_shards)
+        ]
+        # host-side page table of LOCAL ids; slot rows point at the garbage
+        # page 0 until assigned — inactive rows' writes/reads land there
+        # harmlessly
         self._table_np = np.zeros((max_slots, max_pages_per_slot), np.int32)
         self._table_dev: Optional[jnp.ndarray] = None  # uploaded lazily
+
+    @property
+    def alloc(self) -> PageAllocator:
+        """The single allocator (unsharded pools only — the common case)."""
+        assert self.n_shards == 1
+        return self._allocs[0]
+
+    def shard_of(self, slot: int) -> int:
+        return slot // self.slots_per_shard
+
+    def free_pages(self, shard: int = 0) -> int:
+        return self._allocs[shard].free_pages
 
     # -- allocation ----------------------------------------------------
     def pages_for(self, n_tokens: int) -> int:
@@ -144,17 +176,19 @@ class PagedKVCache:
 
     def grow_to(self, slot: int, n_tokens: int) -> bool:
         """Ensure ``slot`` owns pages covering ``n_tokens``; allocates the
-        shortfall. False (no change) if the pool is exhausted."""
+        shortfall from the slot's shard. False (no change) if that shard's
+        pool is exhausted."""
         need = self.pages_for(n_tokens)
         if need > self.max_pages_per_slot:
             return False
-        have = len(self.alloc.pages_of(slot))
+        alloc = self._allocs[self.shard_of(slot)]
+        have = len(alloc.pages_of(slot))
         if need <= have:
             return True
-        got = self.alloc.alloc(slot, need - have)
+        got = alloc.alloc(slot, need - have)
         if got is None:
             return False
-        pages = self.alloc.pages_of(slot)
+        pages = alloc.pages_of(slot)
         self._table_np[slot, have:need] = got
         self._table_dev = None  # invalidate device mirror
         assert self._table_np[slot, : len(pages)].tolist() == pages
@@ -164,7 +198,7 @@ class PagedKVCache:
         """Free the slot's pages and point its table row back at the garbage
         page — a retired slot must never address pages that may be
         reallocated to a live request."""
-        self.alloc.free(slot)
+        self._allocs[self.shard_of(slot)].free(slot)
         self._table_np[slot, :] = 0
         self._table_dev = None
 
@@ -176,4 +210,5 @@ class PagedKVCache:
         return self._table_dev
 
     def slot_pages(self, slot: int) -> List[int]:
-        return self.alloc.pages_of(slot)
+        """Shard-LOCAL physical page ids owned by ``slot``."""
+        return self._allocs[self.shard_of(slot)].pages_of(slot)

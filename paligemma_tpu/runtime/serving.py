@@ -106,9 +106,7 @@ class ServingEngine:
         speedup and N x the HBM footprint. Scale slot count with
         ``max_slots`` (lockstep decode is batch-cheap) instead."""
         if mesh is not None:
-            assert mesh.shape["data"] == 1, (
-                "serving mesh must be pure TP (data=1); slots are the batch"
-            )
+            self._check_mesh(mesh)
             from jax.sharding import NamedSharding
 
             from ..core import mesh as mesh_lib
@@ -466,6 +464,21 @@ class ServingEngine:
         del self.pending[: len(take)]
         return take
 
+    def _take_slot(self, free: list, req: Request) -> int:
+        """Pop the slot ``req`` will occupy from ``free`` (backend hook —
+        the data-parallel paged engine pins each admitted request to the
+        shard whose page budget covered it in ``_admit``)."""
+        return free.pop(0)
+
+    def _check_mesh(self, mesh) -> None:
+        """Mesh-contract hook. The dense engine is pure TP: slots are the
+        batch and a data axis would replicate the weight stream for zero
+        per-token speedup (see __init__ docstring). The paged engine
+        overrides this — it shards slots AND the page pool over "data"."""
+        assert mesh.shape["data"] == 1, (
+            "serving mesh must be pure TP (data=1); slots are the batch"
+        )
+
     def _insert_row(self, slot: int, req: Request, row: int, cache1, mask,
                     last_logits) -> None:
         """Scatter row ``row`` of a batched prefill into pool slot ``slot``
@@ -523,7 +536,7 @@ class ServingEngine:
                 jnp.asarray(pfx_np), cache1,
             )
             for r, req in enumerate(reqs):
-                slot = free.pop(0)
+                slot = self._take_slot(free, req)
                 self._insert_row(slot, req, r, cache1, mask, last_logits)
                 self.slots[slot] = req
                 self._generated[req.request_id] = 0

@@ -63,26 +63,43 @@ class PagedServingEngine(ServingEngine):
         HBM). ``max_seq_len`` still bounds one request's length (the page
         table's static width); it no longer reserves anything.
 
-        ``mesh``: optional pure-TP Mesh("data","model") with data == 1
-        (same contract as the dense engine). Weights shard Megatron-style;
-        the page pool REPLICATES over "model" (Gemma is MQA — one KV head,
-        every shard computes identical K/V). The tick runs the per-layer
-        TP paged kernels (kernels/decode_layer_paged_tp: paged window
-        reads per shard, o/down psums in the glue) when the geometry fits,
-        else the pure-XLA paged forward that GSPMD auto-partitions."""
-        if mesh is not None:
-            assert int(mesh.shape.get("data", 1)) == 1, (
-                "paged serving mesh must be pure TP (data=1); slots are "
-                "the batch"
-            )
+        ``mesh``: optional Mesh("data","model"). "model" > 1 shards weights
+        Megatron-style with the page pool REPLICATED over "model" (Gemma is
+        MQA — one KV head, every shard computes identical K/V); the tick
+        runs the per-layer TP paged kernels
+        (kernels/decode_layer_paged_tp: paged window reads per shard,
+        o/down psums in the glue). "data" > 1 additionally shards the SLOTS
+        and the page pool over the data axis (round-3 DP paged serving):
+        each data shard owns ``max_slots/data`` slots and
+        ``n_pages/data`` physical pages with its own host-side allocator
+        and garbage page, page-table entries are shard-LOCAL ids, admission
+        pins each request to the shard whose budget covered it, and
+        preemption is per-shard. Weights replicate over "data" (decode is
+        weight-stream-bound, so DP buys aggregate KV capacity + slots, not
+        weight bandwidth — see docs/PERFORMANCE.md). Pure DP (model == 1)
+        runs the single-chip kernel paths per shard under shard_map;
+        DP x TP requires the fused TP paged geometry (local page ids rule
+        out the GSPMD XLA fallback)."""
         assert max_seq_len % page_size == 0, (max_seq_len, page_size)
+        self.dp = int(mesh.shape.get("data", 1)) if mesh is not None else 1
+        if self.dp > 1:
+            # DP prefill takes the GSPMD XLA attention path: the sharded
+            # flash kernel shards the prefill batch over "data", but
+            # admission-group batches (1..slots, padded to powers of two)
+            # need not divide the data axis
+            use_flash = False
         self.paged_kernel = paged_kernel
         if n_pages is None:
             n_pages = max(max_slots * max_seq_len // page_size // 2, 8)
+            n_pages = -(-n_pages // self.dp) * self.dp
+        if self.dp > 1:
+            assert max_slots % self.dp == 0, (max_slots, self.dp)
+            assert n_pages % self.dp == 0, (n_pages, self.dp)
         self.page_size = page_size
         self.n_pages = n_pages
 
         self._admission_order: List[int] = []  # slot ids, oldest first
+        self._planned: Dict[int, int] = {}  # request_id -> pinned slot
         super().__init__(
             params, config, max_slots=max_slots, max_seq_len=max_seq_len,
             cache_dtype=cache_dtype, use_flash=use_flash,
@@ -92,7 +109,7 @@ class PagedServingEngine(ServingEngine):
             fused_decode=False,
         )
         self._ptp_packed = self._ptp_specs = None
-        if mesh is not None:
+        if mesh is not None and int(mesh.shape.get("model", 1)) > 1:
             from ..kernels import decode_layer_paged_tp as _ptp
             from ..kernels import decode_layer_tp as _tp
 
@@ -106,6 +123,15 @@ class PagedServingEngine(ServingEngine):
                     self.decode_params["lm"], tc0, mesh
                 )
                 self.paged_kernel = "fused_tp"
+            elif self.dp > 1:
+                # the GSPMD XLA fallback gathers pool pages by GLOBAL id;
+                # the DP pool holds shard-LOCAL ids — no correct fallback
+                raise ValueError(
+                    "DP x TP paged serving requires the fused TP paged "
+                    "geometry (MQA, head_dim % 128 == 0, int8 qkv repack, "
+                    f"slots/data <= 32; got slots={max_slots} over "
+                    f"mesh {dict(mesh.shape)})"
+                )
             else:
                 self.paged_kernel = "xla"  # GSPMD-partitioned pure XLA
         elif self.paged_kernel in ("staged", "fused"):
@@ -129,7 +155,8 @@ class PagedServingEngine(ServingEngine):
                 and tc0.head_dim % 128 == 0
                 and isinstance(layers["attn"].get("qkv"), dict)
                 and "w8" in layers["attn"]["qkv"]
-                and max_slots <= 32
+                # per-DATA-shard lockstep rows (the whole pool at dp=1)
+                and max_slots // self.dp <= 32
             )
             if staged_ok:
                 dp = dict(self.decode_params)
@@ -171,6 +198,54 @@ class PagedServingEngine(ServingEngine):
                     }
             return pool
 
+        @functools.partial(jax.jit, donate_argnums=(0,),
+                           static_argnames=("n_chunks",))
+        def _insert_paged_dp(pool, cache1, pages, row, owner, n_chunks):
+            """DP variant: ``pages`` are shard-LOCAL ids valid only on data
+            shard ``owner``. Runs a read-modify-write under shard_map: every
+            shard touches the addressed local page, but only the owner's
+            select keeps the fresh chunk — non-owners write their own page
+            contents back unchanged."""
+            from jax.sharding import PartitionSpec as P
+
+            zero = jnp.zeros((), jnp.int32)
+            n_layers = pool["k"].shape[0]
+            tail = cache1["k"].shape[3:]
+
+            def local(pk, pv, ck, cv, pages_l, row_l, owner_l):
+                write = jax.lax.axis_index("data") == owner_l
+
+                def upd(pool_arr, cache_arr):
+                    out = pool_arr
+                    for p in range(n_chunks):
+                        chunk = jax.lax.dynamic_slice(
+                            cache_arr,
+                            (zero, row_l, jnp.asarray(p * ps, jnp.int32),
+                             zero, zero),
+                            (n_layers, 1, ps) + tail,
+                        ).astype(pool_arr.dtype)
+                        idx = (zero, pages_l[p], zero, zero, zero)
+                        cur = jax.lax.dynamic_slice(
+                            out, idx, (n_layers, 1, ps) + tail
+                        )
+                        out = jax.lax.dynamic_update_slice(
+                            out, jnp.where(write, chunk, cur), idx
+                        )
+                    return out
+
+                return upd(pk, ck), upd(pv, cv)
+
+            pool_sp = P(None, "data", None, None, None)
+            rep5 = P(None, None, None, None, None)
+            pk, pv = jax.shard_map(
+                local, mesh=self.mesh,
+                in_specs=(pool_sp, pool_sp, rep5, rep5, P(None), P(), P()),
+                out_specs=(pool_sp, pool_sp),
+                check_vma=False,
+            )(pool["k"], pool["v"], cache1["k"], cache1["v"], pages, row,
+              owner)
+            return {"k": pk, "v": pv}
+
         @functools.partial(jax.jit, donate_argnums=(1, 2),
                            static_argnames=("with_sampling", "pages_bucket",
                                             "kernel"))
@@ -206,6 +281,33 @@ class PagedServingEngine(ServingEngine):
                 new_logits = gemma_mod.lm_head(
                     params["lm"], hidden[:, None, :]
                 )[:, 0].astype(jnp.float32)
+            elif self.dp > 1:
+                # pure DP (model == 1): every data shard runs the full
+                # single-chip paged tick on its own slots and pool chunk
+                # (weights replicated; page-table ids are shard-local)
+                from jax.sharding import PartitionSpec as P
+
+                def dp_fn(p_, tok, pk, pv, pt_, wp, pos):
+                    lg, pool2 = paligemma.decode_step_paged(
+                        p_, cfg, tok, {"k": pk, "v": pv}, pt_,
+                        write_pos=wp, position_ids=pos,
+                        pages_bucket=pages_bucket, paged_kernel=k,
+                    )
+                    return lg, pool2["k"], pool2["v"]
+
+                pool_sp = P(None, "data", None, None, None)
+                lg, pk, pv = jax.shard_map(
+                    dp_fn, mesh=self.mesh,
+                    in_specs=(
+                        jax.tree.map(lambda _: P(), params), P("data"),
+                        pool_sp, pool_sp, P("data", None), P("data"),
+                        P("data"),
+                    ),
+                    out_specs=(P("data", None), pool_sp, pool_sp),
+                    check_vma=False,
+                )(params, token, pool["k"], pool["v"], page_table,
+                  write_pos, state["pos_ids"])
+                new_logits, pool = lg, {"k": pk, "v": pv}
             else:
                 new_logits, pool = paligemma.decode_step_paged(
                     params, cfg, token, pool, page_table,
@@ -233,57 +335,96 @@ class PagedServingEngine(ServingEngine):
             }
 
         self._insert_paged = _insert_paged
+        self._insert_paged_dp = _insert_paged_dp
         self._decode_all_paged = _decode_all_paged
         self._set_slot_state = _set_slot_state
 
     # -- backend hooks --------------------------------------------------
+    def _check_mesh(self, mesh) -> None:
+        """The paged engine accepts a data axis: slots and the page pool
+        shard over it (see __init__ docstring)."""
+
     def _init_cache(self):
         """Page pool instead of the dense max_slots x max_seq_len block."""
         self.paged = PagedKVCache(
             self.config.text_config, n_pages=self.n_pages,
             page_size=self.page_size, max_slots=self.max_slots,
             max_pages_per_slot=self.max_seq_len // self.page_size,
-            dtype=self.cache_dtype,
+            dtype=self.cache_dtype, n_shards=self.dp,
         )
         if self.mesh is not None:
-            # MQA: one KV head — the pool replicates over "model" (each
-            # shard computes identical K/V from the replicated kv proj)
+            # pages shard over "data" (each data shard's slots address its
+            # local chunk with local ids); MQA keeps the pool replicated
+            # over "model" (each shard computes identical K/V from the
+            # replicated kv proj)
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            rep = NamedSharding(self.mesh, P(None, None, None, None, None))
+            spec = P(None, "data" if self.dp > 1 else None, None, None, None)
+            sh = NamedSharding(self.mesh, spec)
             self.paged.pool = jax.tree.map(
-                lambda x: jax.device_put(x, rep), self.paged.pool
+                lambda x: jax.device_put(x, sh), self.paged.pool
             )
         return self.paged.pool
 
     def _zero_state(self) -> Dict[str, jnp.ndarray]:
         # no (max_slots, max_seq_len) validity bitmap: paged rows are
         # contiguous [0, write_pos+1) by construction
-        return {
+        state = {
             "write_pos": jnp.zeros((self.max_slots,), jnp.int32),
             "pos_ids": jnp.ones((self.max_slots,), jnp.int32),
             "logits": jnp.zeros(
                 (self.max_slots, self.config.vocab_size), jnp.float32
             ),
         }
+        if self.dp > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            state = {
+                n: jax.device_put(
+                    x, NamedSharding(
+                        self.mesh, P("data", *([None] * (x.ndim - 1)))
+                    )
+                )
+                for n, x in state.items()
+            }
+        return state
 
     def _admit(self, free_slots: list) -> List[Request]:
-        """FIFO admission bounded by free slots AND free pages. Stops at the
-        first request that doesn't fit (no skip-ahead => no starvation)."""
+        """FIFO admission bounded by free slots AND free pages — per DATA
+        shard: each request is pinned to the shard whose slot + page budget
+        covers it (most-free-pages shard wins; ``_take_slot`` honors the
+        pin). Stops at the first request that fits NO shard (no skip-ahead
+        => no starvation)."""
         take: List[Request] = []
-        budget = self.paged.alloc.free_pages
+        shards = range(self.paged.n_shards)
+        free_by_shard: Dict[int, List[int]] = {s: [] for s in shards}
+        for sl in free_slots:
+            free_by_shard[self.paged.shard_of(sl)].append(sl)
+        budget = {s: self.paged.free_pages(s) for s in shards}
         for req in list(self.pending):
             if len(take) == len(free_slots):
                 break
             # admit only with one decode page of headroom so the request
             # can always produce its first window without instant preemption
             need = self.paged.pages_for(self._bucket_of(req)) + 1
-            if need > budget:
+            cands = [
+                s for s in shards if free_by_shard[s] and budget[s] >= need
+            ]
+            if not cands:
                 break
-            budget -= need
+            s = max(cands, key=lambda x: budget[x])
+            budget[s] -= need
+            self._planned[req.request_id] = free_by_shard[s].pop(0)
             take.append(req)
         del self.pending[: len(take)]
         return take
+
+    def _take_slot(self, free: list, req: Request) -> int:
+        slot = self._planned.pop(req.request_id, None)
+        if slot is None:
+            return free.pop(0)
+        free.remove(slot)
+        return slot
 
     def _insert_row(self, slot: int, req: Request, row: int, cache1, mask,
                     last_logits) -> None:
@@ -292,11 +433,19 @@ class PagedServingEngine(ServingEngine):
         assert ok, "admission reserved pages; grow_to must succeed"
         pages = self.paged.slot_pages(slot)
         n_chunks = bucket // self.page_size
-        self.cache = self._insert_paged(
-            self.cache, cache1,
-            jnp.asarray(pages[:n_chunks], jnp.int32),
-            jnp.asarray(row, jnp.int32), n_chunks,
-        )
+        if self.dp > 1:
+            self.cache = self._insert_paged_dp(
+                self.cache, cache1,
+                jnp.asarray(pages[:n_chunks], jnp.int32),
+                jnp.asarray(row, jnp.int32),
+                jnp.asarray(self.paged.shard_of(slot), jnp.int32), n_chunks,
+            )
+        else:
+            self.cache = self._insert_paged(
+                self.cache, cache1,
+                jnp.asarray(pages[:n_chunks], jnp.int32),
+                jnp.asarray(row, jnp.int32), n_chunks,
+            )
         self.state = self._set_slot_state(
             self.state, jnp.asarray(slot, jnp.int32),
             jnp.asarray(len(req.input_ids), jnp.int32),
@@ -320,20 +469,32 @@ class PagedServingEngine(ServingEngine):
                 continue
             need = len(req.input_ids) + self._dispatched[req.request_id] + ticks
             while not self.paged.grow_to(slot, min(need, self.max_seq_len)):
-                victim = self._preempt_youngest(exclude=slot)
+                # pages come from the slot's own DATA shard — only evicting
+                # a neighbor on the SAME shard frees anything useful
+                victim = self._preempt_youngest(
+                    exclude=slot, shard=self.paged.shard_of(slot)
+                )
                 if victim is None:
                     raise RuntimeError(
                         f"page pool too small for a single request of "
                         f"{need} tokens (pool={self.n_pages} pages x "
-                        f"{self.page_size})"
+                        f"{self.page_size}"
+                        + (f" over {self.paged.n_shards} data shards"
+                           if self.paged.n_shards > 1 else "")
+                        + ")"
                     )
 
-    def _preempt_youngest(self, exclude: int) -> Optional[int]:
-        """Evict the most recently admitted request (except ``exclude``):
-        free its pages and push it back on the queue front as a recompute
+    def _preempt_youngest(
+        self, exclude: int, shard: Optional[int] = None
+    ) -> Optional[int]:
+        """Evict the most recently admitted request (except ``exclude``;
+        restricted to ``shard`` when given — DP pools are per-shard): free
+        its pages and push it back on the queue front as a recompute
         request (prompt + generated so far; remaining budget)."""
         for slot in reversed(self._admission_order):
             if slot == exclude or self.slots[slot] is None:
+                continue
+            if shard is not None and self.paged.shard_of(slot) != shard:
                 continue
             req = self.slots[slot]
             gen = self._generated.pop(req.request_id, 0)
@@ -385,13 +546,24 @@ class PagedServingEngine(ServingEngine):
     def _kernel_for_bucket(self, pages_bucket: int) -> str:
         window = pages_bucket * self.page_size
         hd = self.config.text_config.head_dim
+        b_local = self.max_slots // self.dp  # lockstep rows PER data shard
         if self.paged_kernel == "fused_tp":
             # per-layer kernel: single-buffered (B, W, D) K/V rings
-            ring = 2 * self.max_slots * window * hd * 2
-            return "fused_tp" if ring <= self._STAGED_WINDOW_BYTES else "xla"
+            ring = 2 * b_local * window * hd * 2
+            if ring <= self._STAGED_WINDOW_BYTES:
+                return "fused_tp"
+            if self.dp > 1:
+                raise RuntimeError(
+                    "DP x TP paged tick window exceeds the kernel VMEM "
+                    f"budget ({ring} > {self._STAGED_WINDOW_BYTES} bytes at "
+                    f"{b_local} slots/shard x {window} tokens) and local "
+                    "page ids rule out the XLA fallback — reduce max_slots, "
+                    "max_seq_len, or the data axis"
+                )
+            return "xla"
         if self.paged_kernel not in ("staged", "fused"):
             return self.paged_kernel
-        ring = 2 * 2 * self.max_slots * window * hd * 2
+        ring = 2 * 2 * b_local * window * hd * 2
         return (
             self.paged_kernel if ring <= self._STAGED_WINDOW_BYTES else "multi"
         )
@@ -443,11 +615,19 @@ class PagedServingEngine(ServingEngine):
                 )
                 n_chunks = bucket // self.page_size
                 scratch = jax.tree.map(jnp.copy, self.paged.pool)
-                self._insert_paged(
-                    scratch, cache1,
-                    jnp.zeros((n_chunks,), jnp.int32),
-                    jnp.zeros((), jnp.int32), n_chunks,
-                )
+                if self.dp > 1:
+                    self._insert_paged_dp(
+                        scratch, cache1,
+                        jnp.zeros((n_chunks,), jnp.int32),
+                        jnp.zeros((), jnp.int32),
+                        jnp.zeros((), jnp.int32), n_chunks,
+                    )
+                else:
+                    self._insert_paged(
+                        scratch, cache1,
+                        jnp.zeros((n_chunks,), jnp.int32),
+                        jnp.zeros((), jnp.int32), n_chunks,
+                    )
         # warm the decode tick at the pages bucket the first real window
         # will use (the bucket is a static jit arg — and the staged kernel
         # must never trace at the table's full width: at max_slots x
