@@ -73,19 +73,30 @@ def tower(cfg, variant):
 
 
 def main():
+    from paligemma_tpu.core.config import paligemma_3b_896
+
     for name, cfg in (
         ("224px/S=256", paligemma_3b_224().vision_config),
         ("448px/S=1024", paligemma_3b_448().vision_config),
+        # 896px: the fused ablation kernel can't fit (S, S) fp32 scores in
+        # VMEM at S=4096 — only the materialized-vs-flash question matters
+        ("896px/S=4096", paligemma_3b_896().vision_config),
     ):
         print(f"--- {name} ---", flush=True)
-        for variant in ("xla", "flash", "fused", "fused_hb8", "fused_hb4"):
+        variants = ("xla", "flash", "fused", "fused_hb8", "fused_hb4")
+        if cfg.num_patches > 2048:
+            variants = ("xla", "flash")
+        for variant in variants:
             try:
                 t = attn_only(cfg, variant)
                 print(f"attn {variant:10s}: {t*1e6:7.1f} us/layer", flush=True)
             except Exception as e:  # noqa: BLE001
                 print(f"attn {variant:10s}: FAILED {type(e).__name__}: "
                       f"{str(e).splitlines()[0][:120]}", flush=True)
-        for variant in ("xla", "flash", "fused"):
+        tower_variants = ("xla", "flash", "fused")
+        if cfg.num_patches > 2048:
+            tower_variants = ("xla", "flash")
+        for variant in tower_variants:
             try:
                 t = tower(cfg, variant)
                 print(f"tower {variant:9s}: {t*1e3:7.2f} ms", flush=True)

@@ -310,6 +310,30 @@ def main():
 
     extra["int8_448px_decode_tokens_per_sec"] = attempt("448px", px448)
 
+    # ---- 5) 896px (4096 image tokens, google/paligemma-3b-pt-896): the
+    # long-prefill config — vision flash at S=4096 (tower 57 vs 100 ms,
+    # .bench/vision_attn_probe.py) + decode at 4106+ context ----
+    def px896():
+        from paligemma_tpu.core.config import paligemma_3b_896
+
+        cfg8 = paligemma_3b_896()
+        p8 = paligemma.init_params(jax.random.PRNGKey(0), cfg8, jnp.bfloat16)
+        q8 = quantize_lm_for_serving(p8)
+        p8 = None
+        gc.collect()
+        eng8 = PaliGemmaEngine(q8, cfg8, max_seq_len=8192, eos_token_id=1)
+        px, i8, m8 = make_inputs(cfg8, 1)
+        tok = round(time_decode(eng8, px, i8, m8, n_chunks=2, reps=2), 2)
+        lg, _ = eng8.prefill(px, i8, m8)
+        _sync(lg)
+        t0 = time.perf_counter()
+        lg, _ = eng8.prefill(px, i8, m8)
+        _sync(lg)
+        extra["ttft_896px_ms"] = round((time.perf_counter() - t0) * 1e3, 1)
+        return tok
+
+    extra["int8_896px_decode_tokens_per_sec"] = attempt("896px", px896)
+
     if failures:
         extra["failures"] = failures
 

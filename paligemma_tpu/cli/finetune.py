@@ -65,6 +65,10 @@ def _main(argv=None):
     p.add_argument("--max_length", type=int, default=512)
     p.add_argument("--data_parallel", type=int, default=1)
     p.add_argument("--model_parallel", type=int, default=1)
+    p.add_argument("--fsdp", action="store_true",
+                   help="shard params/grads/optimizer state over the data "
+                        "axis too (ZeRO-3; for full fine-tunes whose AdamW "
+                        "moments exceed one chip)")
     p.add_argument("--eval_every", type=int, default=200)
     p.add_argument("--max_new_tokens_eval", type=int, default=512)
     p.add_argument("--early_stopping_patience", type=int, default=0,
@@ -154,6 +158,7 @@ def _main(argv=None):
         grad_accum_steps=args.grad_accum,
         warmup_steps=args.warmup_steps,
         lora_rank=None if args.full_finetune else args.lora_rank,
+        fsdp=args.fsdp,
     )
     trainer = Trainer(params, config, tc, mesh=mesh)
     if args.resume_from:

@@ -179,6 +179,17 @@ def paligemma_3b_448() -> PaliGemmaConfig:
     )
 
 
+def paligemma_3b_896() -> PaliGemmaConfig:
+    """896px variant: 4096 image tokens (google/paligemma-3b-pt-896 — the
+    highest-resolution official checkpoint, used for OCR/detail tasks).
+    Same towers; only image_size differs, exactly like the HF config."""
+    cfg = paligemma_3b_224()
+    return dataclasses.replace(
+        cfg,
+        vision_config=dataclasses.replace(cfg.vision_config, image_size=896),
+    )
+
+
 def tiny_test_config(vocab_size: int = 512) -> PaliGemmaConfig:
     """Tiny random-weight config for fast unit tests."""
     return PaliGemmaConfig(

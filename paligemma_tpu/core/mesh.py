@@ -122,6 +122,44 @@ def shard_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     )
 
 
+def fsdp_param_specs(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """ZeRO-3-style fully-sharded specs: extend the TP specs by sharding one
+    remaining axis of every large tensor over ``data``.
+
+    With parameters (and therefore gradients and optimizer state — optax
+    states mirror the param shardings) sharded over BOTH axes, per-device
+    state memory drops by ``data x model``; XLA all-gathers each weight at
+    use and reduce-scatters its gradient, the standard GSPMD lowering of
+    FSDP/ZeRO-3 (the "How to Scale Your Model" recipe — no hand-written
+    collectives). The reference has no analog (its distribution story is a
+    25-line gloo DDP demo, ref: test.py:6-25); this exists so FULL
+    fine-tunes fit when optimizer state would exceed one chip's HBM.
+
+    Rule: pick the LARGEST axis not already model-sharded whose size
+    divides the data-axis size (ties -> earliest); tensors smaller than
+    64 KiB stay replicated (all-gather latency would dominate)."""
+    d = int(mesh.shape["data"])
+    base = param_specs(params)
+    if d == 1:
+        return base
+
+    def rule(leaf, spec):
+        if leaf.ndim == 0 or leaf.size * leaf.dtype.itemsize < (1 << 16):
+            return spec
+        full = list(spec) + [None] * (leaf.ndim - len(spec))
+        cands = [
+            i for i in range(leaf.ndim)
+            if full[i] is None and leaf.shape[i] % d == 0 and leaf.shape[i] > 1
+        ]
+        if not cands:
+            return spec
+        ax = max(cands, key=lambda i: leaf.shape[i])
+        full[ax] = "data"
+        return P(*full)
+
+    return jax.tree.map(rule, params, base)
+
+
 def batch_spec() -> P:
     return P("data")
 

@@ -117,6 +117,12 @@ def _vision_attn_mode(cfg: PaliGemmaConfig, mesh, use_flash: bool) -> str:
         return "flash"
     if cfg.vision_config.head_dim % 128 == 0:
         return "flash"  # no pad waste; generic kernel is fine
+    if cfg.vision_config.num_patches >= 2048:
+        # long patch sequences flip the tradeoff: the materialized
+        # (H, S, S) scores dominate and flash wins despite the d-pad —
+        # measured at 896px/S=4096: 1190 vs 7728 us/layer attention-only,
+        # full tower 57.3 vs 100.0 ms (.bench/vision_attn_probe.py)
+        return "flash"
     return "xla"
 
 

@@ -42,6 +42,12 @@ class TrainConfig:
     freeze_vision: bool = True  # reference full-FT freezes vision+projector
     remat: bool = True
     use_flash: Optional[bool] = None  # None => auto (Pallas kernel on TPU)
+    # FSDP/ZeRO-3: shard params + grads + optimizer state over the mesh's
+    # "data" axis too (core/mesh.fsdp_param_specs) — XLA all-gathers weights
+    # at use and reduce-scatters gradients. Per-device state memory drops
+    # ~data-fold; the win is FULL fine-tunes whose AdamW moments (2x fp32
+    # params) exceed one chip. No-op without a mesh or at data == 1.
+    fsdp: bool = False
 
 
 def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
@@ -91,7 +97,11 @@ class Trainer:
         self.opt_state = self.opt.init(self._trainable(params, self.lora))
 
         if mesh is not None:
-            pspecs = mesh_lib.param_specs(params)
+            pspecs = (
+                mesh_lib.fsdp_param_specs(params, mesh)
+                if tc.fsdp else mesh_lib.param_specs(params)
+            )
+            self._pspecs = pspecs
             self.params = jax.tree.map(
                 lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, pspecs
             )
@@ -142,11 +152,31 @@ class Trainer:
             )
             return losses.causal_lm_loss(logits, batch["labels"], cfg.ignore_index)
 
+        # FSDP: pin the UPDATED trainable to the same fully-sharded layout
+        # it came in with, so every step keeps params/grads/opt-state
+        # distributed instead of drifting to whatever GSPMD propagates
+        t_constraint = None
+        if self.mesh is not None and tc.fsdp and tc.lora_rank is None:
+            tspecs = (
+                {"lm": self._pspecs["lm"]} if tc.freeze_vision
+                else self._pspecs
+            )
+            mesh_ = self.mesh
+            tshardings = jax.tree.map(
+                lambda s: NamedSharding(mesh_, s), tspecs,
+                is_leaf=lambda x: isinstance(x, P),
+            )
+            t_constraint = lambda t: jax.lax.with_sharding_constraint(  # noqa: E731
+                t, tshardings
+            )
+
         def step(params, lora, opt_state, batch):
             trainable = self._trainable(params, lora)
             loss, grads = jax.value_and_grad(loss_fn)(trainable, params, lora, batch)
             updates, opt_state = opt.update(grads, opt_state, trainable)
             trainable = optax.apply_updates(trainable, updates)
+            if t_constraint is not None:
+                trainable = t_constraint(trainable)
             params, lora = self._with_trainable(params, lora, trainable)
             return params, lora, opt_state, loss
 

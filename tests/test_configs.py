@@ -28,6 +28,23 @@ def test_3b_448_has_1024_image_tokens():
     assert cfg.text_config.num_image_tokens == 1024
 
 
+def test_3b_896_has_4096_image_tokens():
+    """google/paligemma-3b-pt-896: highest-res official checkpoint."""
+    from paligemma_tpu.core.config import paligemma_3b_896
+
+    cfg = paligemma_3b_896()
+    assert cfg.vision_config.num_patches == 4096
+    assert cfg.text_config.num_image_tokens == 4096
+    # towers are identical to 224/448 — only image_size differs (HF config)
+    assert cfg.vision_config.hidden_size == 1152
+    assert cfg.text_config.hidden_size == 2048
+    # long patch sequences take the flash vision path off-mesh
+    # (measured 57.3 vs 100.0 ms full tower — models/paligemma docstring)
+    from paligemma_tpu.models.paligemma import _vision_attn_mode
+
+    assert _vision_attn_mode(cfg, None, True) == "flash"
+
+
 def test_from_hf_dict_mirrors_checkpoint_config():
     """Shape of google/paligemma-3b-pt-224's config.json."""
     hf = {
