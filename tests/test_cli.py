@@ -469,17 +469,31 @@ def test_serve_cli_friendly_errors(checkpoint_dir, tmp_path, capsys):
     assert ei.value.code == 2
     assert "--requests_jsonl" in capsys.readouterr().err
 
-    # paged engine shards weights only (pure TP) — a data axis is invalid
+    # DENSE engine shards weights only (pure TP) — a data axis is invalid
+    # there (the PAGED engine accepts one: slots + pool shard over "data")
     with pytest.raises(SystemExit) as ei:
         main([
             "--model_path", checkpoint_dir,
-            "--engine", "paged",
+            "--engine", "dense",
             "--requests_jsonl", "-",
             "--data_parallel", "2",
             "--only_cpu",
         ])
     assert ei.value.code == 2
     assert "pure TP" in capsys.readouterr().err
+
+    # paged DP: slot count must divide over the data shards
+    with pytest.raises(SystemExit) as ei:
+        main([
+            "--model_path", checkpoint_dir,
+            "--engine", "paged",
+            "--requests_jsonl", "-",
+            "--data_parallel", "2",
+            "--max_slots", "3",
+            "--only_cpu",
+        ])
+    assert ei.value.code == 2
+    assert "divide" in capsys.readouterr().err
 
     # malformed request JSON
     bad = tmp_path / "bad.jsonl"
