@@ -66,6 +66,10 @@ def _build_parser():
                         "(default: half the dense reservation)")
     p.add_argument("--sync_every", type=int, default=8,
                    help="decode ticks per host synchronization")
+    p.add_argument("--prefix_cache", action="store_true",
+                   help="paged engine: exact-match prefix KV reuse — a "
+                        "byte-identical (image, prompt) pair seats with no "
+                        "prefill (prefix-LM allows exact matches only)")
     p.add_argument("--max_new_tokens", type=int, default=100,
                    help="default per-request budget")
     p.add_argument("--quantize_int8", action="store_true",
@@ -126,6 +130,9 @@ def build_server(args):
         image_size=config.vision_config.image_size,
     )
 
+    require(args.engine == "paged" or not args.prefix_cache,
+            "--prefix_cache needs --engine paged (the page pool is what "
+            "makes zero-copy prefix sharing possible)")
     mesh = None
     if args.data_parallel * args.model_parallel > 1:
         # dense serving is pure TP (slots are the batch; see
@@ -147,6 +154,7 @@ def build_server(args):
             max_seq_len=args.max_seq_len, page_size=args.page_size,
             n_pages=args.n_pages, decode_params=decode_params,
             sync_every=args.sync_every, mesh=mesh,
+            prefix_cache=args.prefix_cache,
         )
     else:
         engine = ServingEngine(

@@ -103,6 +103,18 @@ class PageAllocator:
     def free(self, owner: int) -> None:
         self._free.update(self._owned.pop(owner, []))
 
+    def transfer(self, frm: int, to: int, n: int) -> List[int]:
+        """Move ownership of ``frm``'s FIRST ``n`` pages to ``to`` (no device
+        work — the physical ids are unchanged). Used by the prefix cache to
+        adopt a slot's full-prefix pages without copying them."""
+        owned = self._owned.get(frm, [])
+        assert len(owned) >= n, (frm, owned, n)
+        moved, self._owned[frm] = owned[:n], owned[n:]
+        if not self._owned[frm]:
+            del self._owned[frm]
+        self._owned.setdefault(to, []).extend(moved)
+        return moved
+
 
 class PagedKVCache:
     """Device page pool + page-table mirror for a fixed slot count.
@@ -157,6 +169,10 @@ class PagedKVCache:
         # harmlessly
         self._table_np = np.zeros((max_slots, max_pages_per_slot), np.int32)
         self._table_dev: Optional[jnp.ndarray] = None  # uploaded lazily
+        # prefix-cache support: leading table entries a slot BORROWS from a
+        # shared read-only prefix (owned by a cache entry, not the slot);
+        # grow_to appends the slot's own pages after them
+        self._borrowed: Dict[int, int] = {}
 
     @property
     def alloc(self) -> PageAllocator:
@@ -182,7 +198,8 @@ class PagedKVCache:
         if need > self.max_pages_per_slot:
             return False
         alloc = self._allocs[self.shard_of(slot)]
-        have = len(alloc.pages_of(slot))
+        borrowed = self._borrowed.get(slot, 0)
+        have = borrowed + len(alloc.pages_of(slot))
         if need <= have:
             return True
         got = alloc.alloc(slot, need - have)
@@ -191,14 +208,28 @@ class PagedKVCache:
         pages = alloc.pages_of(slot)
         self._table_np[slot, have:need] = got
         self._table_dev = None  # invalidate device mirror
-        assert self._table_np[slot, : len(pages)].tolist() == pages
+        assert (
+            self._table_np[slot, borrowed: borrowed + len(pages)].tolist()
+            == pages
+        )
         return True
+
+    def set_borrowed(self, slot: int, pages: List[int]) -> None:
+        """Point the leading table entries of ``slot`` at shared read-only
+        pages it does NOT own (a prefix-cache hit). Must run before any
+        grow_to for the slot."""
+        assert not self._allocs[self.shard_of(slot)].pages_of(slot), slot
+        self._table_np[slot, : len(pages)] = pages
+        self._borrowed[slot] = len(pages)
+        self._table_dev = None
 
     def release(self, slot: int) -> None:
         """Free the slot's pages and point its table row back at the garbage
         page — a retired slot must never address pages that may be
-        reallocated to a live request."""
+        reallocated to a live request. Borrowed prefix pages are NOT freed
+        (their cache entry owns them); the engine drops the refcount."""
         self._allocs[self.shard_of(slot)].free(slot)
+        self._borrowed.pop(slot, None)
         self._table_np[slot, :] = 0
         self._table_dev = None
 

@@ -332,6 +332,7 @@ class ServingEngine:
         self._key = jax.random.PRNGKey(0)
         self._generated: Dict[int, int] = {}  # absorbed (synced) tokens
         self._dispatched: Dict[int, int] = {}  # dispatched (incl. in-flight)
+        self.prefill_calls = 0  # observability: batched prefill dispatches
         self.sync_every = max(1, sync_every)
         if pipeline is None:
             pipeline = jax.default_backend() == "tpu"
@@ -493,6 +494,12 @@ class ServingEngine:
     def _release_slot(self, slot: int) -> None:
         """Called when a request retires (backend hook — paged frees pages)."""
 
+    def _insert_cached(self, slot: int, req: Request) -> bool:
+        """Fast-insert hook: seat ``req`` in ``slot`` WITHOUT a prefill
+        (e.g. a prefix-cache hit in the paged engine). Returns False (the
+        default) to route the request through the normal grouped prefill."""
+        return False
+
     def _fill_slots(self) -> None:
         free = [i for i in range(self.max_slots) if self.slots[i] is None]
         if not free or not self.pending:
@@ -501,23 +508,36 @@ class ServingEngine:
         if not take:
             return
 
+        # assign slots up front; cache hits seat immediately (no prefill)
+        need_prefill = []
+        for req in take:
+            slot = self._take_slot(free, req)
+            if self._insert_cached(slot, req):
+                self.slots[slot] = req
+                self._generated[req.request_id] = 0
+                self._dispatched[req.request_id] = 0
+            else:
+                need_prefill.append((slot, req))
+        if not need_prefill:
+            return
+
         # group by prompt-length bucket so each group prefills as one batch;
         # batch sizes are rounded up to powers of two (rows replicated) to
         # bound the number of compiled (batch, bucket) shapes
         groups: Dict[int, list] = {}
-        for req in take:
+        for slot, req in need_prefill:
             bucket = self._bucket_of(req)
-            groups.setdefault(bucket, []).append(req)
+            groups.setdefault(bucket, []).append((slot, req))
 
-        for bucket, reqs in groups.items():
-            n = len(reqs)
+        for bucket, seated in groups.items():
+            n = len(seated)
             n_pad = 1 << (n - 1).bit_length()  # next power of two
             ids_np = np.zeros((n_pad, bucket), np.int32)
             mask_np = np.zeros((n_pad, bucket), np.int32)
             pfx_np = np.zeros((n_pad,), np.int32)
-            pix_np = np.zeros((n_pad,) + tuple(reqs[0].pixel_values.shape),
+            pix_np = np.zeros((n_pad,) + tuple(seated[0][1].pixel_values.shape),
                               np.float32)
-            for r, req in enumerate(reqs):
+            for r, (_, req) in enumerate(seated):
                 s = len(req.input_ids)
                 ids_np[r, :s] = req.input_ids
                 mask_np[r, :s] = 1
@@ -535,8 +555,8 @@ class ServingEngine:
                 self.params, jnp.asarray(pix_np), jnp.asarray(ids_np), mask,
                 jnp.asarray(pfx_np), cache1,
             )
-            for r, req in enumerate(reqs):
-                slot = self._take_slot(free, req)
+            self.prefill_calls += 1
+            for r, (slot, req) in enumerate(seated):
                 self._insert_row(slot, req, r, cache1, mask, last_logits)
                 self.slots[slot] = req
                 self._generated[req.request_id] = 0

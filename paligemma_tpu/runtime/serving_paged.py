@@ -29,6 +29,8 @@ modeling_gemma.py:8-64) — paging has no analog there at all.
 from __future__ import annotations
 
 import functools
+import hashlib
+from collections import OrderedDict
 from typing import Any, Dict, List, Optional
 
 import jax
@@ -57,6 +59,8 @@ class PagedServingEngine(ServingEngine):
         sync_every: int = 8,
         mesh=None,
         paged_kernel: str = "fused",
+        prefix_cache: bool = False,
+        prefix_cache_entries: int = 8,
     ):
         """``n_pages``: physical pool size (default: half the dense engine's
         reservation — the honest demonstration that more slots fit in less
@@ -79,9 +83,33 @@ class PagedServingEngine(ServingEngine):
         weight bandwidth — see docs/PERFORMANCE.md). Pure DP (model == 1)
         runs the single-chip kernel paths per shard under shard_map;
         DP x TP requires the fused TP paged geometry (local page ids rule
-        out the GSPMD XLA fallback)."""
+        out the GSPMD XLA fallback).
+
+        ``prefix_cache``: EXACT-match prefix KV reuse. PaliGemma's
+        prefix-LM mask makes the image+prompt prefix fully bidirectional
+        (ref: modeling_paligemma.py:149-169), so — unlike causal-LM prefix
+        caching — KV is reusable only for byte-identical (input_ids,
+        pixel_values) pairs; any prefix edit invalidates every position.
+        When a prompt prefills, ownership of its full prefix pages
+        transfers to a refcounted cache entry (zero copy) and the one
+        partial tail page is copied once; a later identical request seats
+        WITHOUT any prefill — it borrows the shared read-only pages, gets
+        a private copy of the tail page (decode writes into it), and
+        resumes from the stored last-logits row. LRU eviction at zero
+        refcount under pool pressure; best-effort (registration is skipped
+        when the pool is full). Single data shard only."""
         assert max_seq_len % page_size == 0, (max_seq_len, page_size)
         self.dp = int(mesh.shape.get("data", 1)) if mesh is not None else 1
+        if prefix_cache:
+            assert (
+                mesh is None or int(mesh.shape.get("data", 1)) == 1
+            ), "prefix_cache supports a single data shard"
+        self.prefix_cache = prefix_cache
+        self.prefix_cache_entries = prefix_cache_entries
+        self._pcache: "OrderedDict[bytes, Dict[str, Any]]" = OrderedDict()
+        self._slot_borrow: Dict[int, bytes] = {}
+        self._next_entry_owner = -2  # cache-entry owner ids: negative ints
+        self.cache_hits = 0  # observability: prefills skipped via the cache
         if self.dp > 1:
             # DP prefill takes the GSPMD XLA attention path: the sharded
             # flash kernel shards the prefill batch over "data", but
@@ -334,10 +362,30 @@ class PagedServingEngine(ServingEngine):
                 ),
             }
 
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def _copy_page(pool, src, dst):
+            """Duplicate one physical page (all layers, K and V) — the
+            prefix cache's tail-page copy in both directions."""
+            zero = jnp.zeros((), jnp.int32)
+            n_layers = pool["k"].shape[0]
+            sizes = (n_layers, 1) + pool["k"].shape[2:]
+            for n in ("k", "v"):
+                chunk = jax.lax.dynamic_slice(
+                    pool[n], (zero, src, zero, zero, zero), sizes
+                )
+                pool = {
+                    **pool,
+                    n: jax.lax.dynamic_update_slice(
+                        pool[n], chunk, (zero, dst, zero, zero, zero)
+                    ),
+                }
+            return pool
+
         self._insert_paged = _insert_paged
         self._insert_paged_dp = _insert_paged_dp
         self._decode_all_paged = _decode_all_paged
         self._set_slot_state = _set_slot_state
+        self._copy_page = _copy_page
 
     # -- backend hooks --------------------------------------------------
     def _check_mesh(self, mesh) -> None:
@@ -410,6 +458,14 @@ class PagedServingEngine(ServingEngine):
             cands = [
                 s for s in shards if free_by_shard[s] and budget[s] >= need
             ]
+            if not cands and self._pcache and self._evict_pcache():
+                budget = {s: self.paged.free_pages(s) for s in shards}
+                for r2 in take:  # re-subtract what this round already took
+                    n2 = self.paged.pages_for(self._bucket_of(r2)) + 1
+                    budget[self.paged.shard_of(self._planned[r2.request_id])] -= n2
+                cands = [
+                    s for s in shards if free_by_shard[s] and budget[s] >= need
+                ]
             if not cands:
                 break
             s = max(cands, key=lambda x: budget[x])
@@ -425,6 +481,104 @@ class PagedServingEngine(ServingEngine):
             return free.pop(0)
         free.remove(slot)
         return slot
+
+    # -- prefix cache (exact-match; see __init__ docstring) ---------------
+    def _pcache_key(self, req: Request) -> Optional[bytes]:
+        if not self.prefix_cache or req.prefix_len is not None:
+            # recompute requests (prompt + regenerated tokens) are not
+            # cacheable: their suffix was produced causally
+            return None
+        h = hashlib.sha1()
+        h.update(np.asarray(req.input_ids, np.int32).tobytes())
+        h.update(np.ascontiguousarray(
+            np.asarray(req.pixel_values, np.float32)).tobytes())
+        return h.digest()
+
+    def _insert_cached(self, slot: int, req: Request) -> bool:
+        key = self._pcache_key(req)
+        entry = self._pcache.get(key) if key is not None else None
+        if entry is None:
+            return False
+        prompt_len = len(req.input_ids)
+        assert entry["prompt_len"] == prompt_len  # sha1(ids) fixes the len
+        self.paged.set_borrowed(slot, entry["full_pages"])
+        if entry["tail_page"] is not None:
+            if not self.paged.grow_to(slot, prompt_len):
+                self.paged.release(slot)  # clears the borrowed row
+                return False  # pool full — fall back to a normal prefill
+            dst = self.paged.slot_pages(slot)[0]
+            self.cache = self._copy_page(
+                self.cache, jnp.asarray(entry["tail_page"], jnp.int32),
+                jnp.asarray(dst, jnp.int32),
+            )
+        self.state = self._set_slot_state(
+            self.state, jnp.asarray(slot, jnp.int32),
+            jnp.asarray(prompt_len, jnp.int32), jnp.asarray(0, jnp.int32),
+            entry["logits"][None],
+        )
+        entry["refs"] += 1
+        self._pcache.move_to_end(key)
+        self._slot_borrow[slot] = key
+        self._admission_order.append(slot)
+        self.cache_hits += 1
+        return True
+
+    def _register_prefix(self, slot: int, req: Request, key: bytes,
+                         row: int, last_logits) -> None:
+        """Adopt a freshly-prefilled slot's prefix into the cache: transfer
+        its full pages (no copy), copy its partial tail page (decode will
+        write into the slot's copy), store the last-logits row."""
+        ps = self.page_size
+        prompt_len = len(req.input_ids)
+        n_full = prompt_len // ps
+        alloc = self.paged._allocs[self.paged.shard_of(slot)]
+        owner = self._next_entry_owner
+        tail_page = None
+        if prompt_len % ps:
+            got = alloc.alloc(owner, 1)
+            if got is None:
+                return  # best-effort: no room for the tail copy
+            tail_page = got[0]
+            src = alloc.pages_of(slot)[n_full]
+            self.cache = self._copy_page(
+                self.cache, jnp.asarray(src, jnp.int32),
+                jnp.asarray(tail_page, jnp.int32),
+            )
+        self._next_entry_owner -= 1
+        full_pages = alloc.transfer(slot, owner, n_full)
+        if n_full:
+            self.paged._borrowed[slot] = n_full
+        logits_row = jnp.copy(
+            jax.lax.dynamic_slice_in_dim(last_logits, row, 1, axis=0)[0]
+        )
+        self._pcache[key] = dict(
+            owner=owner, full_pages=full_pages, tail_page=tail_page,
+            prompt_len=prompt_len, logits=logits_row, refs=1,
+        )
+        self._slot_borrow[slot] = key
+        # capacity: drop the least-recently-used unreferenced entries
+        while len(self._pcache) > self.prefix_cache_entries:
+            victim = next(
+                (k for k, e in self._pcache.items() if e["refs"] <= 0), None
+            )
+            if victim is None:
+                break
+            self._free_entry(victim)
+
+    def _free_entry(self, key: bytes) -> None:
+        e = self._pcache.pop(key)
+        self.paged._allocs[0].free(e["owner"])
+
+    def _evict_pcache(self) -> int:
+        """Free every unreferenced cache entry (LRU first); returns pages
+        recovered. Called under pool pressure before preempting live work."""
+        freed = 0
+        for k in list(self._pcache):
+            e = self._pcache[k]
+            if e["refs"] <= 0:
+                freed += len(e["full_pages"]) + (e["tail_page"] is not None)
+                self._free_entry(k)
+        return freed
 
     def _insert_row(self, slot: int, req: Request, row: int, cache1, mask,
                     last_logits) -> None:
@@ -452,8 +606,14 @@ class PagedServingEngine(ServingEngine):
             jnp.asarray(row, jnp.int32), last_logits,
         )
         self._admission_order.append(slot)
+        key = self._pcache_key(req)
+        if key is not None and key not in self._pcache:
+            self._register_prefix(slot, req, key, row, last_logits)
 
     def _release_slot(self, slot: int) -> None:
+        key = self._slot_borrow.pop(slot, None)
+        if key is not None and key in self._pcache:
+            self._pcache[key]["refs"] -= 1
         self.paged.release(slot)
         if slot in self._admission_order:
             self._admission_order.remove(slot)
@@ -469,6 +629,10 @@ class PagedServingEngine(ServingEngine):
                 continue
             need = len(req.input_ids) + self._dispatched[req.request_id] + ticks
             while not self.paged.grow_to(slot, min(need, self.max_seq_len)):
+                # cheapest relief first: drop unreferenced prefix-cache
+                # entries before preempting live work
+                if self._pcache and self._evict_pcache():
+                    continue
                 # pages come from the slot's own DATA shard — only evicting
                 # a neighbor on the SAME shard frees anything useful
                 victim = self._preempt_youngest(

@@ -1,0 +1,140 @@
+"""Exact-match prefix caching on the paged serving engine.
+
+PaliGemma's prefix-LM mask makes the whole image+prompt prefix
+bidirectional (ref: modeling_paligemma.py:149-169), so prefix KV reuse is
+valid ONLY for byte-identical (input_ids, pixel_values) pairs — any edit
+anywhere in the prefix changes every position's KV. The cache therefore
+memoizes full prefixes: a hit seats with ZERO prefill work, borrowing the
+entry's read-only pages and copying only the partial tail page.
+Contract: tokens identical to the uncached engine, fewer prefill calls.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from paligemma_tpu.core.config import tiny_test_config
+from paligemma_tpu.models import paligemma
+from paligemma_tpu.runtime.serving import Request
+from paligemma_tpu.runtime.serving_paged import PagedServingEngine
+
+CFG = tiny_test_config()
+
+
+def _req(rid, seed, n_txt, max_new, do_sample=False):
+    rng = np.random.default_rng(seed)
+    n_img = CFG.vision_config.num_patches
+    ids = np.concatenate(
+        [np.full((n_img,), CFG.image_token_index),
+         rng.integers(3, 100, (n_txt,))]
+    ).astype(np.int32)
+    pixels = rng.normal(size=(3, 28, 28)).astype(np.float32)
+    return Request(
+        request_id=rid, input_ids=ids, pixel_values=pixels,
+        max_new_tokens=max_new, do_sample=do_sample, eos_token_id=-1,
+    )
+
+
+def _engine(params, **kw):
+    base = dict(max_slots=2, max_seq_len=32, page_size=16, use_flash=False)
+    base.update(kw)
+    return PagedServingEngine(params, CFG, **base)
+
+
+def _run(eng, reqs):
+    for r in reqs:
+        eng.submit(r)
+    done = eng.run_to_completion()
+    return {r.request_id: list(r.tokens) for r in done}
+
+
+def test_hit_skips_prefill_same_tokens():
+    """The SAME request three times through one slot (serialized, so the
+    entry registered by request 1 is visible to 2 and 3): exactly one
+    prefill, two hits, identical tokens. Same-WAVE duplicates do not
+    coalesce (the entry registers after the wave's batched prefill) —
+    they are merely not-hits, never wrong. seed fixed => identical
+    ids + pixels; prompt 8 tokens over page 16 => tail-page-only entry."""
+    params = paligemma.init_params(jax.random.PRNGKey(0), CFG)
+
+    plain = _engine(params, max_slots=1)
+    want = _run(plain, [_req(i, 7, 4, 5) for i in range(3)])
+
+    cached = _engine(params, max_slots=1, prefix_cache=True)
+    got = _run(cached, [_req(i, 7, 4, 5) for i in range(3)])
+    assert got == want
+    assert cached.cache_hits == 2
+    assert cached.prefill_calls == 1 and plain.prefill_calls == 3
+
+
+def test_page_aligned_prefix_shares_pages():
+    """prompt_len == k * page_size: full pages shared (no tail copy) and
+    hits still decode correct tokens past the shared region."""
+    params = paligemma.init_params(jax.random.PRNGKey(0), CFG)
+    # 4 image + 12 text = 16 tokens = exactly one page
+    mk = lambda: [_req(i, 11, 12, 6) for i in range(3)]
+
+    want = _run(_engine(params, max_slots=1), mk())
+    eng = _engine(params, max_slots=1, prefix_cache=True)
+    got = _run(eng, mk())
+    assert got == want
+    assert eng.cache_hits == 2
+    (entry,) = eng._pcache.values()
+    assert entry["tail_page"] is None and len(entry["full_pages"]) == 1
+
+
+def test_distinct_prompts_do_not_collide():
+    params = paligemma.init_params(jax.random.PRNGKey(0), CFG)
+    reqs = [_req(0, 1, 4, 5), _req(1, 2, 4, 5), _req(2, 1, 4, 5)]
+    ref = [_req(0, 1, 4, 5), _req(1, 2, 4, 5), _req(2, 1, 4, 5)]
+
+    want = _run(_engine(params), ref)
+    eng = _engine(params, prefix_cache=True)
+    got = _run(eng, reqs)
+    assert got == want
+    assert eng.cache_hits == 1  # only the seed-1 repeat hits
+
+
+def test_eviction_under_pool_pressure():
+    """A tiny pool: unreferenced entries are evicted so live requests can
+    still grow; everything completes with the uncached engine's tokens."""
+    params = paligemma.init_params(jax.random.PRNGKey(0), CFG)
+    reqs = [_req(0, 5, 4, 20), _req(1, 6, 4, 20), _req(2, 5, 4, 20)]
+    ref = [_req(0, 5, 4, 20), _req(1, 6, 4, 20), _req(2, 5, 4, 20)]
+
+    want = _run(_engine(params, max_seq_len=64, n_pages=32), ref)
+    eng = _engine(
+        params, prefix_cache=True, max_seq_len=64, n_pages=8, sync_every=4,
+    )
+    got = _run(eng, reqs)
+    assert got == want
+
+
+def test_sampling_hits_reuse_logits():
+    """do_sample hits resume from the stored logits row: same RNG stream =>
+    same tokens as the uncached engine."""
+    params = paligemma.init_params(jax.random.PRNGKey(0), CFG)
+    mk = lambda: [
+        Request(
+            request_id=i, input_ids=_req(0, 3, 4, 4).input_ids,
+            pixel_values=_req(0, 3, 4, 4).pixel_values,
+            max_new_tokens=4, do_sample=True, temperature=0.7, top_p=0.9,
+            eos_token_id=-1,
+        )
+        for i in range(2)
+    ]
+    want = _run(_engine(params, max_slots=1), mk())
+    eng = _engine(params, max_slots=1, prefix_cache=True)
+    got = _run(eng, mk())
+    assert got == want and eng.cache_hits == 1
+
+
+def test_dp_mesh_rejects_prefix_cache():
+    from paligemma_tpu.core.mesh import make_mesh
+
+    params = paligemma.init_params(jax.random.PRNGKey(0), CFG)
+    with pytest.raises(AssertionError):
+        PagedServingEngine(
+            params, CFG, max_slots=2, max_seq_len=32, page_size=16,
+            use_flash=False, mesh=make_mesh(2, 1), prefix_cache=True,
+        )
