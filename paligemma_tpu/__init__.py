@@ -29,6 +29,14 @@ def __getattr__(name):
         from .runtime.serving import ServingEngine
 
         return ServingEngine
+    if name == "PagedServingEngine":
+        from .runtime.serving_paged import PagedServingEngine
+
+        return PagedServingEngine
+    if name == "Request":
+        from .runtime.serving import Request
+
+        return Request
     if name == "PaliGemmaProcessor":
         from .processing.processor import PaliGemmaProcessor
 

@@ -500,6 +500,15 @@ class ServingEngine:
         default) to route the request through the normal grouped prefill."""
         return False
 
+    def _wave_key(self, req: Request):
+        """Same-wave dedup key (backend hook). When two requests admitted in
+        ONE wave return the same non-None key, the second defers a pass: the
+        first (the leader) prefills and registers its prefix-cache entry,
+        then the follower seats from that entry via ``_insert_cached`` —
+        N identical popular-query requests submitted together cost ONE
+        prefill row instead of N. ``None`` (the default) never coalesces."""
+        return None
+
     def _fill_slots(self) -> None:
         free = [i for i in range(self.max_slots) if self.slots[i] is None]
         if not free or not self.pending:
@@ -507,20 +516,35 @@ class ServingEngine:
         take = self._admit(free)
         if not take:
             return
-
-        # assign slots up front; cache hits seat immediately (no prefill)
-        need_prefill = []
-        for req in take:
-            slot = self._take_slot(free, req)
-            if self._insert_cached(slot, req):
-                self.slots[slot] = req
-                self._generated[req.request_id] = 0
-                self._dispatched[req.request_id] = 0
-            else:
+        assigned = [(self._take_slot(free, req), req) for req in take]
+        while assigned:
+            # cache hits seat immediately (no prefill); same-wave duplicates
+            # of a request that is ABOUT to prefill defer one pass and seat
+            # from its freshly-registered entry on the next loop iteration
+            need_prefill, deferred = [], []
+            leaders = set()
+            for slot, req in assigned:
+                if self._insert_cached(slot, req):
+                    self.slots[slot] = req
+                    self._generated[req.request_id] = 0
+                    self._dispatched[req.request_id] = 0
+                    continue
+                key = self._wave_key(req)
+                if key is not None and key in leaders:
+                    deferred.append((slot, req))
+                    continue
+                if key is not None:
+                    leaders.add(key)
                 need_prefill.append((slot, req))
+            self._prefill_wave(need_prefill)
+            # a deferred follower whose leader failed to register (e.g. no
+            # room for the entry) re-enters here, becomes its own leader,
+            # and prefills — each iteration makes progress
+            assigned = deferred
+
+    def _prefill_wave(self, need_prefill: list) -> None:
         if not need_prefill:
             return
-
         # group by prompt-length bucket so each group prefills as one batch;
         # batch sizes are rounded up to powers of two (rows replicated) to
         # bound the number of compiled (batch, bucket) shapes

@@ -494,6 +494,14 @@ class PagedServingEngine(ServingEngine):
             np.asarray(req.pixel_values, np.float32)).tobytes())
         return h.digest()
 
+    def _wave_key(self, req: Request):
+        """Coalesce same-wave duplicates: N byte-identical requests admitted
+        together prefill ONCE — the leader registers the prefix-cache entry,
+        the followers defer a pass and seat from it (serving.py
+        ``_fill_slots``). Without this every duplicate in the first wave of
+        a popular query prefilled redundantly."""
+        return self._pcache_key(req)
+
     def _insert_cached(self, slot: int, req: Request) -> bool:
         key = self._pcache_key(req)
         entry = self._pcache.get(key) if key is not None else None
@@ -514,7 +522,7 @@ class PagedServingEngine(ServingEngine):
         self.state = self._set_slot_state(
             self.state, jnp.asarray(slot, jnp.int32),
             jnp.asarray(prompt_len, jnp.int32), jnp.asarray(0, jnp.int32),
-            entry["logits"][None],
+            entry["logits"],
         )
         entry["refs"] += 1
         self._pcache.move_to_end(key)
@@ -548,8 +556,11 @@ class PagedServingEngine(ServingEngine):
         full_pages = alloc.transfer(slot, owner, n_full)
         if n_full:
             self.paged._borrowed[slot] = n_full
+        # stored as (1, vocab) — exactly the shape _set_slot_state takes, so
+        # a hit dispatches no reshape (the first [None] reshape costs a
+        # ~0.4 s compile that would otherwise land on the first hit)
         logits_row = jnp.copy(
-            jax.lax.dynamic_slice_in_dim(last_logits, row, 1, axis=0)[0]
+            jax.lax.dynamic_slice_in_dim(last_logits, row, 1, axis=0)
         )
         self._pcache[key] = dict(
             owner=owner, full_pages=full_pages, tail_page=tail_page,
@@ -812,4 +823,16 @@ class PagedServingEngine(ServingEngine):
                 jnp.zeros((self.max_slots,), bool),
                 with_sampling=with_sampling, pages_bucket=pb,
                 kernel=self._kernel_for_bucket(pb),
+            )
+        if self.prefix_cache:
+            # pre-compile the hit-seating path (tail-page copy + slot-state
+            # set): otherwise the FIRST cache hit pays ~1 s of compiles
+            scratch = jax.tree.map(jnp.copy, self.paged.pool)
+            self._copy_page(
+                scratch, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)
+            )
+            self._set_slot_state(
+                self._zero_state(), jnp.zeros((), jnp.int32),
+                jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+                jnp.zeros((1, self.config.vocab_size), jnp.float32),
             )

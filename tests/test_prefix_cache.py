@@ -51,9 +51,7 @@ def _run(eng, reqs):
 def test_hit_skips_prefill_same_tokens():
     """The SAME request three times through one slot (serialized, so the
     entry registered by request 1 is visible to 2 and 3): exactly one
-    prefill, two hits, identical tokens. Same-WAVE duplicates do not
-    coalesce (the entry registers after the wave's batched prefill) —
-    they are merely not-hits, never wrong. seed fixed => identical
+    prefill, two hits, identical tokens. seed fixed => identical
     ids + pixels; prompt 8 tokens over page 16 => tail-page-only entry."""
     params = paligemma.init_params(jax.random.PRNGKey(0), CFG)
 
@@ -127,6 +125,35 @@ def test_sampling_hits_reuse_logits():
     eng = _engine(params, max_slots=1, prefix_cache=True)
     got = _run(eng, mk())
     assert got == want and eng.cache_hits == 1
+
+
+def test_same_wave_duplicates_coalesce():
+    """FOUR identical requests admitted in ONE wave: the leader prefills
+    (a batch-1 call), the three followers defer a scheduler pass and seat
+    from its freshly-registered entry — one prefill call, three hits,
+    tokens identical to the uncached engine (serving.py _fill_slots /
+    serving_paged._wave_key)."""
+    params = paligemma.init_params(jax.random.PRNGKey(0), CFG)
+    mk = lambda: [_req(i, 9, 4, 5) for i in range(4)]
+
+    want = _run(_engine(params, max_slots=4, n_pages=16), mk())
+    eng = _engine(params, max_slots=4, n_pages=16, prefix_cache=True)
+    got = _run(eng, mk())
+    assert got == want
+    assert eng.prefill_calls == 1 and eng.cache_hits == 3
+
+
+def test_same_wave_mixed_uniques_coalesce():
+    """2 unique prompts x 2 copies in one wave: both uniques prefill in one
+    grouped batch, each duplicate seats from its own leader's entry."""
+    params = paligemma.init_params(jax.random.PRNGKey(0), CFG)
+    mk = lambda: [_req(i, seed, 4, 5) for i, seed in enumerate((1, 2, 1, 2))]
+
+    want = _run(_engine(params, max_slots=4, n_pages=16), mk())
+    eng = _engine(params, max_slots=4, n_pages=16, prefix_cache=True)
+    got = _run(eng, mk())
+    assert got == want
+    assert eng.prefill_calls == 1 and eng.cache_hits == 2
 
 
 def test_dp_mesh_rejects_prefix_cache():
