@@ -204,6 +204,28 @@ def main():
             return round(time_decode(qengine, p8, i8, m8, n_chunks=6), 2)
 
         extra["int8_batch8_decode_tokens_per_sec"] = attempt("int8_b8", b8)
+
+        def spec():
+            # n-gram speculative decoding (device-resident prompt lookup):
+            # tokens identical to greedy; rate depends on output
+            # repetitiveness (random weights decode into loops, so this is
+            # the near-full-acceptance regime — see docs/PERFORMANCE.md)
+            best = None
+            for rep in range(3):
+                t0 = time.perf_counter()
+                out = qengine.generate_spec(
+                    pixels_j, ids_j, mask_j, max_new_tokens=256,
+                    eos_token_id=-1, draft_k=8, match_n=2,
+                )
+                dt = time.perf_counter() - t0
+                if rep:
+                    best = dt if best is None else min(best, dt)
+            extra["spec_accepted_per_cycle"] = round(
+                out.shape[1] / qengine.spec_cycles, 2
+            )
+            return round(out.shape[1] / best, 2)
+
+        extra["int8_spec_decode_tokens_per_sec"] = attempt("spec", spec)
         qengine = None
         gc.collect()
 

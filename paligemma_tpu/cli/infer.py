@@ -47,6 +47,14 @@ def _main(argv=None):
     p.add_argument("--model_parallel", type=int, default=1,
                    help="tensor-parallel over a Mesh('data','model'); on a "
                         "v5e-8 slice use --model_parallel 8")
+    p.add_argument("--speculative", action="store_true",
+                   help="n-gram speculative decoding (greedy, single "
+                        "image/prompt): propose draft tokens from the "
+                        "prompt/history on device and verify them in one "
+                        "forward — identical tokens, faster on repetitive "
+                        "outputs (runtime.engine.generate_spec)")
+    p.add_argument("--draft_k", type=int, default=8,
+                   help="draft tokens proposed per speculative cycle")
     p.add_argument("--decode_detections", action="store_true",
                    help="parse <loc####>/<seg###> tokens in the output "
                         "('detect ...' / 'segment ...' prompts) and print "
@@ -107,16 +115,29 @@ def _main(argv=None):
         mesh=mesh,
     )
     print("Running inference")
-    tokens = engine.generate(
-        jnp.asarray(inputs["pixel_values"]),
-        jnp.asarray(inputs["input_ids"]),
-        jnp.asarray(inputs["attention_mask"]),
-        max_new_tokens=args.max_tokens_to_generate,
-        temperature=args.temperature,
-        top_p=args.top_p,
-        do_sample=args.do_sample,
-        key=jax.random.PRNGKey(args.seed),
-    )
+    if args.speculative:
+        require(not args.do_sample,
+                "--speculative is greedy-only; drop --do_sample")
+        require(len(prompts) == 1,
+                "--speculative serves one image/prompt at a time")
+        tokens = engine.generate_spec(
+            jnp.asarray(inputs["pixel_values"]),
+            jnp.asarray(inputs["input_ids"]),
+            jnp.asarray(inputs["attention_mask"]),
+            max_new_tokens=args.max_tokens_to_generate,
+            draft_k=args.draft_k,
+        )
+    else:
+        tokens = engine.generate(
+            jnp.asarray(inputs["pixel_values"]),
+            jnp.asarray(inputs["input_ids"]),
+            jnp.asarray(inputs["attention_mask"]),
+            max_new_tokens=args.max_tokens_to_generate,
+            temperature=args.temperature,
+            top_p=args.top_p,
+            do_sample=args.do_sample,
+            key=jax.random.PRNGKey(args.seed),
+        )
     for prompt, row, image in zip(prompts, tokens, images):
         decoded = tokenizer.decode(row, skip_special_tokens=True)
         print(prompt + decoded)

@@ -345,6 +345,55 @@ def decode_step_greedy(
     return tok, kv_cache
 
 
+def decode_verify(
+    params: Params,
+    cfg: PaliGemmaConfig,
+    tokens: jnp.ndarray,  # (B, s) int32 — last accepted token + s-1 draft
+    kv_cache: gemma.KVCache,
+    cache_pos: jnp.ndarray,  # scalar int32: index tokens[:, 0] writes at
+    kv_valid: jnp.ndarray,  # (B, max_seq) bool — valid slots BEFORE this block
+    position_ids: jnp.ndarray,  # (B,) int32 RoPE position of tokens[:, 0]
+    kv_bucket: Optional[int] = None,
+) -> Tuple[jnp.ndarray, gemma.KVCache]:
+    """Multi-token decode for speculative verification: run ``s`` tokens
+    through the decoder in ONE forward (one weight stream — the whole point
+    of speculation: decode is weight-bandwidth-bound, so verifying k drafts
+    costs the same HBM traffic as decoding one token).
+
+    Masking is causal WITHIN the block and full over the previously valid
+    cache (decode continues the causal suffix of the prefix-LM layout —
+    same pairwise kv_valid machinery the recompute prefills use,
+    gemma.forward). KV for all ``s`` positions is written; the caller
+    advances ``write_pos``/``kv_valid`` only over the ACCEPTED prefix, so
+    rejected positions stay invalid and are overwritten by the next cycle
+    (the next block starts at the first rejected slot).
+
+    Returns ((B, s, vocab) fp32 logits, new cache): ``argmax(logits[:, i])``
+    is the model's token AFTER ``tokens[:, i]`` — compare with
+    ``tokens[:, i+1]`` to accept drafts. No reference analog (the reference
+    decodes strictly one token per forward, ref: inference.py:51-87).
+    """
+    b, s = tokens.shape
+    embeds = params["lm"]["embed"][tokens]  # (B, s, H)
+    pos = position_ids[:, None] + jnp.arange(s, dtype=jnp.int32)[None]
+    max_seq = kv_cache["k"].shape[2]
+    idx = jnp.arange(max_seq, dtype=jnp.int32)[None, None, :]
+    off = idx - cache_pos  # slot's index within the new block
+    in_block = (off >= 0) & (off <= jnp.arange(s, dtype=jnp.int32)[None, :, None])
+    vis = kv_valid[:, None, :] | in_block  # (B, s, max_seq) pairwise
+    logits, kv_cache = gemma.forward(
+        params["lm"],
+        cfg.text_config,
+        embeds,
+        pos,
+        kv_cache,
+        cache_pos=cache_pos,
+        kv_valid=vis,
+        kv_bucket=kv_bucket,
+    )
+    return logits, kv_cache
+
+
 def decode_step_paged(
     params: Params,
     cfg: PaliGemmaConfig,

@@ -246,6 +246,7 @@ class PaliGemmaEngine:
         self._decode_fn = _decode
         self._fused_cache: Dict[Tuple, Any] = {}
         self._chunk_cache: Dict[Tuple, Any] = {}
+        self._spec_cache: Dict[Tuple, Any] = {}
 
     # ------------------------------------------------------------------
     def init_state_cache(self, batch: int) -> Dict[str, jnp.ndarray]:
@@ -543,6 +544,157 @@ class PaliGemmaEngine:
                 break
             logits, state = self.decode_step(jnp.asarray(token_np), state)
         return np.stack(out, axis=1)
+
+    # ------------------------------------------------------------------
+    def generate_spec(
+        self,
+        pixel_values,
+        input_ids,
+        attention_mask,
+        max_new_tokens: int = 100,
+        eos_token_id: Optional[int] = None,
+        draft_k: int = 8,
+        match_n: int = 2,
+    ) -> np.ndarray:
+        """Greedy generation with device-resident n-gram speculative
+        decoding (prompt lookup). B == 1.
+
+        Decode is weight-bandwidth-bound: every step streams the full int8
+        LM (~2.9 GB) to produce ONE token. Verifying ``draft_k`` proposed
+        tokens in one multi-token forward (models/paligemma.decode_verify)
+        costs the same weight stream, so each accepted draft token is a
+        nearly-free extra token. Drafts come from the n-gram matcher
+        (ops/ngram.py) run ON DEVICE inside the same jit — the whole
+        propose/verify/accept loop is one ``lax.while_loop`` with zero
+        host round trips (a host-side speculator would pay the ~35-40 ms
+        tunnel readback per cycle, ten decode steps' worth).
+
+        Tokens are IDENTICAL to greedy ``generate`` (acceptance compares
+        the draft against the model's own argmax at every position; a
+        rejected draft position falls back to the model's token, so a bad
+        draft can never change the output). Measured at the 3B int8 b1
+        bench shape (.bench/spec_decode_bench.py, 256 new tokens): a
+        verify cycle costs ~6 ms vs the 3.44 ms fused single-token step
+        (the k+1-token forward runs the XLA path with a pairwise mask),
+        so break-even is ~0.75 accepted drafts/cycle; at near-full
+        acceptance (repetitive outputs: looping captions, OCR read-outs,
+        detection token streams) throughput reaches ~1090 tok/s vs 225
+        end-to-end — ~4.8x — while the zero-acceptance floor is ~0.55x.
+        Use it when outputs repeat; docs/PERFORMANCE.md "Speculative
+        decoding". The reference decodes strictly one token per forward
+        (ref: inference.py:51-87).
+        """
+        eos = self.eos_token_id if eos_token_id is None else eos_token_id
+        b, prompt_len = input_ids.shape
+        if b != 1:
+            raise ValueError(
+                "generate_spec is single-request (B == 1); rows accept "
+                "different draft counts and would desync the lockstep "
+                "write_pos. Use generate/decode_chunk for batches."
+            )
+        # rejected draft positions write (then-invalid) KV up to
+        # write_pos + draft_k, so the cache must cover the overshoot
+        if prompt_len + max_new_tokens + draft_k > self.max_seq_len:
+            raise ValueError(
+                f"prompt ({prompt_len}) + max_new_tokens ({max_new_tokens}) "
+                f"+ draft_k ({draft_k}) exceeds max_seq_len "
+                f"({self.max_seq_len}); speculative decode writes up to "
+                "draft_k positions past the last accepted token"
+            )
+        logits, state = self.prefill(pixel_values, input_ids, attention_mask)
+        history = np.zeros((1, self.max_seq_len), np.int32)
+        history[0, :prompt_len] = np.asarray(input_ids)[0]
+        kv_bucket = self.kv_bucket_for(prompt_len + max_new_tokens + draft_k)
+        fn = self._get_spec(max_new_tokens, draft_k, match_n, eos, kv_bucket)
+        out, n_out, cycles, _ = fn(
+            self.decode_params, logits, state, jnp.asarray(history),
+            jnp.asarray([prompt_len], np.int32),
+        )
+        n = int(n_out)
+        # observability: mean accepted-per-cycle == n / spec_cycles
+        self.spec_cycles = int(cycles)
+        return np.asarray(out)[None, :n]
+
+    def _get_spec(self, max_new, draft_k, match_n, eos, kv_bucket=None):
+        sig = (max_new, draft_k, match_n, eos, kv_bucket)
+        if sig in self._spec_cache:
+            return self._spec_cache[sig]
+        cfg = self.config
+        k = draft_k
+        from ..ops.ngram import propose_ngram
+
+        @functools.partial(
+            jax.jit, donate_argnums=(2,),
+            compiler_options=self._decode_jit_opts,
+        )
+        def spec(params, logits0, state: KVState, history, hist_len):
+            token0 = jnp.argmax(logits0, -1).astype(jnp.int32)  # (1,)
+            out = jnp.full((max_new,), eos, jnp.int32).at[0].set(token0[0])
+            history = history.at[0, hist_len[0]].set(token0[0])
+            hist_len = hist_len + 1
+            j = jnp.arange(k + 1, dtype=jnp.int32)
+            sidx = jnp.arange(state.valid.shape[1], dtype=jnp.int32)[None]
+
+            def cond(c):
+                _, _, _, _, n_out, done, _, _ = c
+                return (~done) & (n_out < max_new)
+
+            def body(c):
+                state, history, hist_len, out, n_out, done, last_tok, cyc = c
+                draft = propose_ngram(history, hist_len, match_n, k)  # (1,k)
+                tokens_in = jnp.concatenate([last_tok[:, None], draft], 1)
+                logits, cache = paligemma.decode_verify(
+                    params, cfg, tokens_in, state.cache, state.write_pos,
+                    state.valid, state.pos_ids, kv_bucket=kv_bucket,
+                )
+                g = jnp.argmax(logits, -1).astype(jnp.int32)  # (1, k+1)
+                # accept the longest prefix where draft matches the model's
+                # own greedy choice; position n_acc gets the model's token
+                # (free correction/bonus)
+                acc = jnp.cumprod(
+                    (draft == g[:, :k]).astype(jnp.int32), axis=1
+                )
+                n_acc = jnp.sum(acc[0])
+                draft_pad = jnp.concatenate(
+                    [draft[0], jnp.zeros((1,), jnp.int32)]
+                )
+                cand = jnp.where(j < n_acc, draft_pad, g[0, n_acc])
+                n_emit = jnp.minimum(n_acc + 1, max_new - n_out)
+                is_eos = (cand == eos) & (j < n_emit)
+                any_eos = jnp.any(is_eos)
+                n_keep = jnp.where(any_eos, jnp.argmax(is_eos) + 1, n_emit)
+                # out-of-range targets are dropped, so only [0, n_keep) land
+                tgt = jnp.where(j < n_keep, n_out + j, max_new + 1)
+                out = out.at[tgt].set(cand, mode="drop")
+                tgt_h = jnp.where(
+                    j < n_keep, hist_len[0] + j, history.shape[1] + 1
+                )
+                history = history.at[0, tgt_h].set(cand, mode="drop")
+                hist_len = hist_len + n_keep
+                # only ACCEPTED slots become attendable; the k - n_acc
+                # rejected writes stay invalid and are overwritten by the
+                # next cycle (which starts at write_pos + n_keep)
+                valid = state.valid | (
+                    (sidx >= state.write_pos)
+                    & (sidx < state.write_pos + n_keep)
+                )
+                state = KVState(
+                    cache, valid, state.write_pos + n_keep,
+                    state.pos_ids + n_keep,
+                )
+                last_tok = cand[n_keep - 1][None]
+                return (state, history, hist_len, out, n_out + n_keep,
+                        done | any_eos, last_tok, cyc + 1)
+
+            init = (state, history, hist_len, out, jnp.asarray(1, jnp.int32),
+                    token0[0] == eos, token0, jnp.asarray(0, jnp.int32))
+            state, history, hist_len, out, n_out, done, _, cyc = (
+                jax.lax.while_loop(cond, body, init)
+            )
+            return out, n_out, cyc, done
+
+        self._spec_cache[sig] = spec
+        return spec
 
     # ------------------------------------------------------------------
     def generate_fused(
