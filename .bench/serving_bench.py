@@ -43,9 +43,11 @@ def main():
                        pixel_values=rng.normal(size=(3, 224, 224)).astype(np.float32),
                        max_new_tokens=n_new, do_sample=False, eos_token_id=-1)
 
-    # warm up compiles: one full wave (prefill batch shapes + decode)
+    # warm up compiles: one full wave with the SAME budgets as the timed
+    # wave (the scan-window decode compiles per static ticks value, so a
+    # short-budget warm wave would leave the steady-state window cold)
     for i in range(16):
-        eng.submit(req(-100 - i, 4))
+        eng.submit(req(-100 - i, 64))
     eng.run_to_completion()
 
     n_req, n_new = int(os.environ.get("NREQ", "16")), 64

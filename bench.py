@@ -252,8 +252,10 @@ def main():
                 max_new_tokens=n_new, do_sample=False, eos_token_id=-1,
             )
 
-        for i in range(16):  # warm the compile caches: one full wave
-            eng.submit(req(-100 - i, 4))
+        # warm the compile caches: one full wave at the SAME budgets as the
+        # timed wave (scan-window decode compiles per static ticks value)
+        for i in range(16):
+            eng.submit(req(-100 - i, 64))
         eng.run_to_completion()
         for i in range(16):
             eng.submit(req(i, 64))
@@ -299,8 +301,9 @@ def main():
                 max_new_tokens=n_new, do_sample=False, eos_token_id=-1,
             )
 
-        for i in range(24):  # warm wave: flush the compile caches
-            eng.submit(req(-100 - i, 4))
+        # warm wave: flush the compile caches at the timed wave's budgets
+        for i in range(24):
+            eng.submit(req(-100 - i, 64))
         eng.run_to_completion()
         reqs = [req(i, 64) for i in range(24)]
         for r in reqs:

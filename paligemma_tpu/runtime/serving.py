@@ -248,13 +248,9 @@ class ServingEngine:
             }
             return cache, state
 
-        @functools.partial(
-            jax.jit, donate_argnums=(2, 3),
-            static_argnames=("with_sampling", "kv_bucket"),
-        )
-        def _decode_all(params, tp_packed, cache, state, active, key, temps,
-                        top_ps, do_samples, with_sampling=False,
-                        kv_bucket=None):
+        def _tick(params, tp_packed, cache, state, active, key, temps,
+                  top_ps, do_samples, with_sampling=False,
+                  kv_bucket=None):
             # greedy tokens come from the carried next-token ids — exact
             # regardless of whether the previous tick materialized logits
             greedy_tok = state["next_tok"]
@@ -321,9 +317,42 @@ class ServingEngine:
             }
             return token, cache, state
 
+        @functools.partial(
+            jax.jit, donate_argnums=(2, 3),
+            static_argnames=("ticks", "with_sampling", "kv_bucket"),
+        )
+        def _decode_window(params, tp_packed, cache, state, lefts, key,
+                           temps, top_ps, do_samples, ticks=1,
+                           with_sampling=False, kv_bucket=None):
+            """``ticks`` lockstep decode steps in ONE dispatch (lax.scan).
+
+            Dispatching tick-by-tick costs a jit dispatch + a host-side key
+            split per token through the tunnel; the scan makes a whole
+            window one device program. ``lefts`` is each row's remaining
+            DISPATCH budget — a row deactivates itself mid-window when its
+            budget runs out (its write_pos stops advancing; the stale
+            tokens it keeps emitting are discarded by ``_absorb``'s budget
+            check), so one compiled window shape serves every budget mix.
+            Returns the advanced PRNG key so the host never splits."""
+            key, *tick_keys = jax.random.split(key, ticks + 1)
+
+            def body(carry, k):
+                cache, state, lefts = carry
+                token, cache, state = _tick(
+                    params, tp_packed, cache, state, lefts > 0, k, temps,
+                    top_ps, do_samples, with_sampling=with_sampling,
+                    kv_bucket=kv_bucket,
+                )
+                return (cache, state, jnp.maximum(lefts - 1, 0)), token
+
+            (cache, state, _), tokens = jax.lax.scan(
+                body, (cache, state, lefts), jnp.stack(tick_keys)
+            )
+            return tokens, cache, state, key
+
         self._prefill_batch = _prefill_batch
         self._insert = _insert
-        self._decode_all = _decode_all
+        self._decode_window = _decode_window
 
         self.cache = self._init_cache()
         self.state = self._zero_state()
@@ -413,24 +442,28 @@ class ServingEngine:
                     jnp.zeros((), jnp.int32), scratch_cache, scratch_state,
                     cache1, mask1, last_logits,
                 )
-        # decode tick: compiles once per (with_sampling, kv_bucket) variant;
-        # warm the window the first wave will hit
+        # decode window: compiles once per (ticks, with_sampling, kv_bucket)
+        # variant; the scheduler only ever uses ticks == sync_every (steady
+        # state) and ticks == 1 (tail), so warm both at the kv bucket the
+        # first wave will hit
         variants = (False, True) if sampling else (False,)
         kv_bucket = self._kv_bucket(max(buckets, default=0) + self.sync_every)
         for with_sampling in variants:
-            scratch_cache = gemma.init_kv_cache(
-                self.config.text_config, self.max_slots, self.max_seq_len,
-                self.cache_dtype,
-            )
-            scratch_state = self._zero_state()
-            zeros_f = jnp.zeros((self.max_slots,), jnp.float32)
-            self._decode_all(
-                self.decode_params, self._tp_packed, scratch_cache,
-                scratch_state, jnp.zeros((self.max_slots,), bool),
-                jax.random.PRNGKey(0), zeros_f + 1.0, zeros_f + 1.0,
-                jnp.zeros((self.max_slots,), bool),
-                with_sampling=with_sampling, kv_bucket=kv_bucket,
-            )
+            for ticks in sorted({1, self.sync_every}):
+                scratch_cache = gemma.init_kv_cache(
+                    self.config.text_config, self.max_slots, self.max_seq_len,
+                    self.cache_dtype,
+                )
+                scratch_state = self._zero_state()
+                zeros_f = jnp.zeros((self.max_slots,), jnp.float32)
+                self._decode_window(
+                    self.decode_params, self._tp_packed, scratch_cache,
+                    scratch_state, jnp.zeros((self.max_slots,), jnp.int32),
+                    jax.random.PRNGKey(0), zeros_f + 1.0, zeros_f + 1.0,
+                    jnp.zeros((self.max_slots,), bool),
+                    ticks=ticks, with_sampling=with_sampling,
+                    kv_bucket=kv_bucket,
+                )
 
     # ------------------------------------------------------------------
     def submit(self, req: Request) -> None:
@@ -594,11 +627,12 @@ class ServingEngine:
         """Backend hook run before each decode window, after admission —
         the paged engine grows page allocations here (and may preempt)."""
 
-    def _run_window(self, ticks: int, active, temps_j, top_j, do_j,
+    def _run_window(self, ticks: int, lefts, temps_j, top_j, do_j,
                     with_sampling: bool) -> jnp.ndarray:
-        """Dispatch ``ticks`` lockstep decode calls; returns the stacked
-        (ticks, max_slots) token DEVICE array without synchronizing — the
-        caller decides when to pay the readback. Backend hook."""
+        """One scan-jitted dispatch covering ``ticks`` lockstep decode
+        steps; returns the (ticks, max_slots) token DEVICE array without
+        synchronizing — the caller decides when to pay the readback.
+        Backend hook."""
         # static attended-cache window covering every active slot's write
         # positions for this window (host-side bookkeeping: prompt length +
         # tokens DISPATCHED so far) — one compiled tick per power-of-two
@@ -609,49 +643,46 @@ class ServingEngine:
                 default=0,
             ) + ticks
         )
-        tokens = []
-        for _ in range(ticks):
-            self._key, sub = jax.random.split(self._key)
-            token, self.cache, self.state = self._decode_all(
-                self.decode_params, self._tp_packed, self.cache, self.state,
-                active, sub, temps_j, top_j, do_j,
-                with_sampling=with_sampling, kv_bucket=kv_bucket,
-            )
-            tokens.append(token)
-        return jnp.stack(tokens)
+        tokens, self.cache, self.state, self._key = self._decode_window(
+            self.decode_params, self._tp_packed, self.cache, self.state,
+            lefts, self._key, temps_j, top_j, do_j,
+            ticks=ticks, with_sampling=with_sampling, kv_bucket=kv_bucket,
+        )
+        return tokens
 
     def _dispatch(self) -> Optional[_Window]:
         """Fill free slots, size one decode window from DISPATCHED budgets,
         and enqueue it on the device. Returns the un-synced window (or None
-        when no slot can decode). Rows whose dispatched budget is exhausted
-        but whose tokens haven't been absorbed yet are masked INACTIVE, so a
+        when no slot can decode). Per-row remaining budgets ride into the
+        window (rows self-deactivate mid-window when theirs runs out), so a
         pipelined lookahead window can never overrun a budget or write past
-        max_seq_len."""
+        max_seq_len. ``ticks`` is either ``sync_every`` (steady state) or 1
+        (tail windows) — exactly two compiled window shapes per kv bucket."""
         self._fill_slots()
-        lefts = [
-            r.max_new_tokens - self._dispatched[r.request_id]
-            if r is not None else 0
-            for r in self.slots
-        ]
-        if not any(l > 0 for l in lefts):
+
+        def _lefts():
+            return [
+                r.max_new_tokens - self._dispatched[r.request_id]
+                if r is not None else 0
+                for r in self.slots
+            ]
+
+        maxleft = max(_lefts(), default=0)
+        if maxleft <= 0:
             return None
-        ticks = max(1, min(self.sync_every, min(l for l in lefts if l > 0)))
+        ticks = self.sync_every if maxleft >= self.sync_every else 1
         self._before_window(ticks)  # may retire/preempt slots (paged)
 
-        active_np = np.asarray([
-            r is not None
-            and r.max_new_tokens - self._dispatched[r.request_id] >= ticks
-            for r in self.slots
-        ])
+        # recompute after _before_window: preemption changes the slot set
+        lefts = _lefts()
+        active_np = np.asarray([l > 0 for l in lefts])
         if not active_np.any():
             return None
-        # device copies of the scheduling arrays, re-uploaded only when the
-        # slot composition or active mask changes (host->device transfers
-        # are expensive on tunneled platforms)
-        fingerprint = tuple(
-            (r.request_id if r else None, bool(a))
-            for r, a in zip(self.slots, active_np)
-        )
+        # device copies of the per-request sampling arrays, re-uploaded only
+        # when the slot composition changes (host->device transfers are
+        # expensive on tunneled platforms); the tiny lefts vector uploads
+        # fresh each window
+        fingerprint = tuple(r.request_id if r else None for r in self.slots)
         if self._sched_cache is None or self._sched_cache[0] != fingerprint:
             temps = np.asarray(
                 [r.temperature if r else 1.0 for r in self.slots], np.float32
@@ -664,20 +695,21 @@ class ServingEngine:
             )
             self._sched_cache = (
                 fingerprint,
-                (jnp.asarray(active_np), jnp.asarray(temps),
-                 jnp.asarray(top_ps), jnp.asarray(do_s)),
+                (jnp.asarray(temps), jnp.asarray(top_ps), jnp.asarray(do_s)),
             )
-        active, temps_j, top_j, do_j = self._sched_cache[1]
+        temps_j, top_j, do_j = self._sched_cache[1]
         with_sampling = any(
             r is not None and r.do_sample for r in self.slots
         )
+        charges = [min(ticks, max(l, 0)) for l in lefts]
         tokens_dev = self._run_window(
-            ticks, active, temps_j, top_j, do_j, with_sampling
+            ticks, jnp.asarray(np.asarray(charges, np.int32)),
+            temps_j, top_j, do_j, with_sampling,
         )
         snapshot: List[Optional[tuple]] = []
         for slot, req in enumerate(self.slots):
-            if req is not None and active_np[slot]:
-                self._dispatched[req.request_id] += ticks
+            if req is not None and charges[slot] > 0:
+                self._dispatched[req.request_id] += charges[slot]
                 snapshot.append((req, req.epoch))
             else:
                 snapshot.append(None)

@@ -133,7 +133,7 @@ class PagedServingEngine(ServingEngine):
             cache_dtype=cache_dtype, use_flash=use_flash,
             decode_params=decode_params, sync_every=sync_every, mesh=mesh,
             # the fused decode kernels read a contiguous (L, B, S, D) cache;
-            # the paged pool has its own decode path (_decode_all_paged)
+            # the paged pool has its own decode path (_tick_paged)
             fused_decode=False,
         )
         self._ptp_packed = self._ptp_specs = None
@@ -274,12 +274,9 @@ class PagedServingEngine(ServingEngine):
               owner)
             return {"k": pk, "v": pv}
 
-        @functools.partial(jax.jit, donate_argnums=(1, 2),
-                           static_argnames=("with_sampling", "pages_bucket",
-                                            "kernel"))
-        def _decode_all_paged(params, pool, state, page_table, active, key,
-                              temps, top_ps, do_samples, with_sampling=False,
-                              pages_bucket=None, kernel=None):
+        def _tick_paged(params, pool, state, page_table, active, key,
+                        temps, top_ps, do_samples, with_sampling=False,
+                        pages_bucket=None, kernel=None):
             logits = state["logits"]
             greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             if with_sampling:
@@ -381,9 +378,36 @@ class PagedServingEngine(ServingEngine):
                 }
             return pool
 
+        @functools.partial(jax.jit, donate_argnums=(1, 2),
+                           static_argnames=("ticks", "with_sampling",
+                                            "pages_bucket", "kernel"))
+        def _decode_window_paged(params, pool, state, page_table, lefts, key,
+                                 temps, top_ps, do_samples, ticks=1,
+                                 with_sampling=False, pages_bucket=None,
+                                 kernel=None):
+            """``ticks`` paged decode steps in ONE dispatch (lax.scan) —
+            see ServingEngine._decode_window for the budget/lefts contract.
+            The page table is window-invariant (``_before_window`` grows
+            every row's pages up front), so it rides as a loop input."""
+            key, *tick_keys = jax.random.split(key, ticks + 1)
+
+            def body(carry, k):
+                pool, state, lefts = carry
+                token, pool, state = _tick_paged(
+                    params, pool, state, page_table, lefts > 0, k, temps,
+                    top_ps, do_samples, with_sampling=with_sampling,
+                    pages_bucket=pages_bucket, kernel=kernel,
+                )
+                return (pool, state, jnp.maximum(lefts - 1, 0)), token
+
+            (pool, state, _), tokens = jax.lax.scan(
+                body, (pool, state, lefts), jnp.stack(tick_keys)
+            )
+            return tokens, pool, state, key
+
         self._insert_paged = _insert_paged
         self._insert_paged_dp = _insert_paged_dp
-        self._decode_all_paged = _decode_all_paged
+        self._decode_window_paged = _decode_window_paged
         self._set_slot_state = _set_slot_state
         self._copy_page = _copy_page
 
@@ -743,22 +767,18 @@ class PagedServingEngine(ServingEngine):
             self.paged_kernel if ring <= self._STAGED_WINDOW_BYTES else "multi"
         )
 
-    def _run_window(self, ticks, active, temps_j, top_j, do_j,
+    def _run_window(self, ticks, lefts, temps_j, top_j, do_j,
                     with_sampling) -> jnp.ndarray:
         page_table = self.paged.page_table
         pages_bucket = self._pages_bucket(ticks)
         kernel = self._kernel_for_bucket(pages_bucket)
-        tokens = []
-        for _ in range(ticks):
-            self._key, sub = jax.random.split(self._key)
-            token, self.cache, self.state = self._decode_all_paged(
-                self.decode_params, self.cache, self.state, page_table,
-                active, sub, temps_j, top_j, do_j,
-                with_sampling=with_sampling, pages_bucket=pages_bucket,
-                kernel=kernel,
-            )
-            tokens.append(token)
-        return jnp.stack(tokens)  # device array; caller syncs (see _absorb)
+        tokens, self.cache, self.state, self._key = self._decode_window_paged(
+            self.decode_params, self.cache, self.state, page_table,
+            lefts, self._key, temps_j, top_j, do_j,
+            ticks=ticks, with_sampling=with_sampling,
+            pages_bucket=pages_bucket, kernel=kernel,
+        )
+        return tokens  # device array; caller syncs (see _absorb)
 
     def warmup(self, prompt_lens, batch_sizes=(1, 2, 4, 8),
                sampling: bool = False) -> None:
@@ -814,16 +834,18 @@ class PagedServingEngine(ServingEngine):
         pb = min(pb, self.max_seq_len // self.page_size)
         variants = (False, True) if sampling else (False,)
         for with_sampling in variants:
-            scratch = jax.tree.map(jnp.copy, self.paged.pool)
-            zeros_f = jnp.zeros((self.max_slots,), jnp.float32)
-            self._decode_all_paged(
-                self.decode_params, scratch, self._zero_state(),
-                self.paged.page_table, jnp.zeros((self.max_slots,), bool),
-                jax.random.PRNGKey(0), zeros_f + 1.0, zeros_f + 1.0,
-                jnp.zeros((self.max_slots,), bool),
-                with_sampling=with_sampling, pages_bucket=pb,
-                kernel=self._kernel_for_bucket(pb),
-            )
+            for ticks in sorted({1, self.sync_every}):
+                scratch = jax.tree.map(jnp.copy, self.paged.pool)
+                zeros_f = jnp.zeros((self.max_slots,), jnp.float32)
+                self._decode_window_paged(
+                    self.decode_params, scratch, self._zero_state(),
+                    self.paged.page_table,
+                    jnp.zeros((self.max_slots,), jnp.int32),
+                    jax.random.PRNGKey(0), zeros_f + 1.0, zeros_f + 1.0,
+                    jnp.zeros((self.max_slots,), bool),
+                    ticks=ticks, with_sampling=with_sampling,
+                    pages_bucket=pb, kernel=self._kernel_for_bucket(pb),
+                )
         if self.prefix_cache:
             # pre-compile the hit-seating path (tail-page copy + slot-state
             # set): otherwise the FIRST cache hit pays ~1 s of compiles

@@ -164,7 +164,7 @@ def test_warmup_precompiles_everything():
     sizes = {
         "prefill": eng._prefill_batch._cache_size(),
         "insert": eng._insert._cache_size(),
-        "decode": eng._decode_all._cache_size(),
+        "decode": eng._decode_window._cache_size(),
     }
     assert all(v > 0 for v in sizes.values()), sizes
 
@@ -174,7 +174,7 @@ def test_warmup_precompiles_everything():
     after = {
         "prefill": eng._prefill_batch._cache_size(),
         "insert": eng._insert._cache_size(),
-        "decode": eng._decode_all._cache_size(),
+        "decode": eng._decode_window._cache_size(),
     }
     assert after == sizes, (sizes, after)
 
