@@ -323,6 +323,7 @@ def main():
     def px448():
         nonlocal params, qparams
         params = qparams = None
+        jax.clear_caches()
         gc.collect()
         cfg4 = paligemma_3b_448()
         p4 = paligemma.init_params(jax.random.PRNGKey(0), cfg4, jnp.bfloat16)
@@ -341,6 +342,11 @@ def main():
     def px896():
         from paligemma_tpu.core.config import paligemma_3b_896
 
+        # drop earlier phases' compiled executables + any lingering device
+        # buffers: this phase quantizes a fresh bf16 tree (peak ~8.8 GB)
+        # and has OOMed on leftovers when every prior phase ran first
+        jax.clear_caches()
+        gc.collect()
         cfg8 = paligemma_3b_896()
         p8 = paligemma.init_params(jax.random.PRNGKey(0), cfg8, jnp.bfloat16)
         q8 = quantize_lm_for_serving(p8)

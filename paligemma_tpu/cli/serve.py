@@ -70,6 +70,13 @@ def _build_parser():
                    help="paged engine: exact-match prefix KV reuse — a "
                         "byte-identical (image, prompt) pair seats with no "
                         "prefill (prefix-LM allows exact matches only)")
+    p.add_argument("--spec_decode", action="store_true",
+                   help="dense engine: n-gram speculative decoding inside "
+                        "the batched tick (greedy-only — requests with "
+                        "do_sample are rejected; wins on repetitive "
+                        "outputs, see docs/PERFORMANCE.md)")
+    p.add_argument("--spec_draft_k", type=int, default=8,
+                   help="drafted tokens per speculative verify cycle")
     p.add_argument("--max_new_tokens", type=int, default=100,
                    help="default per-request budget")
     p.add_argument("--quantize_int8", action="store_true",
@@ -133,6 +140,13 @@ def build_server(args):
     require(args.engine == "paged" or not args.prefix_cache,
             "--prefix_cache needs --engine paged (the page pool is what "
             "makes zero-copy prefix sharing possible)")
+    require(args.engine == "dense" or not args.spec_decode,
+            "--spec_decode needs --engine dense (the paged pool's verify "
+            "forward is unimplemented)")
+    require(not (args.spec_decode and
+                 args.data_parallel * args.model_parallel > 1),
+            "--spec_decode is single-chip (the multi-token verify forward "
+            "has no TP variant)")
     mesh = None
     if args.data_parallel * args.model_parallel > 1:
         # dense serving is pure TP (slots are the batch; see
@@ -161,6 +175,7 @@ def build_server(args):
             params, config, max_slots=args.max_slots,
             max_seq_len=args.max_seq_len, decode_params=decode_params,
             sync_every=args.sync_every, mesh=mesh,
+            spec_decode=args.spec_decode, spec_draft_k=args.spec_draft_k,
         )
 
     return _Server(engine, processor, tokenizer, args.max_new_tokens)

@@ -185,7 +185,8 @@ def _decoder_block(
         # Cache write at a traced offset — replaces the torch.cat append
         # (ref: modeling_gemma.py:54-55). A scalar offset writes the whole
         # (B, S) block (prefill / lockstep decode); a (B,) vector scatters
-        # one token per row at per-row positions (continuous batching).
+        # each row's S-token block at per-row positions (continuous
+        # batching: S==1 per tick; speculative verify: S==draft_k+1).
         # Writes go straight into the stacked (L, ...) carry at layer_idx.
         zero = jnp.zeros((), jnp.int32)
         if cache_pos.ndim == 1:
@@ -194,8 +195,8 @@ def _decoder_block(
             # updates XLA can alias, unlike a gather/scatter (slow on TPU)
             # or a one-hot full-cache select (defeats aliasing in the scan).
             for r in range(b):
-                kr = k[None, r : r + 1, 0:1].astype(k_all.dtype)
-                vr = v[None, r : r + 1, 0:1].astype(v_all.dtype)
+                kr = k[None, r : r + 1, :].astype(k_all.dtype)
+                vr = v[None, r : r + 1, :].astype(v_all.dtype)
                 idx = (layer_idx, jnp.asarray(r, jnp.int32), cache_pos[r],
                        zero, zero)
                 k_all = jax.lax.dynamic_update_slice(k_all, kr, idx)

@@ -350,7 +350,7 @@ def decode_verify(
     cfg: PaliGemmaConfig,
     tokens: jnp.ndarray,  # (B, s) int32 — last accepted token + s-1 draft
     kv_cache: gemma.KVCache,
-    cache_pos: jnp.ndarray,  # scalar int32: index tokens[:, 0] writes at
+    cache_pos: jnp.ndarray,  # scalar OR (B,) int32: index tokens[:, 0] writes at
     kv_valid: jnp.ndarray,  # (B, max_seq) bool — valid slots BEFORE this block
     position_ids: jnp.ndarray,  # (B,) int32 RoPE position of tokens[:, 0]
     kv_bucket: Optional[int] = None,
@@ -378,7 +378,10 @@ def decode_verify(
     pos = position_ids[:, None] + jnp.arange(s, dtype=jnp.int32)[None]
     max_seq = kv_cache["k"].shape[2]
     idx = jnp.arange(max_seq, dtype=jnp.int32)[None, None, :]
-    off = idx - cache_pos  # slot's index within the new block
+    # scalar cache_pos: one shared block start (engine.generate_spec);
+    # (B,): per-row block starts (continuous-batching spec windows)
+    start = cache_pos if jnp.ndim(cache_pos) == 0 else cache_pos[:, None, None]
+    off = idx - start  # slot's index within the new block
     in_block = (off >= 0) & (off <= jnp.arange(s, dtype=jnp.int32)[None, :, None])
     vis = kv_valid[:, None, :] | in_block  # (B, s, max_seq) pairwise
     logits, kv_cache = gemma.forward(

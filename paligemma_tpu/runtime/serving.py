@@ -61,6 +61,10 @@ class _Window:
     ticks: int
     # (request, epoch-at-dispatch) per slot; None for empty/inactive rows
     snapshot: List[Optional[tuple]]
+    # speculative windows: (ticks, max_slots) int32 accepted-count array
+    # (tokens_dev is then (ticks, max_slots, draft_k+1); row t emits its
+    # first counts[t, slot] entries). None for ordinary 1-token/tick windows.
+    counts_dev: Any = None
 
 
 class ServingEngine:
@@ -77,6 +81,9 @@ class ServingEngine:
         mesh=None,
         fused_decode: Optional[bool] = None,
         pipeline: Optional[bool] = None,
+        spec_decode: bool = False,
+        spec_draft_k: int = 8,
+        spec_match_n: int = 2,
     ):
         """``decode_params``: optional int8-quantized weights used for the
         lockstep decode while ``params`` (bf16) serves the prefills.
@@ -132,6 +139,10 @@ class ServingEngine:
         # never read state["logits"]).
         if fused_decode is None:
             fused_decode = jax.default_backend() == "tpu"
+        if spec_decode:
+            # the verify forward is a multi-token XLA step (the fused
+            # kernels are single-token); skip the layer repack entirely
+            fused_decode = False
         self._tp_packed = self._tp_specs = None
         if fused_decode and mesh is not None:
             # mesh serving: the fused tick is the tensor-parallel variant
@@ -176,6 +187,33 @@ class ServingEngine:
                     )
                 self.decode_params = dp
         self.fused_decode = fused_decode
+        # Speculative continuous batching (greedy-only): every decode window
+        # becomes a scan of verify CYCLES — per row, the device-resident
+        # n-gram proposer (ops/ngram.py) drafts spec_draft_k tokens and ONE
+        # multi-token forward (models/paligemma.decode_verify, per-row
+        # cache positions) verifies them, so each cycle emits 1..draft_k+1
+        # tokens per row for one weight stream. Rows accept independently:
+        # per-row write_pos/valid/history advance by that row's accepted
+        # count, and a per-row device-side budget counter deactivates rows
+        # exactly at max_new_tokens (the host can't know accepted counts
+        # until it syncs). Tokens are bit-identical to the non-speculative
+        # greedy engine — acceptance compares each draft against the
+        # model's own argmax. Opt-in and workload-dependent: a verify cycle
+        # costs more than a 1-token fused tick, so it wins when outputs
+        # repeat (OCR/detection streams, JSON grammars, looping captions)
+        # and loses at zero acceptance (docs/PERFORMANCE.md "Speculative
+        # decoding"). Requires do_sample=False on every request (rejected
+        # at submit). The reference decodes strictly one token per forward
+        # (ref: inference.py:51-87).
+        if spec_decode and mesh is not None:
+            raise ValueError(
+                "spec_decode serving is single-chip (the verify forward "
+                "takes the XLA path; a TP variant would shard it via the "
+                "prefill machinery — unimplemented)"
+            )
+        self.spec_decode = spec_decode
+        self.spec_draft_k = spec_draft_k
+        self.spec_match_n = spec_match_n
         self.config = config
         self.max_slots = max_slots
         self.max_seq_len = max_seq_len
@@ -210,7 +248,7 @@ class ServingEngine:
 
         @functools.partial(jax.jit, donate_argnums=(3, 4))
         def _insert(slot, prompt_len, row, cache, state, cache1, mask1,
-                    last_logits):
+                    last_logits, ids1=None, max_new=None):
             # scatter row `row` of the batched prefill into pool slot `slot`
             zero = jnp.zeros((), jnp.int32)
             cache = {
@@ -227,6 +265,10 @@ class ServingEngine:
             valid_row = jax.lax.dynamic_update_slice(
                 valid_row, mask_row.astype(bool), (zero,)
             )
+            logits_row = jax.lax.dynamic_slice_in_dim(
+                last_logits, row, 1, axis=0
+            )[0]
+            next_tok = jnp.argmax(logits_row, -1).astype(jnp.int32)
             state = {
                 **state,
                 "valid": state["valid"].at[slot].set(valid_row),
@@ -234,18 +276,25 @@ class ServingEngine:
                 "pos_ids": state["pos_ids"].at[slot].set(
                     jnp.sum(mask_row).astype(jnp.int32) + 1
                 ),
-                "logits": state["logits"].at[slot].set(
-                    jax.lax.dynamic_slice_in_dim(last_logits, row, 1, axis=0)[0]
-                ),
-                "next_tok": state["next_tok"].at[slot].set(
-                    jnp.argmax(
-                        jax.lax.dynamic_slice_in_dim(
-                            last_logits, row, 1, axis=0
-                        )[0],
-                        -1,
-                    ).astype(jnp.int32)
-                ),
+                "logits": state["logits"].at[slot].set(logits_row),
+                "next_tok": state["next_tok"].at[slot].set(next_tok),
             }
+            if spec_decode:
+                # seed the row's n-gram history (prompt then, at position
+                # prompt_len, the not-yet-emitted next token — the proposer
+                # matches the trailing suffix through the newest known
+                # token) and the device-side remaining-budget counter
+                ids_row = jax.lax.dynamic_slice_in_dim(ids1, row, 1, axis=0)[0]
+                hist_row = jnp.zeros((self.max_seq_len,), jnp.int32)
+                hist_row = jax.lax.dynamic_update_slice(
+                    hist_row, ids_row.astype(jnp.int32), (zero,)
+                )
+                hist_row = hist_row.at[prompt_len].set(next_tok)
+                state = {
+                    **state,
+                    "hist": state["hist"].at[slot].set(hist_row),
+                    "left": state["left"].at[slot].set(max_new),
+                }
             return cache, state
 
         def _tick(params, tp_packed, cache, state, active, key, temps,
@@ -350,9 +399,96 @@ class ServingEngine:
             )
             return tokens, cache, state, key
 
+        kd = spec_draft_k
+
+        @functools.partial(
+            jax.jit, donate_argnums=(1, 2),
+            static_argnames=("ticks", "kv_bucket"),
+        )
+        def _spec_window(params, cache, state, ticks=1, kv_bucket=None):
+            """``ticks`` speculative verify cycles in ONE dispatch.
+
+            Each cycle per row: propose ``kd`` n-gram drafts, verify
+            [next_tok, drafts] in one (B, kd+1)-token forward, accept the
+            longest prefix matching the model's own argmax. The cycle emits
+            that accepted prefix OF THE INPUTS (1..kd+1 tokens — next_tok
+            plus the verified drafts; the model's correction token becomes
+            the next cycle's next_tok, mirroring the engine's emit-the-
+            pre-forward-token convention). Rejected positions' KV stays
+            invalid and is overwritten by the next cycle. Rows deactivate
+            themselves when their device-side budget (state["left"])
+            runs out — with variable per-cycle emission the host cannot
+            pre-charge budgets the way ``_decode_window``'s lefts do.
+            Returns ((ticks, B, kd+1) tokens, (ticks, B) counts, ...)."""
+            from ..ops.ngram import propose_ngram
+
+            j = jnp.arange(kd + 1, dtype=jnp.int32)[None]  # (1, kd+1)
+            sidx = jnp.arange(self.max_seq_len, dtype=jnp.int32)[None]
+            rows = jnp.arange(self.max_slots, dtype=jnp.int32)
+
+            def body(carry, _):
+                cache, state = carry
+                left = state["left"]
+                active = left > 0
+                wp = state["write_pos"]
+                draft = propose_ngram(
+                    state["hist"], wp + 1, spec_match_n, kd
+                )  # (B, kd)
+                tokens_in = jnp.concatenate(
+                    [state["next_tok"][:, None], draft], axis=1
+                )  # (B, kd+1)
+                logits, cache = paligemma.decode_verify(
+                    params, cfg, tokens_in, cache, cache_pos=wp,
+                    kv_valid=state["valid"], position_ids=state["pos_ids"],
+                    kv_bucket=kv_bucket,
+                )
+                g = jnp.argmax(logits, -1).astype(jnp.int32)  # (B, kd+1)
+                n_acc = jnp.sum(
+                    jnp.cumprod((draft == g[:, :kd]).astype(jnp.int32), 1), 1
+                )
+                n_keep = jnp.where(
+                    active, jnp.minimum(n_acc + 1, left), 0
+                )  # (B,) emitted this cycle
+                valid = state["valid"] | (
+                    (sidx >= wp[:, None]) & (sidx < (wp + n_keep)[:, None])
+                )
+                # model token after the last kept input -> next cycle's seed
+                nxt = jnp.take_along_axis(
+                    g, jnp.maximum(n_keep - 1, 0)[:, None], axis=1
+                )[:, 0]
+                nxt = jnp.where(active, nxt, state["next_tok"])
+                # history: kept drafts at wp+1.., then the new seed token
+                # (out-of-range targets drop — inactive rows write nothing)
+                tgt_d = jnp.where(
+                    (j[:, :kd] < (n_keep - 1)[:, None]) & active[:, None],
+                    wp[:, None] + 1 + j[:, :kd], self.max_seq_len + 1,
+                )
+                hist = state["hist"].at[rows[:, None], tgt_d].set(
+                    draft, mode="drop"
+                )
+                tgt_n = jnp.where(active, wp + n_keep, self.max_seq_len + 1)
+                hist = hist.at[rows, tgt_n].set(nxt, mode="drop")
+                state = {
+                    "next_tok": nxt,
+                    "valid": valid,
+                    "write_pos": wp + n_keep,
+                    "pos_ids": state["pos_ids"] + n_keep,
+                    "logits": state["logits"],  # stale; spec is greedy-only
+                    "hist": hist,
+                    "left": left - n_keep,
+                }
+                out = jnp.where(j < n_keep[:, None], tokens_in, 0)
+                return (cache, state), (out, n_keep)
+
+            (cache, state), (tokens, counts) = jax.lax.scan(
+                body, (cache, state), None, length=ticks
+            )
+            return tokens, counts, cache, state
+
         self._prefill_batch = _prefill_batch
         self._insert = _insert
         self._decode_window = _decode_window
+        self._spec_window = _spec_window
 
         self.cache = self._init_cache()
         self.state = self._zero_state()
@@ -388,7 +524,7 @@ class ServingEngine:
         return b if b < self.max_seq_len else None
 
     def _zero_state(self) -> Dict[str, jnp.ndarray]:
-        return {
+        state = {
             "next_tok": jnp.zeros((self.max_slots,), jnp.int32),
             "valid": jnp.zeros((self.max_slots, self.max_seq_len), bool),
             "write_pos": jnp.zeros((self.max_slots,), jnp.int32),
@@ -397,6 +533,15 @@ class ServingEngine:
                 (self.max_slots, self.config.vocab_size), jnp.float32
             ),
         }
+        if getattr(self, "spec_decode", False):
+            # per-row n-gram history (prompt + emitted + the pending seed
+            # token) and the device-side remaining-budget counter — rows
+            # deactivate themselves mid-window when theirs reaches zero
+            state["hist"] = jnp.zeros(
+                (self.max_slots, self.max_seq_len), jnp.int32
+            )
+            state["left"] = jnp.zeros((self.max_slots,), jnp.int32)
+        return state
 
     def warmup(self, prompt_lens, batch_sizes=(1, 2, 4, 8),
                sampling: bool = False) -> None:
@@ -437,15 +582,37 @@ class ServingEngine:
                 )
                 scratch_state = self._zero_state()
                 mask1 = jnp.asarray(np.ones((n, bucket), np.int32))
+                extra = (
+                    dict(ids1=jnp.asarray(ids),
+                         max_new=jnp.asarray(1, jnp.int32))
+                    if self.spec_decode else {}
+                )
                 self._insert(
                     jnp.zeros((), jnp.int32), jnp.asarray(bucket, jnp.int32),
                     jnp.zeros((), jnp.int32), scratch_cache, scratch_state,
-                    cache1, mask1, last_logits,
+                    cache1, mask1, last_logits, **extra,
                 )
         # decode window: compiles once per (ticks, with_sampling, kv_bucket)
         # variant; the scheduler only ever uses ticks == sync_every (steady
         # state) and ticks == 1 (tail), so warm both at the kv bucket the
         # first wave will hit
+        if self.spec_decode:
+            # every window is a spec window (greedy-only engine)
+            w = self.sync_every * (self.spec_draft_k + 1)
+            kv_bucket = self._kv_bucket(
+                max(buckets, default=0)
+                + w * (2 if self.pipeline else 1) + self.spec_draft_k
+            )
+            for ticks in sorted({1, self.sync_every}):
+                scratch_cache = gemma.init_kv_cache(
+                    self.config.text_config, self.max_slots, self.max_seq_len,
+                    self.cache_dtype,
+                )
+                self._spec_window(
+                    self.decode_params, scratch_cache, self._zero_state(),
+                    ticks=ticks, kv_bucket=kv_bucket,
+                )
+            return
         variants = (False, True) if sampling else (False,)
         kv_bucket = self._kv_bucket(max(buckets, default=0) + self.sync_every)
         for with_sampling in variants:
@@ -484,6 +651,28 @@ class ServingEngine:
         req.max_new_tokens = min(
             req.max_new_tokens, self.max_seq_len - len(req.input_ids)
         )
+        if getattr(self, "spec_decode", False):
+            if req.do_sample:
+                raise ValueError(
+                    f"request {req.request_id}: spec_decode serving is "
+                    "greedy-only (acceptance compares drafts against the "
+                    "model's argmax; a sampled row would need stochastic "
+                    "verification). Submit with do_sample=False or use a "
+                    "non-speculative engine."
+                )
+            # a verify cycle writes KV up to draft_k positions past the
+            # last accepted token; keep the overshoot inside the cache
+            req.max_new_tokens = min(
+                req.max_new_tokens,
+                self.max_seq_len - len(req.input_ids) - self.spec_draft_k,
+            )
+            if req.max_new_tokens < 1:
+                raise ValueError(
+                    f"request {req.request_id}: prompt of "
+                    f"{len(req.input_ids)} tokens leaves no generation room "
+                    f"under spec_decode (draft_k={self.spec_draft_k} "
+                    f"overshoot must fit in max_seq_len {self.max_seq_len})"
+                )
         self.pending.append(req)
 
     def _bucket_of(self, req: Request) -> int:
@@ -514,14 +703,20 @@ class ServingEngine:
         )
 
     def _insert_row(self, slot: int, req: Request, row: int, cache1, mask,
-                    last_logits) -> None:
+                    last_logits, ids1=None) -> None:
         """Scatter row ``row`` of a batched prefill into pool slot ``slot``
         (backend hook — the paged engine writes page-wise instead)."""
+        extra = {}
+        if self.spec_decode:
+            extra = dict(
+                ids1=ids1,
+                max_new=jnp.asarray(req.max_new_tokens, jnp.int32),
+            )
         self.cache, self.state = self._insert(
             jnp.asarray(slot, jnp.int32),
             jnp.asarray(len(req.input_ids), jnp.int32),
             jnp.asarray(row, jnp.int32),
-            self.cache, self.state, cache1, mask, last_logits,
+            self.cache, self.state, cache1, mask, last_logits, **extra,
         )
 
     def _release_slot(self, slot: int) -> None:
@@ -605,16 +800,18 @@ class ServingEngine:
                 pfx_np[r] = pfx_np[0]
 
             mask = jnp.asarray(mask_np)
+            ids_j = jnp.asarray(ids_np)
             cache1 = gemma.init_kv_cache(
                 self.config.text_config, n_pad, self.max_seq_len, self.cache_dtype
             )
             last_logits, cache1 = self._prefill_batch(
-                self.params, jnp.asarray(pix_np), jnp.asarray(ids_np), mask,
+                self.params, jnp.asarray(pix_np), ids_j, mask,
                 jnp.asarray(pfx_np), cache1,
             )
             self.prefill_calls += 1
             for r, (slot, req) in enumerate(seated):
-                self._insert_row(slot, req, r, cache1, mask, last_logits)
+                self._insert_row(slot, req, r, cache1, mask, last_logits,
+                                 ids1=ids_j)
                 self.slots[slot] = req
                 self._generated[req.request_id] = 0
                 self._dispatched[req.request_id] = 0
@@ -650,6 +847,29 @@ class ServingEngine:
         )
         return tokens
 
+    def _run_spec_window(self, ticks: int):
+        """One scan-jitted dispatch of ``ticks`` speculative verify cycles.
+        Returns ((ticks, slots, draft_k+1) tokens, (ticks, slots) counts)
+        un-synced. The attended window must cover the worst-case in-window
+        advance — every cycle can accept draft_k+1 tokens and writes
+        draft_k past the last accepted one — plus one whole in-flight
+        window of host-bookkeeping lag under pipelining (accepted counts
+        are unknown to the host until it syncs)."""
+        per_window = ticks * (self.spec_draft_k + 1)
+        lag = per_window if self.pipeline else 0
+        kv_bucket = self._kv_bucket(
+            max(
+                (len(r.input_ids) + self._generated[r.request_id]
+                 for r in self.slots if r is not None),
+                default=0,
+            ) + per_window + lag + self.spec_draft_k
+        )
+        tokens, counts, self.cache, self.state = self._spec_window(
+            self.decode_params, self.cache, self.state,
+            ticks=ticks, kv_bucket=kv_bucket,
+        )
+        return tokens, counts
+
     def _dispatch(self) -> Optional[_Window]:
         """Fill free slots, size one decode window from DISPATCHED budgets,
         and enqueue it on the device. Returns the un-synced window (or None
@@ -659,6 +879,8 @@ class ServingEngine:
         max_seq_len. ``ticks`` is either ``sync_every`` (steady state) or 1
         (tail windows) — exactly two compiled window shapes per kv bucket."""
         self._fill_slots()
+        if self.spec_decode:
+            return self._dispatch_spec()
 
         def _lefts():
             return [
@@ -715,11 +937,45 @@ class ServingEngine:
                 snapshot.append(None)
         return _Window(tokens_dev, ticks, snapshot)
 
+    def _dispatch_spec(self) -> Optional[_Window]:
+        """Speculative ``_dispatch``: budgets live ON DEVICE (state["left"],
+        set at insert) because per-cycle emission is data-dependent — the
+        host sizes windows from SYNCED counts (``_generated``), which under
+        pipelining lag one window. A lagged dispatch for rows that already
+        exhausted their device budget is harmless: their cycles emit count
+        0 and the absorb of the in-flight window retires them."""
+
+        def _lefts():
+            return [
+                r.max_new_tokens - self._generated[r.request_id]
+                if r is not None else 0
+                for r in self.slots
+            ]
+
+        maxleft = max(_lefts(), default=0)
+        if maxleft <= 0:
+            return None
+        ticks = self.sync_every if maxleft >= self.sync_every else 1
+        self._before_window(ticks)
+        lefts = _lefts()
+        if not any(l > 0 for l in lefts):
+            return None
+        tokens_dev, counts_dev = self._run_spec_window(ticks)
+        snapshot: List[Optional[tuple]] = [
+            (req, req.epoch) if req is not None and lefts[slot] > 0 else None
+            for slot, req in enumerate(self.slots)
+        ]
+        return _Window(tokens_dev, ticks, snapshot, counts_dev=counts_dev)
+
     def _absorb(self, window: _Window) -> List[Request]:
         """Synchronize one dispatched window's tokens (the only host
         readback) and run retirement bookkeeping. Tokens for requests that
         retired or were preempted after dispatch are discarded."""
         token_np = np.asarray(window.tokens_dev)
+        counts_np = (
+            None if window.counts_dev is None
+            else np.asarray(window.counts_dev)
+        )
         finished: List[Request] = []
         for slot, snap in enumerate(window.snapshot):
             if snap is None:
@@ -727,8 +983,17 @@ class ServingEngine:
             req, epoch = snap
             if req.done or req.epoch != epoch or self.slots[slot] is not req:
                 continue  # retired/preempted since dispatch — discard
-            for t in range(window.ticks):
-                tok = int(token_np[t, slot])
+            if counts_np is None:
+                toks = [int(token_np[t, slot]) for t in range(window.ticks)]
+            else:
+                # speculative window: cycle t emitted its first
+                # counts[t, slot] entries (accepted prefix of that cycle)
+                toks = [
+                    int(token_np[t, slot, i])
+                    for t in range(window.ticks)
+                    for i in range(int(counts_np[t, slot]))
+                ]
+            for tok in toks:
                 req.tokens.append(tok)
                 self._generated[req.request_id] += 1
                 out_of_budget = (

@@ -616,7 +616,7 @@ class PagedServingEngine(ServingEngine):
         return freed
 
     def _insert_row(self, slot: int, req: Request, row: int, cache1, mask,
-                    last_logits) -> None:
+                    last_logits, ids1=None) -> None:
         bucket = mask.shape[1]
         ok = self.paged.grow_to(slot, bucket)
         assert ok, "admission reserved pages; grow_to must succeed"
