@@ -20,11 +20,22 @@ from __future__ import annotations
 
 import gc
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Persistent compilation cache: the remote compiler charges 30-300 s per 3B
+# executable and ~5 min for the kernel smoke tier; cached executables
+# verified to deserialize + run correctly on this tunneled backend. Keyed
+# on HLO hash, so code changes miss naturally (never stale).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 
 def _sync(x):

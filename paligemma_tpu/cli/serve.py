@@ -74,7 +74,8 @@ def _build_parser():
                    help="dense engine: n-gram speculative decoding inside "
                         "the batched tick (greedy-only — requests with "
                         "do_sample are rejected; wins on repetitive "
-                        "outputs, see docs/PERFORMANCE.md)")
+                        "outputs, see docs/PERFORMANCE.md). Composes with "
+                        "--model_parallel (GSPMD-sharded verify forward)")
     p.add_argument("--spec_draft_k", type=int, default=8,
                    help="drafted tokens per speculative verify cycle")
     p.add_argument("--max_new_tokens", type=int, default=100,
@@ -143,10 +144,6 @@ def build_server(args):
     require(args.engine == "dense" or not args.spec_decode,
             "--spec_decode needs --engine dense (the paged pool's verify "
             "forward is unimplemented)")
-    require(not (args.spec_decode and
-                 args.data_parallel * args.model_parallel > 1),
-            "--spec_decode is single-chip (the multi-token verify forward "
-            "has no TP variant)")
     mesh = None
     if args.data_parallel * args.model_parallel > 1:
         # dense serving is pure TP (slots are the batch; see

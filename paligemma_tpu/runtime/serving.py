@@ -205,12 +205,11 @@ class ServingEngine:
         # decoding"). Requires do_sample=False on every request (rejected
         # at submit). The reference decodes strictly one token per forward
         # (ref: inference.py:51-87).
-        if spec_decode and mesh is not None:
-            raise ValueError(
-                "spec_decode serving is single-chip (the verify forward "
-                "takes the XLA path; a TP variant would shard it via the "
-                "prefill machinery — unimplemented)"
-            )
+        # Under a mesh the verify forward shards like the non-fused tick:
+        # decode_verify is plain XLA, decode weights carry Megatron
+        # NamedShardings (device_put above), and GSPMD inserts the psums —
+        # state/cache stay replicated (MQA KV). Parity:
+        # tests/test_spec_serving.py::test_spec_serving_under_tp_mesh.
         self.spec_decode = spec_decode
         self.spec_draft_k = spec_draft_k
         self.spec_match_n = spec_match_n

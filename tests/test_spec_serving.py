@@ -130,6 +130,22 @@ def test_spec_serving_pipelined_matches_stepwise():
         np.testing.assert_array_equal(a[rid], b[rid])
 
 
+def test_spec_serving_under_tp_mesh():
+    """Speculative serving sharded over a TP mesh: decode_verify is plain
+    XLA, so the Megatron weight shardings + GSPMD carry the whole verify
+    cycle — no kernel variant needed (runtime/serving.py spec_decode)."""
+    from paligemma_tpu.core import mesh as mesh_lib
+
+    params = paligemma.init_params(jax.random.PRNGKey(0), CFG)
+    mk = lambda: [_req(0, 1, 6, 7), _req(1, 2, 9, 5, repeat_prompt=True),
+                  _req(2, 3, 4, 6)]
+    want = _run(params, mk(), spec_decode=True, spec_draft_k=4)
+    mesh = mesh_lib.make_mesh(data=1, model=4)
+    got = _run(params, mk(), spec_decode=True, spec_draft_k=4, mesh=mesh)
+    for rid in want:
+        np.testing.assert_array_equal(got[rid], want[rid])
+
+
 def test_spec_serving_warmup_precompiles():
     params = paligemma.init_params(jax.random.PRNGKey(0), CFG)
     eng = ServingEngine(params, CFG, max_slots=2, max_seq_len=64,
