@@ -19,8 +19,9 @@ behind two user-facing modes:
 
 Request JSON: ``{"prompt": str, "image": path}`` plus optional
 ``request_id``, ``max_new_tokens``, ``do_sample``, ``temperature``,
-``top_p``; HTTP requests may pass ``image_b64`` (base64-encoded image
-bytes) instead of a server-local path.
+``top_p``, ``lora`` (adapter name registered via ``--lora``); HTTP
+requests may pass ``image_b64`` (base64-encoded image bytes) instead of
+a server-local path.
 
 Engine selection: ``--engine dense`` (default) is the slot-pool engine —
 supports tensor/data-parallel meshes (``--model_parallel``);
@@ -78,6 +79,12 @@ def _build_parser():
                         "--model_parallel (GSPMD-sharded verify forward)")
     p.add_argument("--spec_draft_k", type=int, default=8,
                    help="drafted tokens per speculative verify cycle")
+    p.add_argument("--lora", action="append", default=[], metavar="NAME=DIR",
+                   help="dense engine: serve LoRA adapter DIR (a finetune "
+                        "checkpoint from cli.finetune, e.g. out/final) "
+                        "under NAME — repeatable; requests pick one with "
+                        '{"lora": NAME} (omit for the base model). All '
+                        "adapters decode in the same batched tick")
     p.add_argument("--max_new_tokens", type=int, default=100,
                    help="default per-request budget")
     p.add_argument("--quantize_int8", action="store_true",
@@ -144,6 +151,26 @@ def build_server(args):
     require(args.engine == "dense" or not args.spec_decode,
             "--spec_decode needs --engine dense (the paged pool's verify "
             "forward is unimplemented)")
+    require(args.engine == "dense" or not args.lora,
+            "--lora needs --engine dense (the paged tick doesn't thread "
+            "adapters)")
+    lora_bank = None
+    if args.lora:
+        from ..checkpoints.local import restore_pytree
+
+        lora_bank = {}
+        for spec in args.lora:
+            require("=" in spec, f"--lora expects NAME=DIR, got {spec!r}")
+            name, path = spec.split("=", 1)
+            require(name not in lora_bank,
+                    f"--lora adapter name {name!r} given twice")
+            state = restore_pytree(path)
+            require(isinstance(state, dict) and "lora" in state,
+                    f"{path} is not a LoRA finetune checkpoint (expected "
+                    "the cli.finetune save layout with a 'lora' subtree; "
+                    "full fine-tunes have no adapter to serve — export "
+                    "and load them as a base model instead)")
+            lora_bank[name] = state["lora"]
     mesh = None
     if args.data_parallel * args.model_parallel > 1:
         # dense serving is pure TP (slots are the batch; see
@@ -173,6 +200,7 @@ def build_server(args):
             max_seq_len=args.max_seq_len, decode_params=decode_params,
             sync_every=args.sync_every, mesh=mesh,
             spec_decode=args.spec_decode, spec_draft_k=args.spec_draft_k,
+            lora_bank=lora_bank,
         )
 
     return _Server(engine, processor, tokenizer, args.max_new_tokens)
@@ -221,6 +249,7 @@ class _Server:
             top_p=float(row.get("top_p", 0.9)),
             do_sample=bool(row.get("do_sample", False)),
             eos_token_id=self.tokenizer.eos_token_id,
+            lora=row.get("lora"),
         )
 
     def _result(self, req):

@@ -101,6 +101,20 @@ def _lora_delta(y: jnp.ndarray, lora_lp: Optional[Params], name: str) -> jnp.nda
         return 0.0
     a, b = lora_lp[name]["a"], lora_lp[name]["b"]
     scale = lora_lp[name]["alpha"] / a.shape[-1]
+    if a.ndim == 3:
+        # multi-adapter bank slice (N, in, r): every row of the batch uses
+        # ITS OWN adapter, selected by the (B,) ids the serving engine
+        # threads in as lora_lp["__ids__"] (id 0 = the all-zero base
+        # adapter). The gather reads B*in*r adapter elements per target —
+        # ~2% of the base weight stream at r=8 — so multi-LoRA decode
+        # stays weight-bandwidth-bound (train/lora.py stack_lora_bank).
+        ids = lora_lp["__ids__"]
+        a_rows = a[ids]  # (B, in, r)
+        b_rows = b[ids]  # (B, r, out)
+        s_rows = scale[ids].astype(a.dtype)  # (B,)
+        delta = jnp.einsum("bsi,bir->bsr", y.astype(a.dtype), a_rows)
+        delta = jnp.einsum("bsr,bro->bso", delta, b_rows)
+        return (delta * s_rows[:, None, None]).astype(y.dtype)
     # adapters may be fp32 over a bf16 base: compute in adapter dtype for
     # gradient quality, return in activation dtype
     delta = ((y.astype(a.dtype) @ a) @ b) * scale.astype(a.dtype)
@@ -270,6 +284,7 @@ def forward(
     fused_mlp: bool = False,  # use the fused decode-MLP kernel (S==1, int8)
     fused_layer: bool = False,  # whole-layer decode kernel (S==1, B==1, int8)
     greedy_head: bool = False,  # return the argmax token id, not logits
+    lora: Optional[Params] = None,  # un-merged adapters or a per-row bank
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Run the decoder stack. Returns (fp32 logits (B,S,vocab), new cache).
 
@@ -315,7 +330,7 @@ def forward(
     b = input_embeds.shape[0]
     if (
         fused_layer and s == 1 and b <= 32 and mesh is None
-        and "qkv_s" in params["layers"]
+        and lora is None and "qkv_s" in params["layers"]
     ):
         # b <= 32 mirrors decode_layer.supported: beyond that the lockstep
         # VMEM window rings blow the scratch cap — oversized batches must
@@ -380,7 +395,7 @@ def forward(
 
     mlp_full = None
     layers_for_scan = params["layers"]
-    if fused_mlp and s == 1 and mesh is None:
+    if fused_mlp and s == 1 and mesh is None and lora is None:
         # the engine repacks layers.mlp via kernels.decode_mlp.repack; a
         # packed tree carries "gate_blk" and only the fused path reads it
         if "gate_blk" in params["layers"]["mlp"]:
@@ -403,6 +418,8 @@ def forward(
     # tok/s at unroll=3), the grouped body still threads ONE carry linearly,
     # so the in-place cache updates stay aliased.
     g = scan_block if n_layers % scan_block == 0 else 1
+    if lora is not None:
+        g = 1  # adapters ride the scan xs un-grouped (rank-r, cost-free)
     layers_g = jax.tree.map(
         lambda a: a.reshape((n_layers // g, g) + a.shape[1:]),
         layers_for_scan,
@@ -410,23 +427,31 @@ def forward(
 
     def body(carry, layer):
         h, k_all, v_all = carry
-        lp_g, base = layer
+        if lora is not None:
+            lp_g, lora_lp, base = layer
+        else:
+            lp_g, base = layer
+            lora_lp = None
         for j in range(g):
             lp = jax.tree.map(lambda a: a[j], lp_g) if g > 1 else lp_g
             h, k_all, v_all = block(
                 h, lp, cos, sin, k_all, v_all,
                 base * g + j if g > 1 else base,
-                cache_pos, mask, flash_lens=flash_lens, mesh=mesh,
+                cache_pos, mask, lora_lp=lora_lp, flash_lens=flash_lens,
+                mesh=mesh,
             )
         return (h, k_all, v_all), None
 
     # The cache rides the scan CARRY (in-place aliased across iterations);
     # scanning it through xs/ys instead costs a cache-sized copy pair per
     # step.
+    idxs = jnp.arange(n_layers // g, dtype=jnp.int32)
+    xs = (
+        (layers_g, lora["layers"], idxs) if lora is not None
+        else (layers_g, idxs)
+    )
     (x, new_k, new_v), _ = jax.lax.scan(
-        body,
-        (x, kv_cache["k"], kv_cache["v"]),
-        (layers_g, jnp.arange(n_layers // g, dtype=jnp.int32)),
+        body, (x, kv_cache["k"], kv_cache["v"]), xs
     )
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     if logits_idx is not None:

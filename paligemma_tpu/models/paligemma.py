@@ -137,6 +137,8 @@ def prefill(
     last_only: bool = False,
     mesh=None,
     prefix_lens: Optional[jnp.ndarray] = None,  # (B,) int32
+    lora: Optional[Params] = None,  # adapter tree or multi-adapter bank
+    adapter_ids: Optional[jnp.ndarray] = None,  # (B,) rows into the bank
 ) -> Tuple[jnp.ndarray, gemma.KVCache]:
     """Vision encode + merge + decoder prefill. Returns (logits, cache).
 
@@ -210,8 +212,32 @@ def prefill(
         flash_lens=flash_lens,
         logits_idx=logits_idx,
         mesh=mesh,
+        lora=lora_with_ids(
+            lora, adapter_ids, cfg.text_config.num_hidden_layers
+        ),
     )
     return logits, kv_cache
+
+
+def lora_with_ids(
+    lora: Optional[Params], adapter_ids: Optional[jnp.ndarray],
+    n_layers: int,
+) -> Optional[Params]:
+    """Attach per-row adapter ids to a multi-LoRA bank for the decoder scan.
+
+    A bank (train/lora.py stack_lora_bank) has per-layer (N, ...) adapter
+    stacks; ``adapter_ids`` (B,) picks each batch row's adapter (0 = the
+    zero/base row). The ids ride the scan xs broadcast to (L, B) so every
+    layer's slice carries them (gemma._lora_delta). With ``adapter_ids``
+    None the tree passes through untouched — the plain single-adapter
+    layout gemma.forward_train uses."""
+    if lora is None or adapter_ids is None:
+        return lora
+    layers = dict(lora["layers"])
+    layers["__ids__"] = jnp.broadcast_to(
+        adapter_ids[None, :], (n_layers, adapter_ids.shape[0])
+    )
+    return {"layers": layers}
 
 
 def train_attention_mask(
@@ -288,6 +314,8 @@ def decode_step(
     scan_block: int = 1,  # decoder layers per scan body (gemma.forward)
     fused_mlp: bool = False,  # fused int8 decode-MLP kernel (gemma.forward)
     fused_layer: bool = False,  # whole-layer decode kernel (gemma.forward)
+    lora: Optional[Params] = None,  # adapter tree or multi-adapter bank
+    adapter_ids: Optional[jnp.ndarray] = None,  # (B,) rows into the bank
 ) -> Tuple[jnp.ndarray, gemma.KVCache]:
     """Single-token decode. Returns ((B, vocab) logits, new cache).
 
@@ -307,6 +335,9 @@ def decode_step(
         scan_block=scan_block,
         fused_mlp=fused_mlp,
         fused_layer=fused_layer,
+        lora=lora_with_ids(
+            lora, adapter_ids, cfg.text_config.num_hidden_layers
+        ),
     )
     return logits[:, 0, :], kv_cache
 

@@ -43,6 +43,9 @@ class Request:
     top_p: float = 0.9
     do_sample: bool = False
     eos_token_id: int = 1
+    # multi-LoRA serving: name of the adapter to decode this request with
+    # (must exist in the engine's lora_bank; None = the base model)
+    lora: Optional[str] = None
     # filled by the engine
     tokens: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
@@ -84,6 +87,7 @@ class ServingEngine:
         spec_decode: bool = False,
         spec_draft_k: int = 8,
         spec_match_n: int = 2,
+        lora_bank: Optional[Dict[str, Any]] = None,
     ):
         """``decode_params``: optional int8-quantized weights used for the
         lockstep decode while ``params`` (bf16) serves the prefills.
@@ -142,6 +146,41 @@ class ServingEngine:
         if spec_decode:
             # the verify forward is a multi-token XLA step (the fused
             # kernels are single-token); skip the layer repack entirely
+            fused_decode = False
+        # Multi-LoRA serving: requests name an adapter (Request.lora) and
+        # every prefill/decode forward applies each ROW's adapter via the
+        # per-row bank gather in gemma._lora_delta — one compiled tick
+        # serves any base/adapter mix (bank row 0 is the all-zero base
+        # adapter). The bank rides jit args, never closures (big-constant
+        # rule, CLAUDE.md). The rank-r deltas are ~2% extra HBM traffic,
+        # but the tick takes the XLA path — the fused kernels don't know
+        # adapters (the delta needs per-layer activations the
+        # grid-over-layers kernel never exposes).
+        self.lora_bank = None
+        self._lora_index: Dict[Optional[str], int] = {None: 0}
+        if lora_bank:
+            if spec_decode:
+                raise ValueError(
+                    "spec_decode + lora_bank is unimplemented (the verify "
+                    "forward doesn't thread adapters yet)"
+                )
+            from ..train.lora import stack_lora_bank
+
+            names = list(lora_bank)
+            bank = stack_lora_bank([lora_bank[n] for n in names])
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                bank = jax.tree.map(
+                    lambda x: jax.device_put(
+                        x, NamedSharding(mesh, PartitionSpec())
+                    ),
+                    bank,
+                )
+            self.lora_bank = bank
+            self._lora_index.update(
+                {n: i + 1 for i, n in enumerate(names)}
+            )
             fused_decode = False
         self._tp_packed = self._tp_specs = None
         if fused_decode and mesh is not None:
@@ -236,18 +275,19 @@ class ServingEngine:
         tcfg = config.text_config
 
         @functools.partial(jax.jit, donate_argnums=(5,))
-        def _prefill_batch(params, pixels, ids, mask, prefix_lens, cache1):
+        def _prefill_batch(params, pixels, ids, mask, prefix_lens, cache1,
+                           lora=None, adapter_ids=None):
             # pending requests in the same length bucket prefill as ONE call
             logits, cache1 = paligemma.prefill(
                 params, cfg, pixels, ids, mask, cache1, use_flash=use_flash,
                 last_only=True, mesh=mesh if use_flash else None,
-                prefix_lens=prefix_lens,
+                prefix_lens=prefix_lens, lora=lora, adapter_ids=adapter_ids,
             )
             return logits[:, 0], cache1
 
         @functools.partial(jax.jit, donate_argnums=(3, 4))
         def _insert(slot, prompt_len, row, cache, state, cache1, mask1,
-                    last_logits, ids1=None, max_new=None):
+                    last_logits, ids1=None, max_new=None, adapter=None):
             # scatter row `row` of the batched prefill into pool slot `slot`
             zero = jnp.zeros((), jnp.int32)
             cache = {
@@ -278,6 +318,11 @@ class ServingEngine:
                 "logits": state["logits"].at[slot].set(logits_row),
                 "next_tok": state["next_tok"].at[slot].set(next_tok),
             }
+            if lora_bank:
+                state = {
+                    **state,
+                    "adapter": state["adapter"].at[slot].set(adapter),
+                }
             if spec_decode:
                 # seed the row's n-gram history (prompt then, at position
                 # prompt_len, the not-yet-emitted next token — the proposer
@@ -298,7 +343,7 @@ class ServingEngine:
 
         def _tick(params, tp_packed, cache, state, active, key, temps,
                   top_ps, do_samples, with_sampling=False,
-                  kv_bucket=None):
+                  kv_bucket=None, lora=None):
             # greedy tokens come from the carried next-token ids — exact
             # regardless of whether the previous tick materialized logits
             greedy_tok = state["next_tok"]
@@ -339,6 +384,7 @@ class ServingEngine:
                         position_ids=state["pos_ids"], kv_bucket=kv_bucket,
                     )
                 state = {
+                    **state,  # preserves "adapter" (multi-LoRA) if present
                     "valid": valid,
                     "write_pos": write_pos + inc,
                     "pos_ids": state["pos_ids"] + inc,
@@ -351,8 +397,11 @@ class ServingEngine:
                 cache_pos=write_pos, kv_valid=valid,
                 position_ids=state["pos_ids"], kv_bucket=kv_bucket,
                 fused_layer=self.fused_decode,
+                lora=lora,
+                adapter_ids=state["adapter"] if lora is not None else None,
             )
             state = {
+                **state,  # preserves "adapter" (multi-LoRA) if present
                 "valid": valid,
                 "write_pos": write_pos + inc,
                 "pos_ids": state["pos_ids"] + inc,
@@ -370,7 +419,7 @@ class ServingEngine:
             static_argnames=("ticks", "with_sampling", "kv_bucket"),
         )
         def _decode_window(params, tp_packed, cache, state, lefts, key,
-                           temps, top_ps, do_samples, ticks=1,
+                           temps, top_ps, do_samples, lora=None, ticks=1,
                            with_sampling=False, kv_bucket=None):
             """``ticks`` lockstep decode steps in ONE dispatch (lax.scan).
 
@@ -389,7 +438,7 @@ class ServingEngine:
                 token, cache, state = _tick(
                     params, tp_packed, cache, state, lefts > 0, k, temps,
                     top_ps, do_samples, with_sampling=with_sampling,
-                    kv_bucket=kv_bucket,
+                    kv_bucket=kv_bucket, lora=lora,
                 )
                 return (cache, state, jnp.maximum(lefts - 1, 0)), token
 
@@ -540,6 +589,9 @@ class ServingEngine:
                 (self.max_slots, self.max_seq_len), jnp.int32
             )
             state["left"] = jnp.zeros((self.max_slots,), jnp.int32)
+        if getattr(self, "lora_bank", None) is not None:
+            # per-row adapter index into the bank (0 = base/zero adapter)
+            state["adapter"] = jnp.zeros((self.max_slots,), jnp.int32)
         return state
 
     def warmup(self, prompt_lens, batch_sizes=(1, 2, 4, 8),
@@ -568,10 +620,15 @@ class ServingEngine:
                     self.cache_dtype,
                 )
                 pixels = np.zeros((n, 3, c.image_size, c.image_size), np.float32)
+                lora_kw = (
+                    dict(lora=self.lora_bank,
+                         adapter_ids=jnp.zeros((n,), jnp.int32))
+                    if self.lora_bank is not None else {}
+                )
                 last_logits, cache1 = self._prefill_batch(
                     self.params, jnp.asarray(pixels), jnp.asarray(ids),
                     jnp.asarray(mask), jnp.full((n,), bucket, np.int32),
-                    cache1,
+                    cache1, **lora_kw,
                 )
                 # _insert compiles per prefill-batch shape; run it on
                 # throwaway pool buffers (donated args) with the real shapes
@@ -586,6 +643,8 @@ class ServingEngine:
                          max_new=jnp.asarray(1, jnp.int32))
                     if self.spec_decode else {}
                 )
+                if self.lora_bank is not None:
+                    extra["adapter"] = jnp.zeros((), jnp.int32)
                 self._insert(
                     jnp.zeros((), jnp.int32), jnp.asarray(bucket, jnp.int32),
                     jnp.zeros((), jnp.int32), scratch_cache, scratch_state,
@@ -627,6 +686,7 @@ class ServingEngine:
                     scratch_state, jnp.zeros((self.max_slots,), jnp.int32),
                     jax.random.PRNGKey(0), zeros_f + 1.0, zeros_f + 1.0,
                     jnp.zeros((self.max_slots,), bool),
+                    lora=self.lora_bank,
                     ticks=ticks, with_sampling=with_sampling,
                     kv_bucket=kv_bucket,
                 )
@@ -650,6 +710,13 @@ class ServingEngine:
         req.max_new_tokens = min(
             req.max_new_tokens, self.max_seq_len - len(req.input_ids)
         )
+        if req.lora is not None and req.lora not in self._lora_index:
+            known = sorted(k for k in self._lora_index if k is not None)
+            raise ValueError(
+                f"request {req.request_id}: unknown LoRA adapter "
+                f"{req.lora!r} (engine has {known or 'no adapters'}; pass "
+                "lora_bank={name: adapter_tree} at construction)"
+            )
         if getattr(self, "spec_decode", False):
             if req.do_sample:
                 raise ValueError(
@@ -710,6 +777,10 @@ class ServingEngine:
             extra = dict(
                 ids1=ids1,
                 max_new=jnp.asarray(req.max_new_tokens, jnp.int32),
+            )
+        if self.lora_bank is not None:
+            extra["adapter"] = jnp.asarray(
+                self._lora_index[req.lora], jnp.int32
             )
         self.cache, self.state = self._insert(
             jnp.asarray(slot, jnp.int32),
@@ -803,9 +874,16 @@ class ServingEngine:
             cache1 = gemma.init_kv_cache(
                 self.config.text_config, n_pad, self.max_seq_len, self.cache_dtype
             )
+            lora_kw = {}
+            if self.lora_bank is not None:
+                aids_np = np.zeros((n_pad,), np.int32)
+                for r, (_, req) in enumerate(seated):
+                    aids_np[r] = self._lora_index[req.lora]
+                lora_kw = dict(lora=self.lora_bank,
+                               adapter_ids=jnp.asarray(aids_np))
             last_logits, cache1 = self._prefill_batch(
                 self.params, jnp.asarray(pix_np), ids_j, mask,
-                jnp.asarray(pfx_np), cache1,
+                jnp.asarray(pfx_np), cache1, **lora_kw,
             )
             self.prefill_calls += 1
             for r, (slot, req) in enumerate(seated):
@@ -841,7 +919,7 @@ class ServingEngine:
         )
         tokens, self.cache, self.state, self._key = self._decode_window(
             self.decode_params, self._tp_packed, self.cache, self.state,
-            lefts, self._key, temps_j, top_j, do_j,
+            lefts, self._key, temps_j, top_j, do_j, lora=self.lora_bank,
             ticks=ticks, with_sampling=with_sampling, kv_bucket=kv_bucket,
         )
         return tokens

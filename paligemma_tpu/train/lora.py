@@ -57,6 +57,49 @@ def init_lora(
     return {"layers": layers}
 
 
+def stack_lora_bank(
+    adapters: Sequence[Dict[str, Any]], dtype=None
+) -> Dict[str, Any]:
+    """Stack adapters into a multi-LoRA serving bank.
+
+    Returns ``{"layers": {name: {"a": (L, N+1, in, r), "b": (L, N+1, r,
+    out), "alpha": (L, N+1)}}}`` — adapter axis SECOND so the per-layer
+    scan in gemma.forward slices ``(N+1, ...)`` banks that per-row ids
+    gather from (gemma._lora_delta). Index 0 is an all-zero adapter: rows
+    serving the base model select it and get delta 0 with no branch, so
+    one compiled tick serves every base/adapter mix. Adapters must share
+    rank and targets (per-tensor shapes must match to stack); the serving
+    engine maps user-facing adapter names to indices 1..N.
+    """
+    if not adapters:
+        raise ValueError("stack_lora_bank needs at least one adapter")
+    ref = adapters[0]["layers"]
+    for i, ad in enumerate(adapters[1:], start=1):
+        for name, p in ad["layers"].items():
+            if name not in ref:
+                raise ValueError(
+                    f"adapter {i} has target '{name}' the first adapter "
+                    "lacks; multi-LoRA serving needs identical targets"
+                )
+            if p["a"].shape != ref[name]["a"].shape:
+                raise ValueError(
+                    f"adapter {i} target '{name}' rank/shape "
+                    f"{p['a'].shape} != {ref[name]['a'].shape}; multi-LoRA "
+                    "serving needs one shared rank (pad or retrain)"
+                )
+        if set(ad["layers"]) != set(ref):
+            raise ValueError(
+                "adapters disagree on target sets; multi-LoRA serving "
+                "needs identical targets"
+            )
+    zero = jax.tree.map(jnp.zeros_like, adapters[0])
+    trees = [zero, *adapters]
+    bank = jax.tree.map(lambda *xs: jnp.stack(xs, axis=1), *trees)
+    if dtype is not None:
+        bank = jax.tree.map(lambda x: x.astype(dtype), bank)
+    return bank
+
+
 def num_trainable_params(lora: Dict[str, Any]) -> int:
     leaves = [x.size for name, p in lora["layers"].items() for x in (p["a"], p["b"])]
     return sum(leaves)
