@@ -79,6 +79,14 @@ def _build_parser():
                         "--model_parallel (GSPMD-sharded verify forward)")
     p.add_argument("--spec_draft_k", type=int, default=8,
                    help="drafted tokens per speculative verify cycle")
+    p.add_argument("--grammar", action="append", default=[],
+                   metavar="NAME=REGEX",
+                   help="dense engine: register a constrained-decoding "
+                        "grammar (regex subset over the OUTPUT text, e.g. "
+                        "yes|no or \\d+(,\\d+)*) — repeatable; requests "
+                        'pick one with {"grammar": NAME}. Constrained rows '
+                        "can only emit tokens keeping the output a valid "
+                        "prefix, and can only stop on a complete match")
     p.add_argument("--lora", action="append", default=[], metavar="NAME=DIR",
                    help="dense engine: serve LoRA adapter DIR (a finetune "
                         "checkpoint from cli.finetune, e.g. out/final) "
@@ -186,6 +194,37 @@ def build_server(args):
 
         mesh = make_mesh(args.data_parallel, args.model_parallel)
 
+    require(args.engine == "dense" or not args.grammar,
+            "--grammar needs --engine dense (the paged tick doesn't "
+            "thread grammar states)")
+    grammars = None
+    if args.grammar:
+        from ..processing.grammar import (
+            compile_regex,
+            compile_token_dfa,
+            token_strings_from_tokenizer,
+        )
+
+        strs = token_strings_from_tokenizer(
+            tokenizer, min(len(tokenizer), config.vocab_size)
+        )
+        strs += [""] * (config.vocab_size - len(strs))
+        grammars = {}
+        for spec in args.grammar:
+            require("=" in spec, f"--grammar expects NAME=REGEX, got {spec!r}")
+            name, pattern = spec.split("=", 1)
+            require(name not in grammars,
+                    f"--grammar name {name!r} given twice")
+            try:
+                dfa = compile_regex(pattern)
+            except ValueError as e:
+                from .errors import CliError
+
+                raise CliError(f"--grammar {name}: {e}")
+            grammars[name] = compile_token_dfa(
+                dfa, strs, tokenizer.eos_token_id
+            )
+
     if args.engine == "paged":
         engine = PagedServingEngine(
             params, config, max_slots=args.max_slots,
@@ -200,7 +239,7 @@ def build_server(args):
             max_seq_len=args.max_seq_len, decode_params=decode_params,
             sync_every=args.sync_every, mesh=mesh,
             spec_decode=args.spec_decode, spec_draft_k=args.spec_draft_k,
-            lora_bank=lora_bank,
+            lora_bank=lora_bank, grammars=grammars,
         )
 
     return _Server(engine, processor, tokenizer, args.max_new_tokens)
@@ -250,6 +289,7 @@ class _Server:
             do_sample=bool(row.get("do_sample", False)),
             eos_token_id=self.tokenizer.eos_token_id,
             lora=row.get("lora"),
+            grammar=row.get("grammar"),
         )
 
     def _result(self, req):

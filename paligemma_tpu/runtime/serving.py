@@ -46,6 +46,9 @@ class Request:
     # multi-LoRA serving: name of the adapter to decode this request with
     # (must exist in the engine's lora_bank; None = the base model)
     lora: Optional[str] = None
+    # constrained decoding: name of the grammar this request's output must
+    # match (must exist in the engine's grammars; None = unconstrained)
+    grammar: Optional[str] = None
     # filled by the engine
     tokens: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
@@ -88,6 +91,7 @@ class ServingEngine:
         spec_draft_k: int = 8,
         spec_match_n: int = 2,
         lora_bank: Optional[Dict[str, Any]] = None,
+        grammars: Optional[Dict[str, Any]] = None,
     ):
         """``decode_params``: optional int8-quantized weights used for the
         lockstep decode while ``params`` (bf16) serves the prefills.
@@ -181,6 +185,42 @@ class ServingEngine:
             self._lora_index.update(
                 {n: i + 1 for i, n in enumerate(names)}
             )
+            fused_decode = False
+        # Grammar-constrained decoding: requests name a compiled grammar
+        # (processing/grammar.py TokenDFA) and the tick masks each ROW's
+        # logits with that grammar's allowed-token row before every
+        # selection, advancing a per-row DFA state on device — constraint
+        # enforcement is one (B, vocab) gather + where per step, zero host
+        # round trips. Grammar id 0 = unconstrained (all-zero table: every
+        # token allowed, state stays 0), so mixed batches need no branch.
+        self.grammar_table = None
+        self._grammar_index: Dict[Optional[str], int] = {None: 0}
+        self._grammars = grammars or {}
+        if grammars:
+            if spec_decode:
+                raise ValueError(
+                    "spec_decode + grammars is unimplemented (constrained "
+                    "argmax changes the draft-acceptance rule)"
+                )
+            v = config.vocab_size
+            s_max = max(g.num_states for g in grammars.values())
+            tables = [np.zeros((s_max, v), np.int16)]  # gid 0: unconstrained
+            for i, (name, g) in enumerate(grammars.items()):
+                if g.table.shape[1] != v:
+                    raise ValueError(
+                        f"grammar {name!r} compiled for vocab "
+                        f"{g.table.shape[1]}, model has {v}"
+                    )
+                t = np.full((s_max, v), -1, np.int16)
+                t[: g.num_states] = g.table
+                tables.append(t)
+                self._grammar_index[name] = i + 1
+            gt = jnp.asarray(np.stack(tables))
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                gt = jax.device_put(gt, NamedSharding(mesh, PartitionSpec()))
+            self.grammar_table = gt
             fused_decode = False
         self._tp_packed = self._tp_specs = None
         if fused_decode and mesh is not None:
@@ -287,7 +327,8 @@ class ServingEngine:
 
         @functools.partial(jax.jit, donate_argnums=(3, 4))
         def _insert(slot, prompt_len, row, cache, state, cache1, mask1,
-                    last_logits, ids1=None, max_new=None, adapter=None):
+                    last_logits, ids1=None, max_new=None, adapter=None,
+                    gid=None, gtable=None):
             # scatter row `row` of the batched prefill into pool slot `slot`
             zero = jnp.zeros((), jnp.int32)
             cache = {
@@ -307,7 +348,17 @@ class ServingEngine:
             logits_row = jax.lax.dynamic_slice_in_dim(
                 last_logits, row, 1, axis=0
             )[0]
-            next_tok = jnp.argmax(logits_row, -1).astype(jnp.int32)
+            if gtable is not None:
+                # the first pending token is selected from the grammar's
+                # START state (dstate stays 0 — it advances when the tick
+                # consumes this token); stored logits stay UNMASKED, the
+                # sampling variant re-masks with the row's live state
+                allowed0 = gtable[gid, 0] >= 0  # (vocab,)
+                next_tok = jnp.argmax(
+                    jnp.where(allowed0, logits_row, -jnp.inf), -1
+                ).astype(jnp.int32)
+            else:
+                next_tok = jnp.argmax(logits_row, -1).astype(jnp.int32)
             state = {
                 **state,
                 "valid": state["valid"].at[slot].set(valid_row),
@@ -322,6 +373,12 @@ class ServingEngine:
                 state = {
                     **state,
                     "adapter": state["adapter"].at[slot].set(adapter),
+                }
+            if gtable is not None:
+                state = {
+                    **state,
+                    "gid": state["gid"].at[slot].set(gid),
+                    "dstate": state["dstate"].at[slot].set(0),
                 }
             if spec_decode:
                 # seed the row's n-gram history (prompt then, at position
@@ -343,21 +400,37 @@ class ServingEngine:
 
         def _tick(params, tp_packed, cache, state, active, key, temps,
                   top_ps, do_samples, with_sampling=False,
-                  kv_bucket=None, lora=None):
+                  kv_bucket=None, lora=None, gtable=None):
             # greedy tokens come from the carried next-token ids — exact
             # regardless of whether the previous tick materialized logits
+            # (grammar engines pre-masked them at selection time)
             greedy_tok = state["next_tok"]
             if with_sampling:
                 # full-vocab sort per sampled row — only compiled in when
                 # some active request actually samples. Sampled rows' logits
                 # are fresh: every tick they were active ran this variant.
                 logits = state["logits"]
+                if gtable is not None:
+                    # constrain the sampled choice to the row's live DFA
+                    # state (stored logits are unmasked by convention)
+                    allowed = gtable[state["gid"], state["dstate"]] >= 0
+                    logits = jnp.where(allowed, logits, -jnp.inf)
                 sampled_tok = jax.vmap(
                     lambda k, lg, t, p: sampling.sample_top_p(k, lg[None], t, p)[0]
                 )(jax.random.split(key, self.max_slots), logits, temps, top_ps)
                 token = jnp.where(do_samples, sampled_tok, greedy_tok)
             else:
                 token = greedy_tok
+
+            dstate = None
+            if gtable is not None:
+                # advance each row's DFA by the token being consumed; rows
+                # that are inactive (or emitting stale post-budget tokens)
+                # hold their state
+                nxt_state = gtable[
+                    state["gid"], state["dstate"], token
+                ].astype(jnp.int32)
+                dstate = jnp.where(active, nxt_state, state["dstate"])
 
             write_pos = state["write_pos"]
             valid = state["valid"].at[jnp.arange(self.max_slots), write_pos].set(
@@ -400,18 +473,26 @@ class ServingEngine:
                 lora=lora,
                 adapter_ids=state["adapter"] if lora is not None else None,
             )
+            sel_logits = new_logits
+            if gtable is not None:
+                # the NEXT pending greedy token is selected under the
+                # just-advanced DFA state's mask (logits stored unmasked)
+                allowed2 = gtable[state["gid"], dstate] >= 0
+                sel_logits = jnp.where(allowed2, new_logits, -jnp.inf)
             state = {
-                **state,  # preserves "adapter" (multi-LoRA) if present
+                **state,  # preserves "adapter"/"gid" extras if present
                 "valid": valid,
                 "write_pos": write_pos + inc,
                 "pos_ids": state["pos_ids"] + inc,
                 "logits": jnp.where(active[:, None], new_logits, state["logits"]),
                 "next_tok": jnp.where(
                     active,
-                    jnp.argmax(new_logits, -1).astype(jnp.int32),
+                    jnp.argmax(sel_logits, -1).astype(jnp.int32),
                     state["next_tok"],
                 ),
             }
+            if dstate is not None:
+                state["dstate"] = dstate
             return token, cache, state
 
         @functools.partial(
@@ -419,7 +500,8 @@ class ServingEngine:
             static_argnames=("ticks", "with_sampling", "kv_bucket"),
         )
         def _decode_window(params, tp_packed, cache, state, lefts, key,
-                           temps, top_ps, do_samples, lora=None, ticks=1,
+                           temps, top_ps, do_samples, lora=None,
+                           gtable=None, ticks=1,
                            with_sampling=False, kv_bucket=None):
             """``ticks`` lockstep decode steps in ONE dispatch (lax.scan).
 
@@ -438,7 +520,7 @@ class ServingEngine:
                 token, cache, state = _tick(
                     params, tp_packed, cache, state, lefts > 0, k, temps,
                     top_ps, do_samples, with_sampling=with_sampling,
-                    kv_bucket=kv_bucket, lora=lora,
+                    kv_bucket=kv_bucket, lora=lora, gtable=gtable,
                 )
                 return (cache, state, jnp.maximum(lefts - 1, 0)), token
 
@@ -592,6 +674,10 @@ class ServingEngine:
         if getattr(self, "lora_bank", None) is not None:
             # per-row adapter index into the bank (0 = base/zero adapter)
             state["adapter"] = jnp.zeros((self.max_slots,), jnp.int32)
+        if getattr(self, "grammar_table", None) is not None:
+            # per-row grammar id (0 = unconstrained) + live DFA state
+            state["gid"] = jnp.zeros((self.max_slots,), jnp.int32)
+            state["dstate"] = jnp.zeros((self.max_slots,), jnp.int32)
         return state
 
     def warmup(self, prompt_lens, batch_sizes=(1, 2, 4, 8),
@@ -645,6 +731,9 @@ class ServingEngine:
                 )
                 if self.lora_bank is not None:
                     extra["adapter"] = jnp.zeros((), jnp.int32)
+                if self.grammar_table is not None:
+                    extra["gid"] = jnp.zeros((), jnp.int32)
+                    extra["gtable"] = self.grammar_table
                 self._insert(
                     jnp.zeros((), jnp.int32), jnp.asarray(bucket, jnp.int32),
                     jnp.zeros((), jnp.int32), scratch_cache, scratch_state,
@@ -686,7 +775,7 @@ class ServingEngine:
                     scratch_state, jnp.zeros((self.max_slots,), jnp.int32),
                     jax.random.PRNGKey(0), zeros_f + 1.0, zeros_f + 1.0,
                     jnp.zeros((self.max_slots,), bool),
-                    lora=self.lora_bank,
+                    lora=self.lora_bank, gtable=self.grammar_table,
                     ticks=ticks, with_sampling=with_sampling,
                     kv_bucket=kv_bucket,
                 )
@@ -717,6 +806,24 @@ class ServingEngine:
                 f"{req.lora!r} (engine has {known or 'no adapters'}; pass "
                 "lora_bank={name: adapter_tree} at construction)"
             )
+        if req.grammar is not None:
+            if req.grammar not in self._grammar_index:
+                known = sorted(
+                    k for k in self._grammar_index if k is not None
+                )
+                raise ValueError(
+                    f"request {req.request_id}: unknown grammar "
+                    f"{req.grammar!r} (engine has {known or 'no grammars'}; "
+                    "pass grammars={name: TokenDFA} at construction)"
+                )
+            g_eos = self._grammars[req.grammar].eos_token_id
+            if req.eos_token_id != g_eos:
+                raise ValueError(
+                    f"request {req.request_id}: grammar {req.grammar!r} "
+                    f"was compiled with eos_token_id {g_eos} but the "
+                    f"request stops on {req.eos_token_id} — a completed "
+                    "match could never retire the row"
+                )
         if getattr(self, "spec_decode", False):
             if req.do_sample:
                 raise ValueError(
@@ -782,6 +889,11 @@ class ServingEngine:
             extra["adapter"] = jnp.asarray(
                 self._lora_index[req.lora], jnp.int32
             )
+        if self.grammar_table is not None:
+            extra["gid"] = jnp.asarray(
+                self._grammar_index[req.grammar], jnp.int32
+            )
+            extra["gtable"] = self.grammar_table
         self.cache, self.state = self._insert(
             jnp.asarray(slot, jnp.int32),
             jnp.asarray(len(req.input_ids), jnp.int32),
@@ -920,6 +1032,7 @@ class ServingEngine:
         tokens, self.cache, self.state, self._key = self._decode_window(
             self.decode_params, self._tp_packed, self.cache, self.state,
             lefts, self._key, temps_j, top_j, do_j, lora=self.lora_bank,
+            gtable=self.grammar_table,
             ticks=ticks, with_sampling=with_sampling, kv_bucket=kv_bucket,
         )
         return tokens
