@@ -15,7 +15,10 @@ behind two user-facing modes:
   text; ``GET /healthz`` reports engine stats. A single background thread
   owns the engine and ticks it while work exists; handlers block on a
   per-request completion event, so concurrent requests batch together
-  into the same lockstep decode ticks.
+  into the same lockstep decode ticks. Pass ``"stream": true`` for
+  server-sent events: one ``data: {"token", "text_delta"}`` event per
+  accepted token (window-sized bursts — the scheduler syncs every
+  ``sync_every`` ticks) and a final ``data: {..., "done": true}``.
 
 Request JSON: ``{"prompt": str, "image": path}`` plus optional
 ``request_id``, ``max_new_tokens``, ``do_sample``, ``temperature``,
@@ -35,8 +38,10 @@ import argparse
 import base64
 import io
 import json
+import queue
 import sys
 import threading
+from typing import Optional
 
 import numpy as np
 
@@ -385,8 +390,17 @@ class _Server:
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     row = json.loads(self.rfile.read(n))
+                    stream = bool(row.get("stream", False))
+                    tok_q: Optional[queue.Queue] = (
+                        queue.Queue() if stream else None
+                    )
                     with lock:
                         req = outer._to_request(row)
+                        if stream:
+                            # scheduler-thread hook: accepted tokens arrive
+                            # in window-sized bursts (runtime/serving.py
+                            # _absorb), each relayed as one SSE event
+                            req.on_token = tok_q.put
                         ev, slot = threading.Event(), []
                         events[req.request_id] = (ev, slot)
                         outer.engine.submit(req)
@@ -394,8 +408,32 @@ class _Server:
                 except Exception as e:  # bad request, not a server bug
                     self._reply(400, {"error": str(e)})
                     return
-                ev.wait()
-                self._reply(200, slot[0])
+                if stream:
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/event-stream")
+                    self.send_header("Cache-Control", "no-cache")
+                    self.end_headers()
+                    while True:
+                        try:
+                            tok = tok_q.get(timeout=0.05)
+                        except queue.Empty:
+                            if ev.is_set() and tok_q.empty():
+                                break
+                            continue
+                        delta = outer.tokenizer.decode(
+                            [tok], skip_special_tokens=True)
+                        self.wfile.write(
+                            ("data: " + json.dumps(
+                                {"token": int(tok), "text_delta": delta}
+                            ) + "\n\n").encode())
+                        self.wfile.flush()
+                    self.wfile.write(
+                        ("data: " + json.dumps(
+                            {**slot[0], "done": True}) + "\n\n").encode())
+                    self.wfile.flush()
+                else:
+                    ev.wait()
+                    self._reply(200, slot[0])
                 if (max_requests is not None
                         and outer._served >= max_requests):
                     threading.Thread(

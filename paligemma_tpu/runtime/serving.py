@@ -49,6 +49,11 @@ class Request:
     # constrained decoding: name of the grammar this request's output must
     # match (must exist in the engine's grammars; None = unconstrained)
     grammar: Optional[str] = None
+    # streaming: host-side callback invoked with each ACCEPTED token id as
+    # the scheduler absorbs it (window granularity — up to sync_every
+    # tokens arrive per burst; discarded overshoot never reaches it).
+    # Set programmatically (the HTTP server's SSE path), not via JSON.
+    on_token: Optional[Any] = None
     # filled by the engine
     tokens: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
@@ -1185,6 +1190,8 @@ class ServingEngine:
                 ]
             for tok in toks:
                 req.tokens.append(tok)
+                if req.on_token is not None:
+                    req.on_token(tok)
                 self._generated[req.request_id] += 1
                 out_of_budget = (
                     self._generated[req.request_id] >= req.max_new_tokens

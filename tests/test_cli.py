@@ -460,6 +460,51 @@ def test_serve_cli_http(checkpoint_dir, image_path):
     assert not t.is_alive()  # max_requests=2 shut the server down
 
 
+def test_serve_cli_http_stream(checkpoint_dir, image_path):
+    """SSE streaming: one data event per accepted token, then a done
+    event whose text equals the joined stream."""
+    import threading
+    import urllib.request
+
+    from paligemma_tpu.cli.serve import _build_parser, build_server
+
+    args = _build_parser().parse_args([
+        "--model_path", checkpoint_dir,
+        "--http", "0",
+        "--max_slots", "2",
+        "--max_seq_len", "64",
+        "--sync_every", "2",
+        "--dtype", "float32",
+    ])
+    srv = build_server(args)
+    ready = threading.Event()
+    t = threading.Thread(
+        target=srv.serve_http,
+        args=(0,), kwargs={"ready_event": ready, "max_requests": 1},
+        daemon=True,
+    )
+    t.start()
+    assert ready.wait(timeout=120)
+
+    data = json.dumps({"prompt": "describe the image", "image": image_path,
+                       "max_new_tokens": 5, "stream": True}).encode()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.http_port}/generate", data=data,
+        headers={"Content-Type": "application/json"})
+    events = []
+    with urllib.request.urlopen(req, timeout=300) as resp:
+        assert resp.headers["Content-Type"] == "text/event-stream"
+        for line in resp:
+            line = line.decode().strip()
+            if line.startswith("data: "):
+                events.append(json.loads(line[len("data: "):]))
+    assert events[-1].get("done") and events[-1]["num_tokens"] == 5
+    tok_events = [e for e in events if "token" in e]
+    assert len(tok_events) == 5
+    t.join(timeout=60)
+    assert not t.is_alive()
+
+
 def test_serve_cli_friendly_errors(checkpoint_dir, tmp_path, capsys):
     from paligemma_tpu.cli.serve import main
 
