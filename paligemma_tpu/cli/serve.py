@@ -19,6 +19,9 @@ behind two user-facing modes:
   server-sent events: one ``data: {"token", "text_delta"}`` event per
   accepted token (window-sized bursts — the scheduler syncs every
   ``sync_every`` ticks) and a final ``data: {..., "done": true}``.
+  ``POST /cancel`` with ``{"request_id": N}`` cancels a queued or
+  in-flight request (its slot frees immediately; a blocked or streaming
+  /generate handler for it returns ``{"cancelled": true}``).
 
 Request JSON: ``{"prompt": str, "image": path}`` plus optional
 ``request_id``, ``max_new_tokens``, ``do_sample``, ``temperature``,
@@ -353,7 +356,12 @@ class _Server:
                         continue
                     done = self.engine.step()
                 for req in done:
-                    ev, slot = events.pop(req.request_id)
+                    # pop-with-default: a /cancel may have raced us and
+                    # already resolved this id's waiter
+                    pending = events.pop(req.request_id, None)
+                    if pending is None:
+                        continue
+                    ev, slot = pending
                     slot.append(self._result(req))
                     ev.set()
 
@@ -384,6 +392,23 @@ class _Server:
                     self._reply(404, {"error": "unknown path"})
 
             def do_POST(self):
+                if self.path == "/cancel":
+                    try:
+                        n = int(self.headers.get("Content-Length", 0))
+                        rid = int(json.loads(self.rfile.read(n))["request_id"])
+                    except Exception as e:
+                        self._reply(400, {"error": str(e)})
+                        return
+                    with lock:
+                        ok = outer.engine.cancel(rid)
+                        pending = events.pop(rid, None)
+                    if pending is not None:
+                        ev_c, slot_c = pending
+                        slot_c.append({"request_id": rid, "cancelled": True,
+                                       "num_tokens": None})
+                        ev_c.set()  # unblock the waiting /generate handler
+                    self._reply(200, {"request_id": rid, "cancelled": ok})
+                    return
                 if self.path != "/generate":
                     self._reply(404, {"error": "unknown path"})
                     return

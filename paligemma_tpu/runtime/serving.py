@@ -853,6 +853,31 @@ class ServingEngine:
                 )
         self.pending.append(req)
 
+    def cancel(self, request_id: int) -> bool:
+        """Cancel a queued or in-flight request. Returns True if anything
+        was cancelled (False: unknown id or already finished).
+
+        Purely host-side: a seated request's slot frees immediately (pages
+        released, pool row reusable by the next admission) and its epoch
+        bump makes any already-dispatched pipelined window discard the
+        row's tokens at absorb — no device work is interrupted (the row
+        keeps decoding garbage until the in-flight window drains, exactly
+        like a preemption). ``req.tokens`` keeps whatever was accepted
+        before the cancel."""
+        for i, req in enumerate(self.pending):
+            if req.request_id == request_id:
+                del self.pending[i]
+                req.done = True
+                return True
+        for slot, req in enumerate(self.slots):
+            if req is not None and req.request_id == request_id:
+                req.done = True
+                req.epoch += 1  # in-flight windows discard at absorb
+                self.slots[slot] = None
+                self._release_slot(slot)
+                return True
+        return False
+
     def _bucket_of(self, req: Request) -> int:
         g = self._bucket_gran
         return min(((len(req.input_ids) + g - 1) // g) * g, self.max_seq_len)

@@ -551,3 +551,67 @@ def test_serve_cli_friendly_errors(checkpoint_dir, tmp_path, capsys):
         ])
     assert ei.value.code == 2
     assert "bad JSON" in capsys.readouterr().err
+
+
+def test_serve_cli_http_cancel(checkpoint_dir, image_path):
+    """POST /cancel unblocks a waiting /generate handler with
+    {"cancelled": true} and frees the slot for later requests."""
+    import threading
+    import time
+    import urllib.request
+
+    from paligemma_tpu.cli.serve import _build_parser, build_server
+
+    args = _build_parser().parse_args([
+        "--model_path", checkpoint_dir,
+        "--http", "0",
+        "--max_slots", "1",
+        "--max_seq_len", "128",
+        "--sync_every", "2",
+        "--dtype", "float32",
+    ])
+    srv = build_server(args)
+    ready = threading.Event()
+    t = threading.Thread(
+        target=srv.serve_http,
+        args=(0,), kwargs={"ready_event": ready, "max_requests": 1},
+        daemon=True,
+    )
+    t.start()
+    assert ready.wait(timeout=120)
+    base = f"http://127.0.0.1:{srv.http_port}"
+
+    def post(path, obj, out=None):
+        data = json.dumps(obj).encode()
+        req = urllib.request.Request(
+            base + path, data=data,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=300) as resp:
+            r = json.loads(resp.read())
+        if out is not None:
+            out.append(r)
+        return r
+
+    victim_result = []
+    a = threading.Thread(
+        target=post,
+        args=("/generate",
+              {"request_id": 7, "prompt": "describe the image",
+               "image": image_path, "max_new_tokens": 60},
+              victim_result),
+        daemon=True,
+    )
+    a.start()
+    # /cancel serializes on the engine lock behind the in-flight window,
+    # so this lands mid-generation (60 tokens x 2-tick windows)
+    time.sleep(1.0)
+    c = post("/cancel", {"request_id": 7})
+    assert c["cancelled"] is True
+    a.join(timeout=300)
+    assert victim_result and victim_result[0]["cancelled"] is True
+
+    r = post("/generate", {"prompt": "hello world", "image": image_path,
+                           "max_new_tokens": 2})
+    assert r["num_tokens"] == 2
+    t.join(timeout=60)
+    assert not t.is_alive()

@@ -356,3 +356,44 @@ def test_pipelined_budget_never_overruns():
     for r in reqs:
         assert len(r.tokens) == min(r.max_new_tokens,
                                     32 - len(r.input_ids)), r.request_id
+
+
+def test_cancel_pending_and_seated():
+    """cancel(): a queued request never runs; a seated request stops, its
+    slot frees for the queue, and its in-flight tokens are kept."""
+    params = paligemma.init_params(jax.random.PRNGKey(0), CFG)
+    eng = ServingEngine(params, CFG, max_slots=2, max_seq_len=32,
+                        use_flash=False, sync_every=2)
+    reqs = [_req(0, 1, 4, 8), _req(1, 2, 5, 8), _req(2, 3, 4, 5)]
+    for r in reqs:
+        eng.submit(r)
+    assert eng.cancel(2)  # still pending — never seated
+    assert reqs[2].done and reqs[2].tokens == []
+
+    eng.step()  # seats 0 and 1, decodes one window
+    partial = len(reqs[0].tokens)
+    assert eng.cancel(0)
+    assert reqs[0].done
+    done = eng.run_to_completion()
+    ids = {r.request_id for r in done}
+    assert ids == {1}  # cancelled requests never appear as finished
+    assert len(reqs[1].tokens) == 8
+    assert len(reqs[0].tokens) == partial  # nothing accepted post-cancel
+
+    assert not eng.cancel(0)  # already cancelled
+    assert not eng.cancel(99)  # unknown
+
+
+def test_cancel_frees_slot_for_queue():
+    params = paligemma.init_params(jax.random.PRNGKey(0), CFG)
+    eng = ServingEngine(params, CFG, max_slots=1, max_seq_len=32,
+                        use_flash=False)
+    long_req = _req(0, 1, 4, 12)
+    queued = _req(1, 2, 5, 4)
+    eng.submit(long_req)
+    eng.submit(queued)
+    eng.step()
+    assert eng.cancel(0)
+    done = eng.run_to_completion()
+    assert {r.request_id for r in done} == {1}
+    assert len(queued.tokens) == 4
