@@ -263,6 +263,7 @@ class _Server:
         self.default_max_new = default_max_new
         self._next_id = 0
         self._served = 0
+        self._served_tokens = 0
 
     def _to_request(self, row, image=None):
         """JSON dict -> runtime Request (tokenize + preprocess here, on the
@@ -302,11 +303,15 @@ class _Server:
 
     def _result(self, req):
         self._served += 1
+        self._served_tokens += len(req.tokens)
         return {
             "request_id": req.request_id,
             "text": self.tokenizer.decode(
                 req.tokens, skip_special_tokens=True),
             "num_tokens": len(req.tokens),
+            # engine-stamped wall-clock latencies (runtime/serving.py
+            # Request.metrics: queue_ms, ttft_ms, total_ms, decode t/s)
+            **req.metrics(),
         }
 
     # ---- batch mode ----
@@ -386,6 +391,7 @@ class _Server:
                     self._reply(200, {
                         "ok": True,
                         "served": outer._served,
+                        "served_tokens": outer._served_tokens,
                         "pending": len(events),
                     })
                 else:

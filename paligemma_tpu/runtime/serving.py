@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import time
 from typing import Any, Dict, List, Optional
 
 import jax
@@ -54,6 +55,29 @@ class Request:
     # tokens arrive per burst; discarded overshoot never reaches it).
     # Set programmatically (the HTTP server's SSE path), not via JSON.
     on_token: Optional[Any] = None
+    # engine-stamped wall-clock marks (time.perf_counter seconds):
+    # submit -> seated (prefill done) -> first token absorbed -> finished.
+    # TTFT here includes queueing and the sync_every readback lag — the
+    # honest number a client would see, not the bare prefill time.
+    t_submit: Optional[float] = None
+    t_seated: Optional[float] = None
+    t_first_token: Optional[float] = None
+    t_finished: Optional[float] = None
+
+    def metrics(self) -> Dict[str, Any]:
+        """Latency/throughput summary (None until finished)."""
+        if self.t_finished is None or self.t_submit is None:
+            return {}
+        decode_s = self.t_finished - self.t_first_token
+        return {
+            "queue_ms": round((self.t_seated - self.t_submit) * 1e3, 1),
+            "ttft_ms": round((self.t_first_token - self.t_submit) * 1e3, 1),
+            "total_ms": round((self.t_finished - self.t_submit) * 1e3, 1),
+            "decode_tokens_per_sec": (
+                round((len(self.tokens) - 1) / decode_s, 1)
+                if decode_s > 0 and len(self.tokens) > 1 else None
+            ),
+        }
     # filled by the engine
     tokens: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
@@ -851,6 +875,7 @@ class ServingEngine:
                     f"under spec_decode (draft_k={self.spec_draft_k} "
                     f"overshoot must fit in max_seq_len {self.max_seq_len})"
                 )
+        req.t_submit = time.perf_counter()
         self.pending.append(req)
 
     def cancel(self, request_id: int) -> bool:
@@ -966,6 +991,7 @@ class ServingEngine:
             for slot, req in assigned:
                 if self._insert_cached(slot, req):
                     self.slots[slot] = req
+                    req.t_seated = time.perf_counter()
                     self._generated[req.request_id] = 0
                     self._dispatched[req.request_id] = 0
                     continue
@@ -1032,6 +1058,7 @@ class ServingEngine:
                 self._insert_row(slot, req, r, cache1, mask, last_logits,
                                  ids1=ids_j)
                 self.slots[slot] = req
+                req.t_seated = time.perf_counter()
                 self._generated[req.request_id] = 0
                 self._dispatched[req.request_id] = 0
 
@@ -1213,8 +1240,11 @@ class ServingEngine:
                     for t in range(window.ticks)
                     for i in range(int(counts_np[t, slot]))
                 ]
+            now = time.perf_counter()
             for tok in toks:
                 req.tokens.append(tok)
+                if req.t_first_token is None:
+                    req.t_first_token = now
                 if req.on_token is not None:
                     req.on_token(tok)
                 self._generated[req.request_id] += 1
@@ -1225,6 +1255,7 @@ class ServingEngine:
                 )
                 if tok == req.eos_token_id or out_of_budget:
                     req.done = True
+                    req.t_finished = now
                     finished.append(req)
                     self.slots[slot] = None
                     self._release_slot(slot)

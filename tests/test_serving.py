@@ -397,3 +397,19 @@ def test_cancel_frees_slot_for_queue():
     done = eng.run_to_completion()
     assert {r.request_id for r in done} == {1}
     assert len(queued.tokens) == 4
+
+
+def test_request_metrics_stamped():
+    """Engine stamps submit/seated/first-token/finished; metrics() derives
+    client-visible latency numbers."""
+    params = paligemma.init_params(jax.random.PRNGKey(0), CFG)
+    eng = ServingEngine(params, CFG, max_slots=1, max_seq_len=32,
+                        use_flash=False, sync_every=2)
+    r = _req(0, 1, 4, 5)
+    eng.submit(r)
+    eng.run_to_completion()
+    m = r.metrics()
+    assert set(m) == {"queue_ms", "ttft_ms", "total_ms",
+                      "decode_tokens_per_sec"}
+    assert 0 <= m["queue_ms"] <= m["ttft_ms"] <= m["total_ms"]
+    assert r.t_first_token is not None and r.t_finished is not None
