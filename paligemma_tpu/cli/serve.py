@@ -80,11 +80,12 @@ def _build_parser():
                         "byte-identical (image, prompt) pair seats with no "
                         "prefill (prefix-LM allows exact matches only)")
     p.add_argument("--spec_decode", action="store_true",
-                   help="dense engine: n-gram speculative decoding inside "
-                        "the batched tick (greedy-only — requests with "
-                        "do_sample are rejected; wins on repetitive "
-                        "outputs, see docs/PERFORMANCE.md). Composes with "
-                        "--model_parallel (GSPMD-sharded verify forward)")
+                   help="n-gram speculative decoding inside the batched "
+                        "tick (greedy-only — requests with do_sample are "
+                        "rejected; wins on repetitive outputs, see "
+                        "docs/PERFORMANCE.md). Dense engine composes with "
+                        "--model_parallel (GSPMD-sharded verify forward); "
+                        "paged engine is single-chip")
     p.add_argument("--spec_draft_k", type=int, default=8,
                    help="drafted tokens per speculative verify cycle")
     p.add_argument("--grammar", action="append", default=[],
@@ -164,9 +165,6 @@ def build_server(args):
     require(args.engine == "paged" or not args.prefix_cache,
             "--prefix_cache needs --engine paged (the page pool is what "
             "makes zero-copy prefix sharing possible)")
-    require(args.engine == "dense" or not args.spec_decode,
-            "--spec_decode needs --engine dense (the paged pool's verify "
-            "forward is unimplemented)")
     require(args.engine == "dense" or not args.lora,
             "--lora needs --engine dense (the paged tick doesn't thread "
             "adapters)")
@@ -240,6 +238,7 @@ def build_server(args):
             n_pages=args.n_pages, decode_params=decode_params,
             sync_every=args.sync_every, mesh=mesh,
             prefix_cache=args.prefix_cache,
+            spec_decode=args.spec_decode, spec_draft_k=args.spec_draft_k,
         )
     else:
         engine = ServingEngine(

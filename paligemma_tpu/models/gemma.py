@@ -732,6 +732,99 @@ def forward_paged_decode(
     return logits, {"k": new_k, "v": new_v}
 
 
+def forward_paged_verify(
+    params: Params,
+    cfg: GemmaConfig,
+    input_embeds: jnp.ndarray,  # (B, s, H) — s = 1 seed + s-1 draft tokens
+    position_ids: jnp.ndarray,  # (B, s) int32 RoPE positions
+    pool: KVCache,  # {"k","v"}: (L, n_pages, page_size, n_kv, d)
+    page_table: jnp.ndarray,  # (B, P_max) int32
+    write_pos: jnp.ndarray,  # (B,) int32: slot-local position of tokens[:, 0]
+    pages_bucket: Optional[int] = None,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Multi-token verify forward over the PAGED pool (speculative
+    decoding's one-weight-stream check of s candidate tokens — the paged
+    analog of the dense ``decode_verify`` path used by
+    runtime/serving.py's spec windows).
+
+    Per layer: write all s tokens' K/V into their pages (token j of row r
+    lands in page ``table[r, (wp+j)//ps]`` — a block may CROSS one page
+    boundary; the scheduler pre-reserves the overshoot pages), then
+    attend with a per-query causal bound: query i sees logical positions
+    ``[0, wp+i]`` — paged rows are contiguous by construction, so no
+    validity bitmap exists and rejected-draft K/V beyond the accepted
+    prefix is simply never inside a later bound until overwritten.
+
+    XLA path only: the verify forward already amortizes the weight
+    stream over s tokens, which is the entire speculative win — the
+    single-token fused kernels don't apply (docs/PERFORMANCE.md
+    "Speculative decoding"). The reference has neither paging nor
+    speculation (ref: modeling_gemma.py:8-64, inference.py:51-87).
+    """
+    from ..ops import attention as xla_attention
+
+    b, s = input_embeds.shape[:2]
+    nkv, hd = cfg.num_key_value_heads, cfg.head_dim
+    ps = pool["k"].shape[2]
+    dtype = input_embeds.dtype
+    x = input_embeds * jnp.asarray(cfg.hidden_size**0.5, dtype)
+    cos, sin = rope_cos_sin(position_ids, cfg.head_dim, cfg.rope_theta, dtype)
+    tokpos = write_pos[:, None] + jnp.arange(s, dtype=jnp.int32)[None]
+    pages = jnp.take_along_axis(
+        page_table.astype(jnp.int32), tokpos // ps, axis=1
+    )  # (B, s) physical page per written token
+    offs = (tokpos % ps).astype(jnp.int32)
+    if pages_bucket is not None:
+        page_table = page_table[:, : min(pages_bucket, page_table.shape[1])]
+    w = page_table.shape[1] * ps
+    col = jnp.arange(w, dtype=jnp.int32)[None, None, :]
+    # query i attends [0, wp + i] — its own fresh slot and everything before
+    vis = col <= (tokpos[:, :, None])
+    mask = jnp.where(vis, 0.0, xla_attention.NEG_INF)[:, None]  # (B,1,s,W)
+
+    n_layers = pool["k"].shape[0]
+
+    def body(carry, layer):
+        h, k_pool, v_pool = carry
+        lp, idx = layer
+        residual = h
+        y = rms_norm(h, lp["input_norm"], cfg.rms_norm_eps)
+        q, k, v = _attn_proj(cfg, y, lp, None)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        zero = jnp.zeros((), jnp.int32)
+        # per-token page writes: aliasable dynamic_update_slice chains
+        # (like the dense per-row scatter), unrolled B*s per layer —
+        # a jnp scatter would defeat the scan carry's in-place aliasing
+        for r in range(b):
+            for j in range(s):
+                kr = k[r, j].reshape(1, 1, 1, nkv, hd).astype(k_pool.dtype)
+                vr = v[r, j].reshape(1, 1, 1, nkv, hd).astype(v_pool.dtype)
+                w_idx = (idx, pages[r, j], offs[r, j], zero, zero)
+                k_pool = jax.lax.dynamic_update_slice(k_pool, kr, w_idx)
+                v_pool = jax.lax.dynamic_update_slice(v_pool, vr, w_idx)
+        k_g = k_pool[idx, page_table]  # (B, Pb, ps, nkv, hd)
+        v_g = v_pool[idx, page_table]
+        k_g = k_g.reshape(b, w, nkv, hd)
+        v_g = v_g.reshape(b, w, nkv, hd)
+        a = xla_attention.gqa(q, k_g, v_g, mask, scale=hd**-0.5)
+        a = a.reshape(b, s, -1)
+        h = residual + matmul_any(a, lp["attn"]["o"])
+        residual = h
+        y = rms_norm(h, lp["post_norm"], cfg.rms_norm_eps)
+        h = residual + _mlp(cfg, y, lp, None)
+        return (h, k_pool, v_pool), None
+
+    (x, new_k, new_v), _ = jax.lax.scan(
+        body,
+        (x, pool["k"], pool["v"]),
+        (params["layers"], jnp.arange(n_layers, dtype=jnp.int32)),
+    )
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    logits = lm_head(params, x).astype(jnp.float32)
+    return logits, {"k": new_k, "v": new_v}
+
+
 def lm_head(params: Params, x: jnp.ndarray) -> jnp.ndarray:
     """Tied bias-free LM head; uses the int8 copy ("head_q") when present —
     at Gemma's 257k vocab the head is ~1 GB of HBM traffic per decode step

@@ -491,3 +491,30 @@ def decode_step_paged(
             paged_kernel="multi" if paged_kernel == "xla" else paged_kernel,
         )
     return logits[:, 0, :], pool
+
+
+def decode_verify_paged(
+    params: Params,
+    cfg: PaliGemmaConfig,
+    tokens: jnp.ndarray,  # (B, s) int32 — last accepted token + s-1 drafts
+    pool: gemma.KVCache,
+    page_table: jnp.ndarray,  # (B, P_max) int32
+    write_pos: jnp.ndarray,  # (B,) int32: position tokens[:, 0] writes at
+    position_ids: jnp.ndarray,  # (B,) int32 RoPE position of tokens[:, 0]
+    pages_bucket=None,
+) -> Tuple[jnp.ndarray, gemma.KVCache]:
+    """Speculative verify over the paged pool: one forward scores all s
+    candidate tokens per row (gemma.forward_paged_verify — per-query
+    causal bounds replace the dense path's kv_valid|in_block pairwise
+    mask; paged rows are contiguous so no validity bitmap exists).
+    Returns ((B, s, vocab) fp32 logits, new pool). Pages covering
+    ``write_pos + s - 1`` must be pre-reserved by the scheduler."""
+    embeds = params["lm"]["embed"][tokens].astype(
+        params["lm"]["embed"].dtype
+    )  # (B, s, H)
+    s = tokens.shape[1]
+    pos = position_ids[:, None] + jnp.arange(s, dtype=jnp.int32)[None]
+    return gemma.forward_paged_verify(
+        params["lm"], cfg.text_config, embeds, pos, pool, page_table,
+        write_pos, pages_bucket=pages_bucket,
+    )

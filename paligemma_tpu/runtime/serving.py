@@ -1203,7 +1203,11 @@ class ServingEngine:
         if maxleft <= 0:
             return None
         ticks = self.sync_every if maxleft >= self.sync_every else 1
-        self._before_window(ticks)
+        # a spec window can advance up to ticks*(draft_k+1) tokens and the
+        # last cycle writes draft_k rejected-KV positions past that — the
+        # paged backend's page growth must cover the whole worst case
+        per_window = ticks * (self.spec_draft_k + 1)
+        self._before_window(per_window + self.spec_draft_k)
         lefts = _lefts()
         if not any(l > 0 for l in lefts):
             return None
@@ -1212,6 +1216,15 @@ class ServingEngine:
             (req, req.epoch) if req is not None and lefts[slot] > 0 else None
             for slot, req in enumerate(self.slots)
         ]
+        for slot, req in enumerate(self.slots):
+            # worst-case DISPATCHED bookkeeping: the host can't know
+            # accepted counts until sync, so page growth and bucket sizing
+            # assume every cycle accepts fully (capped by the budget)
+            if req is not None and lefts[slot] > 0:
+                self._dispatched[req.request_id] = min(
+                    req.max_new_tokens,
+                    self._dispatched[req.request_id] + per_window,
+                )
         return _Window(tokens_dev, ticks, snapshot, counts_dev=counts_dev)
 
     def _absorb(self, window: _Window) -> List[Request]:

@@ -61,6 +61,10 @@ class PagedServingEngine(ServingEngine):
         paged_kernel: str = "fused",
         prefix_cache: bool = False,
         prefix_cache_entries: int = 8,
+        spec_decode: bool = False,
+        spec_draft_k: int = 8,
+        spec_match_n: int = 2,
+        pipeline=None,
     ):
         """``n_pages``: physical pool size (default: half the dense engine's
         reservation — the honest demonstration that more slots fit in less
@@ -100,6 +104,28 @@ class PagedServingEngine(ServingEngine):
         when the pool is full). Single data shard only."""
         assert max_seq_len % page_size == 0, (max_seq_len, page_size)
         self.dp = int(mesh.shape.get("data", 1)) if mesh is not None else 1
+        if spec_decode:
+            # paged speculation: every decode window becomes a scan of
+            # verify cycles over the PAGE POOL (models/paligemma.
+            # decode_verify_paged) — the multi-token forward writes K/V
+            # across page boundaries, so the scheduler pre-reserves the
+            # worst-case window advance + draft_k overshoot pages
+            # (_before_window via _dispatch_spec). Single data shard,
+            # no mesh (the verify path is the un-sharded XLA walk), no
+            # prefix cache (hit-seating skips the prefill that seeds the
+            # n-gram history's device state — composable later).
+            if mesh is not None:
+                raise ValueError(
+                    "spec_decode paged serving is single-chip (the paged "
+                    "verify forward has no TP/DP variant)"
+                )
+            if prefix_cache:
+                raise ValueError(
+                    "spec_decode + prefix_cache is unimplemented (cache "
+                    "hits seat without the prefill that seeds the spec "
+                    "history state)"
+                )
+            paged_kernel = "xla"  # normal tick unused; skip kernel repacks
         if prefix_cache:
             assert (
                 mesh is None or int(mesh.shape.get("data", 1)) == 1
@@ -135,6 +161,8 @@ class PagedServingEngine(ServingEngine):
             # the fused decode kernels read a contiguous (L, B, S, D) cache;
             # the paged pool has its own decode path (_tick_paged)
             fused_decode=False,
+            spec_decode=spec_decode, spec_draft_k=spec_draft_k,
+            spec_match_n=spec_match_n, pipeline=pipeline,
         )
         self._ptp_packed = self._ptp_specs = None
         if mesh is not None and int(mesh.shape.get("model", 1)) > 1:
@@ -349,15 +377,39 @@ class PagedServingEngine(ServingEngine):
             return token, pool, state
 
         @jax.jit
-        def _set_slot_state(state, slot, prompt_len, row, last_logits):
+        def _set_slot_state(state, slot, prompt_len, row, last_logits,
+                            ids1=None, max_new=None):
             # prompt rows are dense [0, prompt_len): write_pos == n_valid
-            return {
+            logits_row = jax.lax.dynamic_slice_in_dim(
+                last_logits, row, 1, axis=0
+            )[0]
+            state = {
+                **state,  # spec extras (if any) preserved
                 "write_pos": state["write_pos"].at[slot].set(prompt_len),
                 "pos_ids": state["pos_ids"].at[slot].set(prompt_len + 1),
-                "logits": state["logits"].at[slot].set(
-                    jax.lax.dynamic_slice_in_dim(last_logits, row, 1, axis=0)[0]
-                ),
+                "logits": state["logits"].at[slot].set(logits_row),
             }
+            if spec_decode:
+                # seed the row's pending token, n-gram history (prompt +
+                # the not-yet-emitted next token), and device budget —
+                # mirrors the dense engine's _insert (runtime/serving.py)
+                zero = jnp.zeros((), jnp.int32)
+                next_tok = jnp.argmax(logits_row, -1).astype(jnp.int32)
+                ids_row = jax.lax.dynamic_slice_in_dim(
+                    ids1, row, 1, axis=0
+                )[0]
+                hist_row = jnp.zeros((self.max_seq_len,), jnp.int32)
+                hist_row = jax.lax.dynamic_update_slice(
+                    hist_row, ids_row.astype(jnp.int32), (zero,)
+                )
+                hist_row = hist_row.at[prompt_len].set(next_tok)
+                state = {
+                    **state,
+                    "next_tok": state["next_tok"].at[slot].set(next_tok),
+                    "hist": state["hist"].at[slot].set(hist_row),
+                    "left": state["left"].at[slot].set(max_new),
+                }
+            return state
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def _copy_page(pool, src, dst):
@@ -405,9 +457,81 @@ class PagedServingEngine(ServingEngine):
             )
             return tokens, pool, state, key
 
+        kd = spec_draft_k
+
+        @functools.partial(
+            jax.jit, donate_argnums=(1, 2),
+            static_argnames=("ticks", "pages_bucket"),
+        )
+        def _spec_window_paged(params, pool, state, page_table, ticks=1,
+                               pages_bucket=None):
+            """``ticks`` speculative verify cycles over the page pool in
+            ONE dispatch — the paged analog of ServingEngine._spec_window
+            (same propose/accept bookkeeping; the verify forward is
+            paligemma.decode_verify_paged and no validity bitmap exists —
+            rejected-draft K/V lives beyond each row's write_pos and a
+            later cycle's per-query bound never reaches it before it is
+            overwritten). The page table is window-invariant: _dispatch_spec
+            pre-grows every row to the worst-case window advance."""
+            from ..ops.ngram import propose_ngram
+
+            j = jnp.arange(kd + 1, dtype=jnp.int32)[None]  # (1, kd+1)
+            rows = jnp.arange(self.max_slots, dtype=jnp.int32)
+
+            def body(carry, _):
+                pool, state = carry
+                left = state["left"]
+                active = left > 0
+                wp = state["write_pos"]
+                draft = propose_ngram(
+                    state["hist"], wp + 1, spec_match_n, kd
+                )  # (B, kd)
+                tokens_in = jnp.concatenate(
+                    [state["next_tok"][:, None], draft], axis=1
+                )  # (B, kd+1)
+                logits, pool = paligemma.decode_verify_paged(
+                    params, cfg, tokens_in, pool, page_table,
+                    write_pos=wp, position_ids=state["pos_ids"],
+                    pages_bucket=pages_bucket,
+                )
+                g = jnp.argmax(logits, -1).astype(jnp.int32)  # (B, kd+1)
+                n_acc = jnp.sum(
+                    jnp.cumprod((draft == g[:, :kd]).astype(jnp.int32), 1), 1
+                )
+                n_keep = jnp.where(active, jnp.minimum(n_acc + 1, left), 0)
+                nxt = jnp.take_along_axis(
+                    g, jnp.maximum(n_keep - 1, 0)[:, None], axis=1
+                )[:, 0]
+                nxt = jnp.where(active, nxt, state["next_tok"])
+                tgt_d = jnp.where(
+                    (j[:, :kd] < (n_keep - 1)[:, None]) & active[:, None],
+                    wp[:, None] + 1 + j[:, :kd], self.max_seq_len + 1,
+                )
+                hist = state["hist"].at[rows[:, None], tgt_d].set(
+                    draft, mode="drop"
+                )
+                tgt_n = jnp.where(active, wp + n_keep, self.max_seq_len + 1)
+                hist = hist.at[rows, tgt_n].set(nxt, mode="drop")
+                state = {
+                    "next_tok": nxt,
+                    "write_pos": wp + n_keep,
+                    "pos_ids": state["pos_ids"] + n_keep,
+                    "logits": state["logits"],  # stale; spec is greedy-only
+                    "hist": hist,
+                    "left": left - n_keep,
+                }
+                out = jnp.where(j < n_keep[:, None], tokens_in, 0)
+                return (pool, state), (out, n_keep)
+
+            (pool, state), (tokens, counts) = jax.lax.scan(
+                body, (pool, state), None, length=ticks
+            )
+            return tokens, counts, pool, state
+
         self._insert_paged = _insert_paged
         self._insert_paged_dp = _insert_paged_dp
         self._decode_window_paged = _decode_window_paged
+        self._spec_window_paged = _spec_window_paged
         self._set_slot_state = _set_slot_state
         self._copy_page = _copy_page
 
@@ -448,6 +572,14 @@ class PagedServingEngine(ServingEngine):
                 (self.max_slots, self.config.vocab_size), jnp.float32
             ),
         }
+        if getattr(self, "spec_decode", False):
+            # spec extras (mirrors the dense engine): pending seed token,
+            # n-gram history, device-side remaining budgets
+            state["next_tok"] = jnp.zeros((self.max_slots,), jnp.int32)
+            state["hist"] = jnp.zeros(
+                (self.max_slots, self.max_seq_len), jnp.int32
+            )
+            state["left"] = jnp.zeros((self.max_slots,), jnp.int32)
         if self.dp > 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -635,10 +767,16 @@ class PagedServingEngine(ServingEngine):
                 jnp.asarray(pages[:n_chunks], jnp.int32),
                 jnp.asarray(row, jnp.int32), n_chunks,
             )
+        extra = {}
+        if self.spec_decode:
+            extra = dict(
+                ids1=ids1,
+                max_new=jnp.asarray(req.max_new_tokens, jnp.int32),
+            )
         self.state = self._set_slot_state(
             self.state, jnp.asarray(slot, jnp.int32),
             jnp.asarray(len(req.input_ids), jnp.int32),
-            jnp.asarray(row, jnp.int32), last_logits,
+            jnp.asarray(row, jnp.int32), last_logits, **extra,
         )
         self._admission_order.append(slot)
         key = self._pcache_key(req)
@@ -780,6 +918,20 @@ class PagedServingEngine(ServingEngine):
         )
         return tokens  # device array; caller syncs (see _absorb)
 
+    def _run_spec_window(self, ticks: int):
+        """Paged spec window: pages_bucket must cover the worst-case
+        in-window advance — ``_dispatched`` already carries the assume-
+        full-acceptance upper bound (base _dispatch_spec) — plus the last
+        cycle's draft_k rejected-KV overshoot."""
+        pages_bucket = self._pages_bucket(
+            ticks * (self.spec_draft_k + 1) + self.spec_draft_k
+        )
+        tokens, counts, self.cache, self.state = self._spec_window_paged(
+            self.decode_params, self.cache, self.state,
+            self.paged.page_table, ticks=ticks, pages_bucket=pages_bucket,
+        )
+        return tokens, counts
+
     def warmup(self, prompt_lens, batch_sizes=(1, 2, 4, 8),
                sampling: bool = False) -> None:
         """Pre-compile prefill shapes, the paged insert (per bucket), and
@@ -827,6 +979,24 @@ class PagedServingEngine(ServingEngine):
         # will use (the bucket is a static jit arg — and the staged kernel
         # must never trace at the table's full width: at max_slots x
         # max_seq_len the window rings alone exceed VMEM)
+        if self.spec_decode:
+            # every window is a spec window (greedy-only engine)
+            w = self.sync_every * (self.spec_draft_k + 1)
+            need = self.paged.pages_for(
+                max(buckets) + w * (2 if self.pipeline else 1)
+                + self.spec_draft_k
+            )
+            pb = 1
+            while pb < need:
+                pb *= 2
+            pb = min(pb, self.max_seq_len // self.page_size)
+            for ticks in sorted({1, self.sync_every}):
+                scratch = jax.tree.map(jnp.copy, self.paged.pool)
+                self._spec_window_paged(
+                    self.decode_params, scratch, self._zero_state(),
+                    self.paged.page_table, ticks=ticks, pages_bucket=pb,
+                )
+            return
         need = self.paged.pages_for(max(buckets) + self.sync_every)
         pb = 1
         while pb < need:
