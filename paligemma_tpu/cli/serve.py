@@ -32,7 +32,9 @@ a server-local path.
 Engine selection: ``--engine dense`` (default) is the slot-pool engine —
 supports tensor/data-parallel meshes (``--model_parallel``);
 ``--engine paged`` is the paged-KV engine (more live requests from the
-same HBM; single-chip).
+same HBM) — also mesh-capable (TP, and a data axis for slot/pool
+sharding). Grammar constraints, LoRA banks (single-chip), speculative
+decoding, and the prefix cache all compose with the paged engine.
 """
 
 from __future__ import annotations
@@ -97,7 +99,7 @@ def _build_parser():
                         "can only emit tokens keeping the output a valid "
                         "prefix, and can only stop on a complete match")
     p.add_argument("--lora", action="append", default=[], metavar="NAME=DIR",
-                   help="dense engine: serve LoRA adapter DIR (a finetune "
+                   help="serve LoRA adapter DIR (a finetune "
                         "checkpoint from cli.finetune, e.g. out/final) "
                         "under NAME — repeatable; requests pick one with "
                         '{"lora": NAME} (omit for the base model). All '
@@ -165,9 +167,10 @@ def build_server(args):
     require(args.engine == "paged" or not args.prefix_cache,
             "--prefix_cache needs --engine paged (the page pool is what "
             "makes zero-copy prefix sharing possible)")
-    require(args.engine == "dense" or not args.lora,
-            "--lora needs --engine dense (the paged tick doesn't thread "
-            "adapters)")
+    require(args.engine == "dense" or args.data_parallel * args.model_parallel <= 1
+            or not args.lora,
+            "--engine paged --lora is single-chip (the TP/DP paged ticks "
+            "don't thread adapters)")
     lora_bank = None
     if args.lora:
         from ..checkpoints.local import restore_pytree
@@ -200,9 +203,6 @@ def build_server(args):
 
         mesh = make_mesh(args.data_parallel, args.model_parallel)
 
-    require(args.engine == "dense" or not args.grammar,
-            "--grammar needs --engine dense (the paged tick doesn't "
-            "thread grammar states)")
     grammars = None
     if args.grammar:
         from ..processing.grammar import (
@@ -239,6 +239,7 @@ def build_server(args):
             sync_every=args.sync_every, mesh=mesh,
             prefix_cache=args.prefix_cache,
             spec_decode=args.spec_decode, spec_draft_k=args.spec_draft_k,
+            lora_bank=lora_bank, grammars=grammars,
         )
     else:
         engine = ServingEngine(

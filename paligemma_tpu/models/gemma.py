@@ -630,6 +630,7 @@ def forward_paged_decode(
     use_kernel: Optional[bool] = None,
     pages_bucket: Optional[int] = None,  # static bound on logical pages walked
     paged_kernel: str = "multi",  # "one"|"multi"|"batched"|"runs" (A/B knob)
+    lora: Optional[Params] = None,  # un-merged adapters or a per-row bank
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Single-token decode over the PAGED KV pool (runtime.paged_cache).
 
@@ -677,10 +678,14 @@ def forward_paged_decode(
 
     def body(carry, layer):
         h, k_pool, v_pool = carry
-        lp, idx = layer
+        if lora is not None:
+            lp, lora_lp, idx = layer
+        else:
+            lp, idx = layer
+            lora_lp = None
         residual = h
         y = rms_norm(h, lp["input_norm"], cfg.rms_norm_eps)
-        q, k, v = _attn_proj(cfg, y, lp, None)
+        q, k, v = _attn_proj(cfg, y, lp, lora_lp)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         zero = jnp.zeros((), jnp.int32)
@@ -716,16 +721,20 @@ def forward_paged_decode(
                 scale=hd**-0.5, layer_idx=idx,
             )[:, None]
         a = a.reshape(b, 1, -1)
-        h = residual + matmul_any(a, lp["attn"]["o"])
+        h = residual + (matmul_any(a, lp["attn"]["o"])
+                        + _lora_delta(a, lora_lp, "o"))
         residual = h
         y = rms_norm(h, lp["post_norm"], cfg.rms_norm_eps)
-        h = residual + _mlp(cfg, y, lp, None)
+        h = residual + _mlp(cfg, y, lp, lora_lp)
         return (h, k_pool, v_pool), None
 
+    idxs = jnp.arange(n_layers, dtype=jnp.int32)
+    xs = (
+        (params["layers"], lora["layers"], idxs) if lora is not None
+        else (params["layers"], idxs)
+    )
     (x, new_k, new_v), _ = jax.lax.scan(
-        body,
-        (x, pool["k"], pool["v"]),
-        (params["layers"], jnp.arange(n_layers, dtype=jnp.int32)),
+        body, (x, pool["k"], pool["v"]), xs
     )
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     logits = lm_head(params, x).astype(jnp.float32)

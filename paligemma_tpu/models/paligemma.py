@@ -438,9 +438,16 @@ def decode_step_paged(
     position_ids: jnp.ndarray,  # (B,) int32 RoPE position of this token
     pages_bucket=None,  # static bound on logical pages walked (host-managed)
     paged_kernel: str = "multi",  # kernel variant (gemma.forward_paged_decode)
+    lora: Optional[Params] = None,  # adapter tree or multi-adapter bank
+    adapter_ids: Optional[jnp.ndarray] = None,  # (B,) rows into the bank
 ) -> Tuple[jnp.ndarray, gemma.KVCache]:
     """Single-token decode over the paged KV pool (runtime.paged_cache).
     Returns ((B, vocab) logits, new pool). See gemma.forward_paged_decode.
+
+    ``lora`` rides only the page-walk/XLA variants (the projections stay
+    XLA ops there, so the rank-r deltas compose; the grid-over-layers
+    fused/staged kernels never expose per-layer activations — the serving
+    engine degrades ``paged_kernel`` when a bank is configured).
 
     ``paged_kernel="staged"`` takes the staging hybrid instead of the
     page-walk kernels: gather the window dense, run the fused dense layer
@@ -448,6 +455,11 @@ def decode_step_paged(
     The caller (PagedServingEngine) is responsible for having repacked
     ``params["lm"]["layers"]`` via kernels.decode_layer.repack_layers."""
     embeds = params["lm"]["embed"][token][:, None, :]  # (B, 1, H)
+    if lora is not None and paged_kernel in ("fused", "staged"):
+        raise ValueError(
+            "LoRA adapters do not thread through the fused/staged paged "
+            "kernels — use a page-walk variant (multi/runs/batched/xla)"
+        )
     if paged_kernel == "fused":
         # grid-over-layers fused kernel with in-kernel page-table window
         # reads — ONE pallas_call per tick instead of one per layer
@@ -489,6 +501,9 @@ def decode_step_paged(
             pages_bucket=pages_bucket,
             use_kernel=False if paged_kernel == "xla" else None,
             paged_kernel="multi" if paged_kernel == "xla" else paged_kernel,
+            lora=lora_with_ids(
+                lora, adapter_ids, cfg.text_config.num_hidden_layers
+            ),
         )
     return logits[:, 0, :], pool
 

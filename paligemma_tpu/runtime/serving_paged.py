@@ -65,6 +65,8 @@ class PagedServingEngine(ServingEngine):
         spec_draft_k: int = 8,
         spec_match_n: int = 2,
         pipeline=None,
+        lora_bank: Optional[Dict[str, Any]] = None,
+        grammars: Optional[Dict[str, Any]] = None,
     ):
         """``n_pages``: physical pool size (default: half the dense engine's
         reservation — the honest demonstration that more slots fit in less
@@ -114,17 +116,21 @@ class PagedServingEngine(ServingEngine):
             # no mesh (the verify path is the un-sharded XLA walk), no
             # prefix cache (hit-seating skips the prefill that seeds the
             # n-gram history's device state — composable later).
-            if mesh is not None:
+            if mesh is not None and int(mesh.shape.get("data", 1)) > 1:
                 raise ValueError(
-                    "spec_decode paged serving is single-chip (the paged "
-                    "verify forward has no TP/DP variant)"
+                    "spec_decode paged serving is single-chip or pure-TP "
+                    "(the verify window doesn't thread per-shard DP "
+                    "slot/page state)"
                 )
-            if prefix_cache:
-                raise ValueError(
-                    "spec_decode + prefix_cache is unimplemented (cache "
-                    "hits seat without the prefill that seeds the spec "
-                    "history state)"
-                )
+            # pure TP composes exactly like the dense spec engine: the
+            # verify forward is plain XLA, the decode weights carry
+            # Megatron NamedShardings (super().__init__ device_put), the
+            # pool replicates over "model" (_init_cache), and GSPMD
+            # inserts the psums/all-gathers per cycle
+            # prefix_cache composes: hit seating seeds the n-gram
+            # history/budget device state from the request's own ids
+            # (_insert_cached), so a hit skips the prefill AND keeps
+            # speculating (round-3 ROADMAP gap closed)
             paged_kernel = "xla"  # normal tick unused; skip kernel repacks
         if prefix_cache:
             assert (
@@ -163,9 +169,26 @@ class PagedServingEngine(ServingEngine):
             fused_decode=False,
             spec_decode=spec_decode, spec_draft_k=spec_draft_k,
             spec_match_n=spec_match_n, pipeline=pipeline,
+            lora_bank=lora_bank, grammars=grammars,
         )
         self._ptp_packed = self._ptp_specs = None
-        if mesh is not None and int(mesh.shape.get("model", 1)) > 1:
+        if self.lora_bank is not None:
+            # Multi-LoRA paged serving: the rank-r deltas ride the XLA
+            # projections of the page-walk tick (gemma.forward_paged_decode
+            # threads the per-row bank gather exactly like the dense XLA
+            # tick); the grid-over-layers fused/staged kernels never expose
+            # per-layer activations and the TP/DP paged ticks don't thread
+            # adapters, so a bank degrades the kernel and pins single-chip.
+            if mesh is not None:
+                raise ValueError(
+                    "lora_bank paged serving is single-chip (the TP/DP "
+                    "paged ticks don't thread adapters)"
+                )
+            if paged_kernel in ("staged", "fused"):
+                paged_kernel = "multi"
+                self.paged_kernel = "multi"
+        if (mesh is not None and int(mesh.shape.get("model", 1)) > 1
+                and not spec_decode):
             from ..kernels import decode_layer_paged_tp as _ptp
             from ..kernels import decode_layer_tp as _tp
 
@@ -304,8 +327,18 @@ class PagedServingEngine(ServingEngine):
 
         def _tick_paged(params, pool, state, page_table, active, key,
                         temps, top_ps, do_samples, with_sampling=False,
-                        pages_bucket=None, kernel=None):
+                        pages_bucket=None, kernel=None, lora=None,
+                        gtable=None):
             logits = state["logits"]
+            if gtable is not None:
+                # constrain selection to each row's LIVE DFA state (stored
+                # logits are unmasked by convention; gid 0 allows every
+                # token) — the paged tick materializes logits every step,
+                # so grammar composes with EVERY paged kernel, fused
+                # included (unlike the dense fused tick, whose in-kernel
+                # argmax head cannot mask)
+                allowed = gtable[state["gid"], state["dstate"]] >= 0
+                logits = jnp.where(allowed, logits, -jnp.inf)
             greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             if with_sampling:
                 sampled_tok = jax.vmap(
@@ -314,6 +347,15 @@ class PagedServingEngine(ServingEngine):
                 token = jnp.where(do_samples, sampled_tok, greedy_tok)
             else:
                 token = greedy_tok
+
+            extras = {}
+            if gtable is not None:
+                # advance each row's DFA by the consumed token; inactive
+                # rows hold their state
+                nxt_state = gtable[
+                    state["gid"], state["dstate"], token
+                ].astype(jnp.int32)
+                extras["dstate"] = jnp.where(active, nxt_state, state["dstate"])
 
             write_pos = state["write_pos"]
             k = kernel or self.paged_kernel
@@ -367,18 +409,22 @@ class PagedServingEngine(ServingEngine):
                     write_pos=write_pos, position_ids=state["pos_ids"],
                     pages_bucket=pages_bucket,
                     paged_kernel=k,
+                    lora=lora,
+                    adapter_ids=state["adapter"] if lora is not None else None,
                 )
             inc = active.astype(jnp.int32)
             state = {
+                **state,  # preserves "adapter"/"gid" extras if present
                 "write_pos": write_pos + inc,
                 "pos_ids": state["pos_ids"] + inc,
                 "logits": jnp.where(active[:, None], new_logits, state["logits"]),
+                **extras,
             }
             return token, pool, state
 
         @jax.jit
         def _set_slot_state(state, slot, prompt_len, row, last_logits,
-                            ids1=None, max_new=None):
+                            ids1=None, max_new=None, adapter=None, gid=None):
             # prompt rows are dense [0, prompt_len): write_pos == n_valid
             logits_row = jax.lax.dynamic_slice_in_dim(
                 last_logits, row, 1, axis=0
@@ -389,6 +435,19 @@ class PagedServingEngine(ServingEngine):
                 "pos_ids": state["pos_ids"].at[slot].set(prompt_len + 1),
                 "logits": state["logits"].at[slot].set(logits_row),
             }
+            if adapter is not None:
+                state = {
+                    **state,
+                    "adapter": state["adapter"].at[slot].set(adapter),
+                }
+            if gid is not None:
+                # DFA starts at state 0; the first tick masks the stored
+                # (unmasked) logits with it before selecting
+                state = {
+                    **state,
+                    "gid": state["gid"].at[slot].set(gid),
+                    "dstate": state["dstate"].at[slot].set(0),
+                }
             if spec_decode:
                 # seed the row's pending token, n-gram history (prompt +
                 # the not-yet-emitted next token), and device budget —
@@ -434,7 +493,8 @@ class PagedServingEngine(ServingEngine):
                            static_argnames=("ticks", "with_sampling",
                                             "pages_bucket", "kernel"))
         def _decode_window_paged(params, pool, state, page_table, lefts, key,
-                                 temps, top_ps, do_samples, ticks=1,
+                                 temps, top_ps, do_samples, lora=None,
+                                 gtable=None, ticks=1,
                                  with_sampling=False, pages_bucket=None,
                                  kernel=None):
             """``ticks`` paged decode steps in ONE dispatch (lax.scan) —
@@ -448,7 +508,8 @@ class PagedServingEngine(ServingEngine):
                 token, pool, state = _tick_paged(
                     params, pool, state, page_table, lefts > 0, k, temps,
                     top_ps, do_samples, with_sampling=with_sampling,
-                    pages_bucket=pages_bucket, kernel=kernel,
+                    pages_bucket=pages_bucket, kernel=kernel, lora=lora,
+                    gtable=gtable,
                 )
                 return (pool, state, jnp.maximum(lefts - 1, 0)), token
 
@@ -580,6 +641,13 @@ class PagedServingEngine(ServingEngine):
                 (self.max_slots, self.max_seq_len), jnp.int32
             )
             state["left"] = jnp.zeros((self.max_slots,), jnp.int32)
+        if getattr(self, "lora_bank", None) is not None:
+            # per-row adapter index into the bank (0 = base/zero adapter)
+            state["adapter"] = jnp.zeros((self.max_slots,), jnp.int32)
+        if getattr(self, "grammar_table", None) is not None:
+            # per-row grammar id (0 = unconstrained) + live DFA state
+            state["gid"] = jnp.zeros((self.max_slots,), jnp.int32)
+            state["dstate"] = jnp.zeros((self.max_slots,), jnp.int32)
         if self.dp > 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -648,6 +716,11 @@ class PagedServingEngine(ServingEngine):
         h.update(np.asarray(req.input_ids, np.int32).tobytes())
         h.update(np.ascontiguousarray(
             np.asarray(req.pixel_values, np.float32)).tobytes())
+        if req.lora is not None:
+            # the cached prefix KV was computed THROUGH the adapter's
+            # prefill deltas — identical prompts under different adapters
+            # must not share entries
+            h.update(req.lora.encode())
         return h.digest()
 
     def _wave_key(self, req: Request):
@@ -675,10 +748,29 @@ class PagedServingEngine(ServingEngine):
                 self.cache, jnp.asarray(entry["tail_page"], jnp.int32),
                 jnp.asarray(dst, jnp.int32),
             )
+        extra = {}
+        if self.spec_decode:
+            # a hit seats WITHOUT the prefill that normally seeds the
+            # n-gram proposer — seed it here from the request's own ids
+            # (compiles once per distinct prompt length, like prefill)
+            extra = dict(
+                ids1=jnp.asarray(
+                    np.asarray(req.input_ids, np.int32)[None]
+                ),
+                max_new=jnp.asarray(req.max_new_tokens, jnp.int32),
+            )
+        if self.lora_bank is not None:
+            extra["adapter"] = jnp.asarray(
+                self._lora_index[req.lora], jnp.int32
+            )
+        if self.grammar_table is not None:
+            extra["gid"] = jnp.asarray(
+                self._grammar_index[req.grammar], jnp.int32
+            )
         self.state = self._set_slot_state(
             self.state, jnp.asarray(slot, jnp.int32),
             jnp.asarray(prompt_len, jnp.int32), jnp.asarray(0, jnp.int32),
-            entry["logits"],
+            entry["logits"], **extra,
         )
         entry["refs"] += 1
         self._pcache.move_to_end(key)
@@ -772,6 +864,14 @@ class PagedServingEngine(ServingEngine):
             extra = dict(
                 ids1=ids1,
                 max_new=jnp.asarray(req.max_new_tokens, jnp.int32),
+            )
+        if self.lora_bank is not None:
+            extra["adapter"] = jnp.asarray(
+                self._lora_index[req.lora], jnp.int32
+            )
+        if self.grammar_table is not None:
+            extra["gid"] = jnp.asarray(
+                self._grammar_index[req.grammar], jnp.int32
             )
         self.state = self._set_slot_state(
             self.state, jnp.asarray(slot, jnp.int32),
@@ -913,6 +1013,7 @@ class PagedServingEngine(ServingEngine):
         tokens, self.cache, self.state, self._key = self._decode_window_paged(
             self.decode_params, self.cache, self.state, page_table,
             lefts, self._key, temps_j, top_j, do_j,
+            lora=self.lora_bank, gtable=self.grammar_table,
             ticks=ticks, with_sampling=with_sampling,
             pages_bucket=pages_bucket, kernel=kernel,
         )
@@ -1013,6 +1114,7 @@ class PagedServingEngine(ServingEngine):
                     jnp.zeros((self.max_slots,), jnp.int32),
                     jax.random.PRNGKey(0), zeros_f + 1.0, zeros_f + 1.0,
                     jnp.zeros((self.max_slots,), bool),
+                    lora=self.lora_bank, gtable=self.grammar_table,
                     ticks=ticks, with_sampling=with_sampling,
                     pages_bucket=pb, kernel=self._kernel_for_bucket(pb),
                 )

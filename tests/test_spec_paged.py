@@ -114,20 +114,34 @@ def test_spec_paged_cross_page_verify(params):
     np.testing.assert_array_equal(got[0], want[0])
 
 
-def test_spec_paged_rejects_mesh_and_prefix_cache(params):
+def test_spec_paged_under_tp_mesh_matches_single_chip(params):
+    """Pure-TP paged speculation (round 3): the verify forward is plain
+    XLA, so Megatron weight shardings + the replicated pool shard every
+    cycle via GSPMD — tokens bit-identical to the single-chip engine."""
     from paligemma_tpu.core import mesh as mesh_lib
 
-    with pytest.raises(ValueError, match="single-chip"):
+    mk = lambda: [_req(0, 5, 9, 9, repeat_prompt=True), _req(1, 6, 5, 7)]
+    want, _ = _run(params, mk(), spec_decode=True, spec_draft_k=4)
+    for model in (2, 4):
+        mesh = mesh_lib.make_mesh(data=1, model=model)
+        got, _ = _run(params, mk(), spec_decode=True, spec_draft_k=4,
+                      mesh=mesh)
+        for rid in want:
+            np.testing.assert_array_equal(
+                got[rid], want[rid], err_msg=f"model={model} rid={rid}"
+            )
+
+
+def test_spec_paged_rejects_dp_mesh(params):
+    # pure-DP/TP verify variants don't exist for the paged spec engine;
+    # prefix_cache now COMPOSES (tests/test_paged_extras.py)
+    from paligemma_tpu.core import mesh as mesh_lib
+
+    with pytest.raises(ValueError, match="pure-TP"):
         PagedServingEngine(
             params, CFG, max_slots=2, max_seq_len=64, page_size=16,
             n_pages=16, use_flash=False, spec_decode=True,
-            mesh=mesh_lib.make_mesh(data=1, model=4),
-        )
-    with pytest.raises(ValueError, match="prefix_cache"):
-        PagedServingEngine(
-            params, CFG, max_slots=2, max_seq_len=64, page_size=16,
-            n_pages=16, use_flash=False, spec_decode=True,
-            prefix_cache=True,
+            mesh=mesh_lib.make_mesh(data=2, model=1),
         )
 
 
