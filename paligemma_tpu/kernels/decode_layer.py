@@ -94,8 +94,7 @@ def repack_layers(layers: Dict, rms_eps_dtype=jnp.float32) -> Dict:
 # ---------------------------------------------------------------------------
 def _kernel_all(
     pos_ref,  # (B,) int32 scalar prefetch: per-row cache write position
-    *refs,  # inputs, outputs, scratch — unpacked below (head variant
-    # appends final-norm + head operands; see layers_decode_fused)
+    *refs,  # inputs, outputs, scratch — unpacked below
     n_layers: int,
     nc: int,
     bs: int,
@@ -105,64 +104,46 @@ def _kernel_all(
     eps: float,
     scale: float,
     batch: int,
-    head: Optional[Tuple[int, int, int]] = None,  # (nch_h, bs_h, n_valid)
 ):
-    if head is None:
-        (
-            x_ref,  # (B, K)
-            cos_ref,  # (B, D)
-            sin_ref,  # (B, D)
-            cos_rep_ref,  # (B*H, D) — per-row tables repeated per head (q)
-            sin_rep_ref,  # (B*H, D)
-            bias_ref,  # (B, W) f32 additive mask: 0 attendable, -inf not
-            in_norm_ref,  # (1, 1, K) block at layer l (auto-pipelined)
-            post_norm_ref,  # (1, 1, K)
-            qkv_w8_ref,  # (L, K, NQ) ANY
-            qkv_s_ref,  # (1, 1, NQ) block at l
-            o_w8_ref,  # (L, KO, K) ANY
-            o_s_ref,  # (1, 1, K) block at l
-            gate_ref,  # (L, nc, K, bs) ANY
-            up_ref,  # (L, nc, K, bs) ANY
-            dn_ref,  # (L, I, K) ANY
-            gs_ref,  # (1, nc, bs) block at l
-            us_ref,  # (1, nc, bs) block at l
-            ds_ref,  # (1, 1, K) block at l
-            k_cache_ref,  # (L, B, S, D) HBM
-            v_cache_ref,  # (L, B, S, D) HBM
-            out_ref,  # (B, K) — written on the last grid step
-            k_new_ref,  # (1, B, D) block at l
-            v_new_ref,  # (1, B, D) block at l
-            # scratch (persists across grid steps):
-            a_buf,  # (B, NQ) attention output accumulator (per-row stores)
-            h_state,  # (B, K) activation dtype
-            qkv_buf,  # (2, K, NQ) int8 ring over layers
-            o_buf,  # (2, KO, K) int8
-            kwin,  # (2, B, W, D)
-            vwin,  # (2, B, W, D)
-            gbuf,  # (2, K, bs) int8 ring over (layer, chunk)
-            ubuf,
-            dbuf,
-            acc,  # (B, K) f32
-            sems,  # DMA (7, 2)
-        ) = refs
-    else:
-        # merged-head variant: +3 inputs (final norm, head w8 chunks, head
-        # scales), +1 output (greedy token), +2 scratch (head ring + sems)
-        (
-            x_ref, cos_ref, sin_ref, cos_rep_ref, sin_rep_ref, bias_ref,
-            in_norm_ref, post_norm_ref, qkv_w8_ref, qkv_s_ref, o_w8_ref,
-            o_s_ref, gate_ref, up_ref, dn_ref, gs_ref, us_ref, ds_ref,
-            k_cache_ref, v_cache_ref,
-            fnorm_ref,  # (1, K) final-norm weight (VMEM)
-            hw_ref,  # (nch_h, K, bs_h) int8 head chunks (HBM)
-            hs_ref,  # (nch_h, 1, bs_h) f32 head scales (VMEM)
-            out_ref, k_new_ref, v_new_ref,
-            tok_ref,  # (B, 1) int32 greedy token — written on last step
-            a_buf, h_state, qkv_buf, o_buf, kwin, vwin, gbuf, ubuf, dbuf,
-            acc, sems,
-            hbuf,  # (2, K, bs_h) int8 head ring
-            hsems,  # DMA (2,)
-        ) = refs
+    # the greedy head/argmax lives in its own kernel (kernels/decode_head),
+    # dispatched back-to-back with this one by the engine's fused tick
+    (
+        x_ref,  # (B, K)
+        cos_ref,  # (B, D)
+        sin_ref,  # (B, D)
+        cos_rep_ref,  # (B*H, D) — per-row tables repeated per head (q)
+        sin_rep_ref,  # (B*H, D)
+        bias_ref,  # (B, W) f32 additive mask: 0 attendable, -inf not
+        in_norm_ref,  # (1, 1, K) block at layer l (auto-pipelined)
+        post_norm_ref,  # (1, 1, K)
+        qkv_w8_ref,  # (L, K, NQ) ANY
+        qkv_s_ref,  # (1, 1, NQ) block at l
+        o_w8_ref,  # (L, KO, K) ANY
+        o_s_ref,  # (1, 1, K) block at l
+        gate_ref,  # (L, nc, K, bs) ANY
+        up_ref,  # (L, nc, K, bs) ANY
+        dn_ref,  # (L, I, K) ANY
+        gs_ref,  # (1, nc, bs) block at l
+        us_ref,  # (1, nc, bs) block at l
+        ds_ref,  # (1, 1, K) block at l
+        k_cache_ref,  # (L, B, S, D) HBM
+        v_cache_ref,  # (L, B, S, D) HBM
+        out_ref,  # (B, K) — written on the last grid step
+        k_new_ref,  # (1, B, D) block at l
+        v_new_ref,  # (1, B, D) block at l
+        # scratch (persists across grid steps):
+        a_buf,  # (B, NQ) attention output accumulator (per-row stores)
+        h_state,  # (B, K) activation dtype
+        qkv_buf,  # (2, K, NQ) int8 ring over layers
+        o_buf,  # (2, KO, K) int8
+        kwin,  # (2, B, W, D)
+        vwin,  # (2, B, W, D)
+        gbuf,  # (2, K, bs) int8 ring over (layer, chunk)
+        ubuf,
+        dbuf,
+        acc,  # (B, K) f32
+        sems,  # DMA (7, 2)
+    ) = refs
     l = pl.program_id(0)
     lslot = jax.lax.rem(l, 2)
     nslot = jax.lax.rem(l + 1, 2)
