@@ -61,7 +61,13 @@ def _main(argv=None):
     p.add_argument("--full_finetune", action="store_true",
                    help="full LM fine-tune (vision frozen) instead of LoRA")
     p.add_argument("--quantize_int8", action="store_true",
-                   help="int8 base + LoRA (QLoRA-style)")
+                   help="int8 base + LoRA (alias for --base_quant int8)")
+    p.add_argument("--base_quant", default="none",
+                   choices=("none", "int8", "nf4", "int4"),
+                   help="quantize the FROZEN LM base for the fine-tune: "
+                        "int8 per-channel, or blockwise 4-bit (nf4 = the "
+                        "reference's BitsAndBytes QLoRA recipe, ref: "
+                        "Paligemma_FT.ipynb cell 41; int4 = symmetric grid)")
     p.add_argument("--max_length", type=int, default=512)
     p.add_argument("--data_parallel", type=int, default=1)
     p.add_argument("--model_parallel", type=int, default=1)
@@ -129,11 +135,19 @@ def _main(argv=None):
         return rows
 
     params, config = load_hf_model(args.model_path, jnp.bfloat16)
-    if args.quantize_int8:
+    if args.quantize_int8 and args.base_quant == "none":
+        args.base_quant = "int8"
+    if args.base_quant == "int8":
         # fuse=False: the fused qkv/gateup layout is a serving-side
         # transform; training needs per-projection weights so LoRA deltas
         # can be merged back for eval/export
         params = quantize_lm_for_serving(params, fuse=False)
+    elif args.base_quant in ("nf4", "int4"):
+        from ..runtime.quantize import quantize_lm_for_training
+
+        params = quantize_lm_for_training(
+            params, kind=args.base_quant, fuse=False
+        )
     tokenizer = AutoTokenizer.from_pretrained(args.model_path, padding_side="right")
     processor = PaliGemmaProcessor(
         tokenizer,

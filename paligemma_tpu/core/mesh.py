@@ -72,6 +72,9 @@ def _spec_for_leaf(names, leaf) -> P:
     if "patch_embed" in nset:
         return axis_spec(0)  # kernel (ppc, D) / bias (D,) -> D on model
 
+    if names[-1] == "grid":
+        return P(*([None] * ndim))  # 4-bit codebook: tiny, replicated
+
     proj = next((n for n in names if n in _COL_PROJ | _ROW_PROJ), None)
     if proj is None:
         return P(*([None] * ndim))  # norms, projector, alphas

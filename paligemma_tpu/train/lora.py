@@ -121,10 +121,13 @@ def merge_lora(
         )
 
     def add_delta(base, delta):
-        if isinstance(base, dict):  # int8-quantized base: dequantize to merge
-            from ..kernels.quant import dequantize
+        if isinstance(base, dict):  # quantized base: dequantize to merge
+            from ..kernels.quant import dequantize, dequantize_4bit
 
-            dense = dequantize(base, jnp.bfloat16)
+            dense = (
+                dequantize_4bit(base, jnp.bfloat16) if "w4" in base
+                else dequantize(base, jnp.bfloat16)
+            )
             return dense + delta.astype(dense.dtype)
         return base + delta.astype(base.dtype)
 
