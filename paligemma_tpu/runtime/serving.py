@@ -354,76 +354,73 @@ class ServingEngine:
             )
             return logits[:, 0], cache1
 
-        @functools.partial(jax.jit, donate_argnums=(3, 4))
-        def _insert(slot, prompt_len, row, cache, state, cache1, mask1,
-                    last_logits, ids1=None, max_new=None, adapter=None,
-                    gid=None, gtable=None):
-            # scatter row `row` of the batched prefill into pool slot `slot`
-            zero = jnp.zeros((), jnp.int32)
+        @functools.partial(jax.jit, donate_argnums=(2, 3))
+        def _insert_batch(slots, prompt_lens, cache, state, cache1, mask1,
+                          last_logits, ids1=None, max_news=None,
+                          adapters=None, gids=None, gtable=None):
+            # seat the WHOLE prefill wave in one dispatch: row r of the
+            # batched prefill goes to pool slot slots[r]. One scatter per
+            # K/V slab + vectorized per-slot state, replacing round 3's
+            # per-row dispatches (R jit calls per wave, each re-copying
+            # the non-donated state logits)
+            R = slots.shape[0]
             cache = {
-                n: jax.lax.dynamic_update_slice(
-                    cache[n],
-                    jax.lax.dynamic_slice_in_dim(cache1[n], row, 1, axis=1)
-                    .astype(cache[n].dtype),
-                    (zero, slot, zero, zero, zero),
-                )
+                n: cache[n].at[:, slots].set(cache1[n].astype(cache[n].dtype))
                 for n in ("k", "v")
             }
-            mask_row = jax.lax.dynamic_slice_in_dim(mask1, row, 1, axis=0)[0]
-            valid_row = jnp.zeros((self.max_seq_len,), bool)
-            valid_row = jax.lax.dynamic_update_slice(
-                valid_row, mask_row.astype(bool), (zero,)
+            mask_b = mask1.astype(bool)  # (R, bucket)
+            valid_rows = (
+                jnp.zeros((R, self.max_seq_len), bool)
+                .at[:, : mask1.shape[1]].set(mask_b)
             )
-            logits_row = jax.lax.dynamic_slice_in_dim(
-                last_logits, row, 1, axis=0
-            )[0]
             if gtable is not None:
-                # the first pending token is selected from the grammar's
+                # first pending tokens are selected from the grammar's
                 # START state (dstate stays 0 — it advances when the tick
-                # consumes this token); stored logits stay UNMASKED, the
-                # sampling variant re-masks with the row's live state
-                allowed0 = gtable[gid, 0] >= 0  # (vocab,)
-                next_tok = jnp.argmax(
-                    jnp.where(allowed0, logits_row, -jnp.inf), -1
+                # consumes the token); stored logits stay UNMASKED, the
+                # sampling variant re-masks with each row's live state
+                allowed0 = gtable[gids, 0] >= 0  # (R, vocab)
+                next_toks = jnp.argmax(
+                    jnp.where(allowed0, last_logits, -jnp.inf), -1
                 ).astype(jnp.int32)
             else:
-                next_tok = jnp.argmax(logits_row, -1).astype(jnp.int32)
+                next_toks = jnp.argmax(last_logits, -1).astype(jnp.int32)
             state = {
                 **state,
-                "valid": state["valid"].at[slot].set(valid_row),
-                "write_pos": state["write_pos"].at[slot].set(prompt_len),
-                "pos_ids": state["pos_ids"].at[slot].set(
-                    jnp.sum(mask_row).astype(jnp.int32) + 1
+                "valid": state["valid"].at[slots].set(valid_rows),
+                "write_pos": state["write_pos"].at[slots].set(prompt_lens),
+                "pos_ids": state["pos_ids"].at[slots].set(
+                    jnp.sum(mask1, -1).astype(jnp.int32) + 1
                 ),
-                "logits": state["logits"].at[slot].set(logits_row),
-                "next_tok": state["next_tok"].at[slot].set(next_tok),
+                "logits": state["logits"].at[slots].set(last_logits),
+                "next_tok": state["next_tok"].at[slots].set(next_toks),
             }
             if lora_bank:
                 state = {
                     **state,
-                    "adapter": state["adapter"].at[slot].set(adapter),
+                    "adapter": state["adapter"].at[slots].set(adapters),
                 }
             if gtable is not None:
                 state = {
                     **state,
-                    "gid": state["gid"].at[slot].set(gid),
-                    "dstate": state["dstate"].at[slot].set(0),
+                    "gid": state["gid"].at[slots].set(gids),
+                    "dstate": state["dstate"].at[slots].set(
+                        jnp.zeros_like(gids)
+                    ),
                 }
             if spec_decode:
-                # seed the row's n-gram history (prompt then, at position
+                # seed each row's n-gram history (prompt then, at position
                 # prompt_len, the not-yet-emitted next token — the proposer
                 # matches the trailing suffix through the newest known
                 # token) and the device-side remaining-budget counter
-                ids_row = jax.lax.dynamic_slice_in_dim(ids1, row, 1, axis=0)[0]
-                hist_row = jnp.zeros((self.max_seq_len,), jnp.int32)
-                hist_row = jax.lax.dynamic_update_slice(
-                    hist_row, ids_row.astype(jnp.int32), (zero,)
+                hist = (
+                    jnp.zeros((R, self.max_seq_len), jnp.int32)
+                    .at[:, : ids1.shape[1]].set(ids1.astype(jnp.int32))
                 )
-                hist_row = hist_row.at[prompt_len].set(next_tok)
+                hist = hist.at[jnp.arange(R), prompt_lens].set(next_toks)
                 state = {
                     **state,
-                    "hist": state["hist"].at[slot].set(hist_row),
-                    "left": state["left"].at[slot].set(max_new),
+                    "hist": state["hist"].at[slots].set(hist),
+                    "left": state["left"].at[slots].set(max_news),
                 }
             return cache, state
 
@@ -645,7 +642,7 @@ class ServingEngine:
             return tokens, counts, cache, state
 
         self._prefill_batch = _prefill_batch
-        self._insert = _insert
+        self._insert_batch = _insert_batch
         self._decode_window = _decode_window
         self._spec_window = _spec_window
 
@@ -745,7 +742,7 @@ class ServingEngine:
                     jnp.asarray(mask), jnp.full((n,), bucket, np.int32),
                     cache1, **lora_kw,
                 )
-                # _insert compiles per prefill-batch shape; run it on
+                # _insert_batch compiles per prefill-batch shape; run it on
                 # throwaway pool buffers (donated args) with the real shapes
                 scratch_cache = gemma.init_kv_cache(
                     self.config.text_config, self.max_slots, self.max_seq_len,
@@ -755,17 +752,18 @@ class ServingEngine:
                 mask1 = jnp.asarray(np.ones((n, bucket), np.int32))
                 extra = (
                     dict(ids1=jnp.asarray(ids),
-                         max_new=jnp.asarray(1, jnp.int32))
+                         max_news=jnp.ones((n,), jnp.int32))
                     if self.spec_decode else {}
                 )
                 if self.lora_bank is not None:
-                    extra["adapter"] = jnp.zeros((), jnp.int32)
+                    extra["adapters"] = jnp.zeros((n,), jnp.int32)
                 if self.grammar_table is not None:
-                    extra["gid"] = jnp.zeros((), jnp.int32)
+                    extra["gids"] = jnp.zeros((n,), jnp.int32)
                     extra["gtable"] = self.grammar_table
-                self._insert(
-                    jnp.zeros((), jnp.int32), jnp.asarray(bucket, jnp.int32),
-                    jnp.zeros((), jnp.int32), scratch_cache, scratch_state,
+                self._insert_batch(
+                    jnp.arange(n, dtype=jnp.int32) % self.max_slots,
+                    jnp.full((n,), bucket, jnp.int32),
+                    scratch_cache, scratch_state,
                     cache1, mask1, last_logits, **extra,
                 )
         # decode window: compiles once per (ticks, with_sampling, kv_bucket)
@@ -930,29 +928,34 @@ class ServingEngine:
             "serving mesh must be pure TP (data=1); slots are the batch"
         )
 
-    def _insert_row(self, slot: int, req: Request, row: int, cache1, mask,
-                    last_logits, ids1=None) -> None:
-        """Scatter row ``row`` of a batched prefill into pool slot ``slot``
-        (backend hook — the paged engine writes page-wise instead)."""
+    def _insert_chunk(self, seated, cache1, mask, last_logits,
+                      ids1=None) -> None:
+        """Seat one prefill chunk — row ``r`` of the batched prefill goes to
+        pool slot ``seated[r][0]`` — in a SINGLE device dispatch (backend
+        hook; the paged engine overrides with page-wise writes). Replaces
+        round 3's per-row scatters: R jit calls per wave, each re-copying
+        the non-donated prefill cache."""
         extra = {}
         if self.spec_decode:
             extra = dict(
                 ids1=ids1,
-                max_new=jnp.asarray(req.max_new_tokens, jnp.int32),
+                max_news=jnp.asarray(
+                    [req.max_new_tokens for _, req in seated], jnp.int32
+                ),
             )
         if self.lora_bank is not None:
-            extra["adapter"] = jnp.asarray(
-                self._lora_index[req.lora], jnp.int32
+            extra["adapters"] = jnp.asarray(
+                [self._lora_index[req.lora] for _, req in seated], jnp.int32
             )
         if self.grammar_table is not None:
-            extra["gid"] = jnp.asarray(
-                self._grammar_index[req.grammar], jnp.int32
+            extra["gids"] = jnp.asarray(
+                [self._grammar_index[req.grammar] for _, req in seated],
+                jnp.int32,
             )
             extra["gtable"] = self.grammar_table
-        self.cache, self.state = self._insert(
-            jnp.asarray(slot, jnp.int32),
-            jnp.asarray(len(req.input_ids), jnp.int32),
-            jnp.asarray(row, jnp.int32),
+        self.cache, self.state = self._insert_batch(
+            jnp.asarray([slot for slot, _ in seated], jnp.int32),
+            jnp.asarray([len(req.input_ids) for _, req in seated], jnp.int32),
             self.cache, self.state, cache1, mask, last_logits, **extra,
         )
 
@@ -1011,21 +1014,28 @@ class ServingEngine:
     def _prefill_wave(self, need_prefill: list) -> None:
         if not need_prefill:
             return
-        # group by prompt-length bucket so each group prefills as one batch;
-        # batch sizes are rounded up to powers of two (rows replicated) to
-        # bound the number of compiled (batch, bucket) shapes
+        # group by prompt-length bucket, then split each group into exact
+        # power-of-two chunks (16+4+1 for 21) — compiled (batch, bucket)
+        # shapes stay the pow2 set WITHOUT the pad-to-pow2 row replication
+        # that round 3 paid (a 21-request wave prefilled 32 rows: +52%
+        # prefill compute, the driver bench's paged-vs-dense gap)
         groups: Dict[int, list] = {}
         for slot, req in need_prefill:
             bucket = self._bucket_of(req)
             groups.setdefault(bucket, []).append((slot, req))
 
+        chunks: list = []
         for bucket, seated in groups.items():
+            while seated:
+                take = 1 << (len(seated).bit_length() - 1)  # largest pow2 <=
+                chunks.append((bucket, seated[:take]))
+                seated = seated[take:]
+        for bucket, seated in chunks:
             n = len(seated)
-            n_pad = 1 << (n - 1).bit_length()  # next power of two
-            ids_np = np.zeros((n_pad, bucket), np.int32)
-            mask_np = np.zeros((n_pad, bucket), np.int32)
-            pfx_np = np.zeros((n_pad,), np.int32)
-            pix_np = np.zeros((n_pad,) + tuple(seated[0][1].pixel_values.shape),
+            ids_np = np.zeros((n, bucket), np.int32)
+            mask_np = np.zeros((n, bucket), np.int32)
+            pfx_np = np.zeros((n,), np.int32)
+            pix_np = np.zeros((n,) + tuple(seated[0][1].pixel_values.shape),
                               np.float32)
             for r, (_, req) in enumerate(seated):
                 s = len(req.input_ids)
@@ -1033,20 +1043,18 @@ class ServingEngine:
                 mask_np[r, :s] = 1
                 pfx_np[r] = s if req.prefix_len is None else req.prefix_len
                 pix_np[r] = req.pixel_values
-            for r in range(n, n_pad):  # replicate to fill the pow2 batch
-                ids_np[r], mask_np[r], pix_np[r] = ids_np[0], mask_np[0], pix_np[0]
-                pfx_np[r] = pfx_np[0]
 
             mask = jnp.asarray(mask_np)
             ids_j = jnp.asarray(ids_np)
             cache1 = gemma.init_kv_cache(
-                self.config.text_config, n_pad, self.max_seq_len, self.cache_dtype
+                self.config.text_config, n, self.max_seq_len, self.cache_dtype
             )
             lora_kw = {}
             if self.lora_bank is not None:
-                aids_np = np.zeros((n_pad,), np.int32)
-                for r, (_, req) in enumerate(seated):
-                    aids_np[r] = self._lora_index[req.lora]
+                aids_np = np.asarray(
+                    [self._lora_index[req.lora] for _, req in seated],
+                    np.int32,
+                )
                 lora_kw = dict(lora=self.lora_bank,
                                adapter_ids=jnp.asarray(aids_np))
             last_logits, cache1 = self._prefill_batch(
@@ -1054,9 +1062,8 @@ class ServingEngine:
                 jnp.asarray(pfx_np), cache1, **lora_kw,
             )
             self.prefill_calls += 1
-            for r, (slot, req) in enumerate(seated):
-                self._insert_row(slot, req, r, cache1, mask, last_logits,
-                                 ids1=ids_j)
+            self._insert_chunk(seated, cache1, mask, last_logits, ids1=ids_j)
+            for slot, req in seated:
                 self.slots[slot] = req
                 req.t_seated = time.perf_counter()
                 self._generated[req.request_id] = 0

@@ -839,6 +839,15 @@ class PagedServingEngine(ServingEngine):
                 self._free_entry(k)
         return freed
 
+    def _insert_chunk(self, seated, cache1, mask, last_logits,
+                      ids1=None) -> None:
+        """Paged backend: each row's KV lands in its slot's page list (page
+        tables differ per row, so the seat stays per-row; the page writes
+        inside _insert_row are chunk-batched per slab)."""
+        for r, (slot, req) in enumerate(seated):
+            self._insert_row(slot, req, r, cache1, mask, last_logits,
+                             ids1=ids1)
+
     def _insert_row(self, slot: int, req: Request, row: int, cache1, mask,
                     last_logits, ids1=None) -> None:
         bucket = mask.shape[1]

@@ -163,7 +163,7 @@ def test_warmup_precompiles_everything():
     eng.warmup(prompt_lens=[8], batch_sizes=(1,))
     sizes = {
         "prefill": eng._prefill_batch._cache_size(),
-        "insert": eng._insert._cache_size(),
+        "insert": eng._insert_batch._cache_size(),
         "decode": eng._decode_window._cache_size(),
     }
     assert all(v > 0 for v in sizes.values()), sizes
@@ -173,7 +173,7 @@ def test_warmup_precompiles_everything():
     assert len(done) == 1 and len(done[0].tokens) == 3
     after = {
         "prefill": eng._prefill_batch._cache_size(),
-        "insert": eng._insert._cache_size(),
+        "insert": eng._insert_batch._cache_size(),
         "decode": eng._decode_window._cache_size(),
     }
     assert after == sizes, (sizes, after)
