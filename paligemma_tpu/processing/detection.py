@@ -31,13 +31,15 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-_LOC = r"<loc(\d{4})>"
-_SEG_NOCAP = r"<seg\d{3}>"
+_LOC = r"<loc(\d{4})>\s*"
+_SEG_NOCAP = r"<seg\d{3}>\s*"
 
 # One object: 4 loc bins (groups 1-4), optional 16 seg codes (group 5, as
 # one blob — re only keeps the last match of a repeated group, so the blob
 # is re-scanned with _SEG_RE), optional label text (group 6) up to the next
-# ';' or '<'.
+# ';' or '<'. Optional whitespace between tokens: HF fast-tokenizer decode
+# inserts spaces between added tokens, SentencePiece decode does not —
+# both forms parse.
 _OBJ_RE = re.compile(
     rf"{_LOC}{_LOC}{_LOC}{_LOC}"
     rf"((?:{_SEG_NOCAP}){{16}})?"
