@@ -226,11 +226,6 @@ class ServingEngine:
         self._grammar_index: Dict[Optional[str], int] = {None: 0}
         self._grammars = grammars or {}
         if grammars:
-            if spec_decode:
-                raise ValueError(
-                    "spec_decode + grammars is unimplemented (constrained "
-                    "argmax changes the draft-acceptance rule)"
-                )
             v = config.vocab_size
             s_max = max(g.num_states for g in grammars.values())
             tables = [np.zeros((s_max, v), np.int16)]  # gid 0: unconstrained
@@ -561,7 +556,8 @@ class ServingEngine:
             jax.jit, donate_argnums=(1, 2),
             static_argnames=("ticks", "kv_bucket"),
         )
-        def _spec_window(params, cache, state, ticks=1, kv_bucket=None):
+        def _spec_window(params, cache, state, gtable=None, ticks=1,
+                         kv_bucket=None):
             """``ticks`` speculative verify cycles in ONE dispatch.
 
             Each cycle per row: propose ``kd`` n-gram drafts, verify
@@ -575,6 +571,16 @@ class ServingEngine:
             themselves when their device-side budget (state["left"])
             runs out — with variable per-cycle emission the host cannot
             pre-charge budgets the way ``_decode_window``'s lefts do.
+
+            Grammar rows (``gtable``): the DFA advances through the cycle's
+            input tokens on device, and every verify position's argmax is
+            masked with the state reached AFTER its prefix — a disallowed
+            draft can never equal the masked argmax, so the acceptance rule
+            rejects exactly there and the emitted stream stays token-
+            identical to non-spec constrained greedy decoding. gid 0 rows
+            (unconstrained) see an all-allowed table, so mixed batches need
+            no branch.
+
             Returns ((ticks, B, kd+1) tokens, (ticks, B) counts, ...)."""
             from ..ops.ngram import propose_ngram
 
@@ -598,6 +604,32 @@ class ServingEngine:
                     kv_valid=state["valid"], position_ids=state["pos_ids"],
                     kv_bucket=kv_bucket,
                 )
+                dstates = None
+                if gtable is not None:
+                    # s_{i+1} = state after consuming tokens_in[:, :i+1],
+                    # starting from the live dstate (= state BEFORE
+                    # next_tok, the tick invariant). Unrolled: kd+1 tiny
+                    # (B,) gathers. A disallowed transition yields -1;
+                    # clamp for the gather — positions past the first
+                    # rejection never matter (acceptance stops before).
+                    s = state["dstate"]
+                    states = []  # s_1 .. s_{kd+1}
+                    for i in range(kd + 1):
+                        s = gtable[
+                            state["gid"], jnp.maximum(s, 0),
+                            tokens_in[:, i],
+                        ].astype(jnp.int32)
+                        states.append(s)
+                    dstates = jnp.stack(states, axis=1)  # (B, kd+1)
+                    # verify position i selects the token FOLLOWING
+                    # tokens_in[:, i] -> masked by allowed(s_{i+1})
+                    allowed = (
+                        gtable[
+                            state["gid"][:, None],
+                            jnp.maximum(dstates, 0),
+                        ] >= 0
+                    )  # (B, kd+1, V)
+                    logits = jnp.where(allowed, logits, -jnp.inf)
                 g = jnp.argmax(logits, -1).astype(jnp.int32)  # (B, kd+1)
                 n_acc = jnp.sum(
                     jnp.cumprod((draft == g[:, :kd]).astype(jnp.int32), 1), 1
@@ -624,7 +656,7 @@ class ServingEngine:
                 )
                 tgt_n = jnp.where(active, wp + n_keep, self.max_seq_len + 1)
                 hist = hist.at[rows, tgt_n].set(nxt, mode="drop")
-                state = {
+                new_state = {
                     "next_tok": nxt,
                     "valid": valid,
                     "write_pos": wp + n_keep,
@@ -633,6 +665,18 @@ class ServingEngine:
                     "hist": hist,
                     "left": left - n_keep,
                 }
+                if gtable is not None:
+                    # dstate' = state after the n_keep EMITTED tokens (all
+                    # masked-valid, so no -1 on that prefix); rows emitting
+                    # nothing hold their state
+                    s_kept = jnp.take_along_axis(
+                        dstates, jnp.maximum(n_keep - 1, 0)[:, None], axis=1
+                    )[:, 0]
+                    new_state["gid"] = state["gid"]
+                    new_state["dstate"] = jnp.where(
+                        n_keep > 0, s_kept, state["dstate"]
+                    )
+                state = new_state
                 out = jnp.where(j < n_keep[:, None], tokens_in, 0)
                 return (cache, state), (out, n_keep)
 
@@ -784,7 +828,8 @@ class ServingEngine:
                 )
                 self._spec_window(
                     self.decode_params, scratch_cache, self._zero_state(),
-                    ticks=ticks, kv_bucket=kv_bucket,
+                    gtable=self.grammar_table, ticks=ticks,
+                    kv_bucket=kv_bucket,
                 )
             return
         variants = (False, True) if sampling else (False,)
@@ -1120,7 +1165,7 @@ class ServingEngine:
         )
         tokens, counts, self.cache, self.state = self._spec_window(
             self.decode_params, self.cache, self.state,
-            ticks=ticks, kv_bucket=kv_bucket,
+            gtable=self.grammar_table, ticks=ticks, kv_bucket=kv_bucket,
         )
         return tokens, counts
 

@@ -177,18 +177,27 @@ class PagedServingEngine(ServingEngine):
             # projections of the page-walk tick (gemma.forward_paged_decode
             # threads the per-row bank gather exactly like the dense XLA
             # tick); the grid-over-layers fused/staged kernels never expose
-            # per-layer activations and the TP/DP paged ticks don't thread
-            # adapters, so a bank degrades the kernel and pins single-chip.
-            if mesh is not None:
+            # per-layer activations, so a bank degrades the kernel. Under a
+            # PURE-TP mesh (round 4) the GSPMD-partitioned "xla" page-walk
+            # composes: Megatron weight shardings + replicated pool +
+            # replicated bank (~2% of weight bytes at r=8), psums inserted
+            # by GSPMD — same recipe as spec x TP. DP stays excluded: the
+            # pool's shard-local page ids rule out the XLA fallback, and
+            # the fused DP x TP paged kernels don't thread adapters.
+            if mesh is not None and self.dp > 1:
                 raise ValueError(
-                    "lora_bank paged serving is single-chip (the TP/DP "
-                    "paged ticks don't thread adapters)"
+                    "lora_bank paged serving supports single-chip or "
+                    "pure-TP meshes (the DP paged tick doesn't thread "
+                    "adapters)"
                 )
-            if paged_kernel in ("staged", "fused"):
+            if mesh is not None:
+                paged_kernel = "xla"
+                self.paged_kernel = "xla"
+            elif paged_kernel in ("staged", "fused"):
                 paged_kernel = "multi"
                 self.paged_kernel = "multi"
         if (mesh is not None and int(mesh.shape.get("model", 1)) > 1
-                and not spec_decode):
+                and not spec_decode and self.lora_bank is None):
             from ..kernels import decode_layer_paged_tp as _ptp
             from ..kernels import decode_layer_tp as _tp
 
@@ -424,7 +433,8 @@ class PagedServingEngine(ServingEngine):
 
         @jax.jit
         def _set_slot_state(state, slot, prompt_len, row, last_logits,
-                            ids1=None, max_new=None, adapter=None, gid=None):
+                            ids1=None, max_new=None, adapter=None, gid=None,
+                            gtable=None):
             # prompt rows are dense [0, prompt_len): write_pos == n_valid
             logits_row = jax.lax.dynamic_slice_in_dim(
                 last_logits, row, 1, axis=0
@@ -453,7 +463,12 @@ class PagedServingEngine(ServingEngine):
                 # the not-yet-emitted next token), and device budget —
                 # mirrors the dense engine's _insert (runtime/serving.py)
                 zero = jnp.zeros((), jnp.int32)
-                next_tok = jnp.argmax(logits_row, -1).astype(jnp.int32)
+                sel = logits_row
+                if gid is not None and gtable is not None:
+                    # the first pending token obeys the grammar's START
+                    # state (stored logits stay unmasked by convention)
+                    sel = jnp.where(gtable[gid, 0] >= 0, sel, -jnp.inf)
+                next_tok = jnp.argmax(sel, -1).astype(jnp.int32)
                 ids_row = jax.lax.dynamic_slice_in_dim(
                     ids1, row, 1, axis=0
                 )[0]
@@ -524,11 +539,12 @@ class PagedServingEngine(ServingEngine):
             jax.jit, donate_argnums=(1, 2),
             static_argnames=("ticks", "pages_bucket"),
         )
-        def _spec_window_paged(params, pool, state, page_table, ticks=1,
-                               pages_bucket=None):
+        def _spec_window_paged(params, pool, state, page_table, gtable=None,
+                               ticks=1, pages_bucket=None):
             """``ticks`` speculative verify cycles over the page pool in
             ONE dispatch — the paged analog of ServingEngine._spec_window
-            (same propose/accept bookkeeping; the verify forward is
+            (same propose/accept bookkeeping, including the grammar-DFA
+            constrained verify; the verify forward is
             paligemma.decode_verify_paged and no validity bitmap exists —
             rejected-draft K/V lives beyond each row's write_pos and a
             later cycle's per-query bound never reaches it before it is
@@ -555,6 +571,29 @@ class PagedServingEngine(ServingEngine):
                     write_pos=wp, position_ids=state["pos_ids"],
                     pages_bucket=pages_bucket,
                 )
+                dstates = None
+                if gtable is not None:
+                    # constrained verify (see ServingEngine._spec_window):
+                    # advance the DFA through the cycle's inputs and mask
+                    # each position's argmax with its post-prefix state —
+                    # disallowed drafts reject exactly, keeping token-
+                    # identity with non-spec constrained decoding
+                    s = state["dstate"]
+                    states = []
+                    for i in range(kd + 1):
+                        s = gtable[
+                            state["gid"], jnp.maximum(s, 0),
+                            tokens_in[:, i],
+                        ].astype(jnp.int32)
+                        states.append(s)
+                    dstates = jnp.stack(states, axis=1)  # (B, kd+1)
+                    allowed = (
+                        gtable[
+                            state["gid"][:, None],
+                            jnp.maximum(dstates, 0),
+                        ] >= 0
+                    )
+                    logits = jnp.where(allowed, logits, -jnp.inf)
                 g = jnp.argmax(logits, -1).astype(jnp.int32)  # (B, kd+1)
                 n_acc = jnp.sum(
                     jnp.cumprod((draft == g[:, :kd]).astype(jnp.int32), 1), 1
@@ -573,7 +612,7 @@ class PagedServingEngine(ServingEngine):
                 )
                 tgt_n = jnp.where(active, wp + n_keep, self.max_seq_len + 1)
                 hist = hist.at[rows, tgt_n].set(nxt, mode="drop")
-                state = {
+                new_state = {
                     "next_tok": nxt,
                     "write_pos": wp + n_keep,
                     "pos_ids": state["pos_ids"] + n_keep,
@@ -581,6 +620,15 @@ class PagedServingEngine(ServingEngine):
                     "hist": hist,
                     "left": left - n_keep,
                 }
+                if gtable is not None:
+                    s_kept = jnp.take_along_axis(
+                        dstates, jnp.maximum(n_keep - 1, 0)[:, None], axis=1
+                    )[:, 0]
+                    new_state["gid"] = state["gid"]
+                    new_state["dstate"] = jnp.where(
+                        n_keep > 0, s_kept, state["dstate"]
+                    )
+                state = new_state
                 out = jnp.where(j < n_keep[:, None], tokens_in, 0)
                 return (pool, state), (out, n_keep)
 
@@ -767,6 +815,8 @@ class PagedServingEngine(ServingEngine):
             extra["gid"] = jnp.asarray(
                 self._grammar_index[req.grammar], jnp.int32
             )
+            if self.spec_decode:
+                extra["gtable"] = self.grammar_table
         self.state = self._set_slot_state(
             self.state, jnp.asarray(slot, jnp.int32),
             jnp.asarray(prompt_len, jnp.int32), jnp.asarray(0, jnp.int32),
@@ -882,6 +932,8 @@ class PagedServingEngine(ServingEngine):
             extra["gid"] = jnp.asarray(
                 self._grammar_index[req.grammar], jnp.int32
             )
+            if self.spec_decode:
+                extra["gtable"] = self.grammar_table
         self.state = self._set_slot_state(
             self.state, jnp.asarray(slot, jnp.int32),
             jnp.asarray(len(req.input_ids), jnp.int32),
@@ -1038,7 +1090,8 @@ class PagedServingEngine(ServingEngine):
         )
         tokens, counts, self.cache, self.state = self._spec_window_paged(
             self.decode_params, self.cache, self.state,
-            self.paged.page_table, ticks=ticks, pages_bucket=pages_bucket,
+            self.paged.page_table, gtable=self.grammar_table,
+            ticks=ticks, pages_bucket=pages_bucket,
         )
         return tokens, counts
 
@@ -1104,7 +1157,8 @@ class PagedServingEngine(ServingEngine):
                 scratch = jax.tree.map(jnp.copy, self.paged.pool)
                 self._spec_window_paged(
                     self.decode_params, scratch, self._zero_state(),
-                    self.paged.page_table, ticks=ticks, pages_bucket=pb,
+                    self.paged.page_table, gtable=self.grammar_table,
+                    ticks=ticks, pages_bucket=pb,
                 )
             return
         need = self.paged.pages_for(max(buckets) + self.sync_every)
