@@ -139,3 +139,65 @@ def test_warmup_precompiles_lora_tick(params, adapters):
     eng.submit(r)
     eng.run_to_completion()
     assert len(r.tokens) == 5
+
+
+# ---------------------------------------------------------------------------
+# multi-LoRA under a mesh (round-4: VERDICT item 4)
+# ---------------------------------------------------------------------------
+def _run_paged(params, reqs, mesh=None, **kw):
+    from paligemma_tpu.runtime.serving_paged import PagedServingEngine
+
+    eng = PagedServingEngine(
+        params, CFG, max_slots=2, max_seq_len=64, page_size=16, n_pages=16,
+        use_flash=False, mesh=mesh, **kw,
+    )
+    if mesh is not None:
+        assert eng.paged_kernel == "xla"
+    for r in reqs:
+        eng.submit(r)
+    eng.run_to_completion()
+    return {r.request_id: list(r.tokens) for r in reqs}
+
+
+def _mixed_lora_reqs():
+    return [_req(0, 1, 6, 6, lora=None), _req(1, 2, 5, 6, lora="x"),
+            _req(2, 3, 7, 6, lora="y"), _req(3, 4, 4, 6, lora="x")]
+
+
+@pytest.mark.parametrize("tp", [2, 4])
+def test_multilora_under_tp_mesh_dense(params, adapters, tp):
+    """Dense engine, pure-TP mesh: per-row adapter gathers ride the GSPMD
+    XLA tick (Megatron weight shardings, bank replicated) — tokens match
+    the single-chip multi-LoRA engine through the real scheduler."""
+    from paligemma_tpu.core.mesh import make_mesh
+
+    want = _run(params, _mixed_lora_reqs(), lora_bank=adapters)
+    got = _run(params, _mixed_lora_reqs(), lora_bank=adapters,
+               mesh=make_mesh(1, tp))
+    for rid in want:
+        np.testing.assert_array_equal(got[rid], want[rid])
+
+
+@pytest.mark.parametrize("tp", [2, 4])
+def test_multilora_under_tp_mesh_paged(params, adapters, tp):
+    """Paged engine, pure-TP mesh: the GSPMD-partitioned page-walk tick
+    threads the per-row bank — single-chip restriction lifted (round 4)."""
+    from paligemma_tpu.core.mesh import make_mesh
+
+    want = _run_paged(params, _mixed_lora_reqs(), lora_bank=adapters)
+    got = _run_paged(params, _mixed_lora_reqs(), lora_bank=adapters,
+                     mesh=make_mesh(1, tp))
+    for rid in want:
+        np.testing.assert_array_equal(got[rid], want[rid])
+
+
+def test_multilora_paged_dp_rejected(params, adapters):
+    """DP paged multi-LoRA stays excluded with a clear error (shard-local
+    page ids rule out the XLA fallback)."""
+    from paligemma_tpu.core.mesh import make_mesh
+    from paligemma_tpu.runtime.serving_paged import PagedServingEngine
+
+    with pytest.raises(ValueError, match="pure-TP"):
+        PagedServingEngine(params, CFG, max_slots=2, max_seq_len=64,
+                           page_size=16, n_pages=16, use_flash=False,
+                           mesh=make_mesh(2, 1), lora_bank=adapters)
