@@ -78,9 +78,10 @@ def _build_parser():
     p.add_argument("--sync_every", type=int, default=8,
                    help="decode ticks per host synchronization")
     p.add_argument("--prefix_cache", action="store_true",
-                   help="paged engine: exact-match prefix KV reuse — a "
-                        "byte-identical (image, prompt) pair seats with no "
-                        "prefill (prefix-LM allows exact matches only)")
+                   help="exact-match prefix KV reuse — a byte-identical "
+                        "(image, prompt) pair seats with no prefill "
+                        "(prefix-LM allows exact matches only; paged: "
+                        "zero-copy page borrowing, dense: KV row copies)")
     p.add_argument("--spec_decode", action="store_true",
                    help="n-gram speculative decoding inside the batched "
                         "tick (greedy-only — requests with do_sample are "
@@ -164,9 +165,6 @@ def build_server(args):
         image_size=config.vision_config.image_size,
     )
 
-    require(args.engine == "paged" or not args.prefix_cache,
-            "--prefix_cache needs --engine paged (the page pool is what "
-            "makes zero-copy prefix sharing possible)")
     require(args.engine == "dense" or args.data_parallel * args.model_parallel <= 1
             or not args.lora,
             "--engine paged --lora is single-chip (the TP/DP paged ticks "
@@ -246,6 +244,7 @@ def build_server(args):
             params, config, max_slots=args.max_slots,
             max_seq_len=args.max_seq_len, decode_params=decode_params,
             sync_every=args.sync_every, mesh=mesh,
+            prefix_cache=args.prefix_cache,
             spec_decode=args.spec_decode, spec_draft_k=args.spec_draft_k,
             lora_bank=lora_bank, grammars=grammars,
         )

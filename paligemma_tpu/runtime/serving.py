@@ -121,6 +121,8 @@ class ServingEngine:
         spec_match_n: int = 2,
         lora_bank: Optional[Dict[str, Any]] = None,
         grammars: Optional[Dict[str, Any]] = None,
+        prefix_cache: bool = False,
+        prefix_cache_entries: int = 8,
     ):
         """``decode_params``: optional int8-quantized weights used for the
         lockstep decode while ``params`` (bf16) serves the prefills.
@@ -419,6 +421,85 @@ class ServingEngine:
                 }
             return cache, state
 
+        # -- dense prefix cache (exact-match; see prefix_cache docstring) --
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def _seat_cached_kv(cache, ek, ev, slot):
+            # dense rows are contiguous: ONE dynamic_update_slice per slab
+            # copies the whole cached (L, 1, S, nkv, d) row into the slot
+            zero = jnp.zeros((), jnp.int32)
+            idx = (zero, slot, zero, zero, zero)
+            return {
+                "k": jax.lax.dynamic_update_slice(
+                    cache["k"], ek.astype(cache["k"].dtype), idx
+                ),
+                "v": jax.lax.dynamic_update_slice(
+                    cache["v"], ev.astype(cache["v"].dtype), idx
+                ),
+            }
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def _seat_cached_state(state, slot, prompt_len, logits_row,
+                               ids1=None, max_new=None, adapter=None,
+                               gid=None, gtable=None):
+            # mirror of _insert_batch's per-row state writes, driven from a
+            # stored last-logits row instead of a fresh prefill
+            valid_row = (
+                jnp.arange(self.max_seq_len, dtype=jnp.int32) < prompt_len
+            )
+            if gtable is not None and gid is not None:
+                allowed0 = gtable[gid, 0] >= 0
+                next_tok = jnp.argmax(
+                    jnp.where(allowed0, logits_row, -jnp.inf), -1
+                ).astype(jnp.int32)
+            else:
+                next_tok = jnp.argmax(logits_row, -1).astype(jnp.int32)
+            state = {
+                **state,
+                "valid": state["valid"].at[slot].set(valid_row),
+                "write_pos": state["write_pos"].at[slot].set(prompt_len),
+                "pos_ids": state["pos_ids"].at[slot].set(prompt_len + 1),
+                "logits": state["logits"].at[slot].set(logits_row),
+                "next_tok": state["next_tok"].at[slot].set(next_tok),
+            }
+            if adapter is not None:
+                state = {
+                    **state,
+                    "adapter": state["adapter"].at[slot].set(adapter),
+                }
+            if gid is not None:
+                state = {
+                    **state,
+                    "gid": state["gid"].at[slot].set(gid),
+                    "dstate": state["dstate"].at[slot].set(0),
+                }
+            if spec_decode:
+                # a hit skips the prefill that normally seeds the proposer —
+                # seed the history from the request's own ids (compiles once
+                # per distinct prompt length, like prefill)
+                zero = jnp.zeros((), jnp.int32)
+                hist_row = jnp.zeros((self.max_seq_len,), jnp.int32)
+                hist_row = jax.lax.dynamic_update_slice(
+                    hist_row, ids1[0].astype(jnp.int32), (zero,)
+                )
+                hist_row = hist_row.at[prompt_len].set(next_tok)
+                state = {
+                    **state,
+                    "hist": state["hist"].at[slot].set(hist_row),
+                    "left": state["left"].at[slot].set(max_new),
+                }
+            return state
+
+        @jax.jit
+        def _extract_entry(cache1k, cache1v, last_logits, row):
+            ek = jax.lax.dynamic_slice_in_dim(cache1k, row, 1, axis=1)
+            ev = jax.lax.dynamic_slice_in_dim(cache1v, row, 1, axis=1)
+            lg = jax.lax.dynamic_slice_in_dim(last_logits, row, 1, axis=0)[0]
+            return ek, ev, lg
+
+        self._seat_cached_kv = _seat_cached_kv
+        self._seat_cached_state = _seat_cached_state
+        self._extract_entry = _extract_entry
+
         def _tick(params, tp_packed, cache, state, active, key, temps,
                   top_ps, do_samples, with_sampling=False,
                   kv_bucket=None, lora=None, gtable=None):
@@ -689,6 +770,23 @@ class ServingEngine:
         self._insert_batch = _insert_batch
         self._decode_window = _decode_window
         self._spec_window = _spec_window
+
+        # Dense exact-match prefix cache (round 4): same key semantics as
+        # the paged engine's (byte-identical ids + pixels [+ adapter];
+        # PaliGemma's bidirectional prefix rules out partial reuse), but
+        # entries are standalone KV COPIES — one full (L, 1, S, nkv, d)
+        # row pair per entry (the dense cache has no page sharing), seated
+        # by a single dynamic_update_slice per slab. A hit skips the
+        # prefill entirely; same-wave duplicates coalesce via _wave_key.
+        # LRU at capacity; entries cost one slot-row of KV HBM each.
+        if not hasattr(self, "prefix_cache"):  # paged subclass set its own
+            self.prefix_cache = prefix_cache
+            self.prefix_cache_entries = prefix_cache_entries
+        if not hasattr(self, "cache_hits"):
+            self.cache_hits = 0  # observability: prefills skipped
+        from collections import OrderedDict as _OD
+
+        self._dense_pcache: "Dict[bytes, Dict[str, Any]]" = _OD()
 
         self.cache = self._init_cache()
         self.state = self._zero_state()
@@ -998,6 +1096,22 @@ class ServingEngine:
                 jnp.int32,
             )
             extra["gtable"] = self.grammar_table
+        if self.prefix_cache:
+            # register BEFORE _insert_batch donates the pool buffers
+            # (cache1/last_logits stay live — the extract copies rows out)
+            for r, (slot, req) in enumerate(seated):
+                key = self._pcache_key(req)
+                if key is None or key in self._dense_pcache:
+                    continue
+                ek, ev, lg = self._extract_entry(
+                    cache1["k"], cache1["v"], last_logits,
+                    jnp.asarray(r, jnp.int32),
+                )
+                self._dense_pcache[key] = dict(
+                    k=ek, v=ev, logits=lg, prompt_len=len(req.input_ids)
+                )
+                while len(self._dense_pcache) > self.prefix_cache_entries:
+                    self._dense_pcache.popitem(last=False)  # LRU
         self.cache, self.state = self._insert_batch(
             jnp.asarray([slot for slot, _ in seated], jnp.int32),
             jnp.asarray([len(req.input_ids) for _, req in seated], jnp.int32),
@@ -1007,11 +1121,62 @@ class ServingEngine:
     def _release_slot(self, slot: int) -> None:
         """Called when a request retires (backend hook — paged frees pages)."""
 
+    def _pcache_key(self, req: Request) -> Optional[bytes]:
+        """Exact-match prefix-cache key, or None when uncacheable. Shared
+        with the paged engine: byte-identical (ids, pixels) — PaliGemma's
+        bidirectional prefix (ref: modeling_paligemma.py:149-169) rules
+        out partial reuse — plus the adapter name (prefix KV is computed
+        THROUGH the adapter's prefill deltas)."""
+        if not self.prefix_cache or req.prefix_len is not None:
+            # recompute requests (prompt + regenerated tokens) are not
+            # cacheable: their suffix was produced causally
+            return None
+        import hashlib
+
+        h = hashlib.sha1()
+        h.update(np.asarray(req.input_ids, np.int32).tobytes())
+        h.update(np.ascontiguousarray(
+            np.asarray(req.pixel_values, np.float32)).tobytes())
+        if req.lora is not None:
+            h.update(req.lora.encode())
+        return h.digest()
+
     def _insert_cached(self, slot: int, req: Request) -> bool:
-        """Fast-insert hook: seat ``req`` in ``slot`` WITHOUT a prefill
-        (e.g. a prefix-cache hit in the paged engine). Returns False (the
-        default) to route the request through the normal grouped prefill."""
-        return False
+        """Fast-insert hook: seat ``req`` in ``slot`` WITHOUT a prefill.
+        Dense implementation: copy the entry's KV row into the slot and
+        rebuild the slot's scheduler state from the stored logits. The
+        paged engine overrides with zero-copy page borrowing."""
+        key = self._pcache_key(req)
+        entry = self._dense_pcache.get(key) if key is not None else None
+        if entry is None:
+            return False
+        assert entry["prompt_len"] == len(req.input_ids)  # sha1(ids)
+        self.cache = self._seat_cached_kv(
+            self.cache, entry["k"], entry["v"], jnp.asarray(slot, jnp.int32)
+        )
+        extra = {}
+        if self.spec_decode:
+            extra = dict(
+                ids1=jnp.asarray(np.asarray(req.input_ids, np.int32)[None]),
+                max_new=jnp.asarray(req.max_new_tokens, jnp.int32),
+            )
+        if self.lora_bank is not None:
+            extra["adapter"] = jnp.asarray(
+                self._lora_index[req.lora], jnp.int32
+            )
+        if self.grammar_table is not None:
+            extra["gid"] = jnp.asarray(
+                self._grammar_index[req.grammar], jnp.int32
+            )
+            extra["gtable"] = self.grammar_table
+        self.state = self._seat_cached_state(
+            self.state, jnp.asarray(slot, jnp.int32),
+            jnp.asarray(entry["prompt_len"], jnp.int32), entry["logits"],
+            **extra,
+        )
+        self._dense_pcache.move_to_end(key)
+        self.cache_hits += 1
+        return True
 
     def _wave_key(self, req: Request):
         """Same-wave dedup key (backend hook). When two requests admitted in
@@ -1020,7 +1185,7 @@ class ServingEngine:
         then the follower seats from that entry via ``_insert_cached`` —
         N identical popular-query requests submitted together cost ONE
         prefill row instead of N. ``None`` (the default) never coalesces."""
-        return None
+        return self._pcache_key(req) if self.prefix_cache else None
 
     def _fill_slots(self) -> None:
         free = [i for i in range(self.max_slots) if self.slots[i] is None]

@@ -29,7 +29,6 @@ modeling_gemma.py:8-64) — paging has no analog there at all.
 from __future__ import annotations
 
 import functools
-import hashlib
 from collections import OrderedDict
 from typing import Any, Dict, List, Optional
 
@@ -755,21 +754,9 @@ class PagedServingEngine(ServingEngine):
         return slot
 
     # -- prefix cache (exact-match; see __init__ docstring) ---------------
-    def _pcache_key(self, req: Request) -> Optional[bytes]:
-        if not self.prefix_cache or req.prefix_len is not None:
-            # recompute requests (prompt + regenerated tokens) are not
-            # cacheable: their suffix was produced causally
-            return None
-        h = hashlib.sha1()
-        h.update(np.asarray(req.input_ids, np.int32).tobytes())
-        h.update(np.ascontiguousarray(
-            np.asarray(req.pixel_values, np.float32)).tobytes())
-        if req.lora is not None:
-            # the cached prefix KV was computed THROUGH the adapter's
-            # prefill deltas — identical prompts under different adapters
-            # must not share entries
-            h.update(req.lora.encode())
-        return h.digest()
+    # key semantics (_pcache_key) are inherited from ServingEngine — the
+    # engines share exact-match keys; only the entry storage differs
+    # (zero-copy page borrowing here vs dense row copies there)
 
     def _wave_key(self, req: Request):
         """Coalesce same-wave duplicates: N byte-identical requests admitted
