@@ -111,21 +111,28 @@ class PagedServingEngine(ServingEngine):
             # decode_verify_paged) — the multi-token forward writes K/V
             # across page boundaries, so the scheduler pre-reserves the
             # worst-case window advance + draft_k overshoot pages
-            # (_before_window via _dispatch_spec). Single data shard,
-            # no mesh (the verify path is the un-sharded XLA walk), no
-            # prefix cache (hit-seating skips the prefill that seeds the
-            # n-gram history's device state — composable later).
-            if mesh is not None and int(mesh.shape.get("data", 1)) > 1:
+            # (_before_window via _dispatch_spec).
+            if (mesh is not None and int(mesh.shape.get("data", 1)) > 1
+                    and int(mesh.shape.get("model", 1)) > 1):
                 raise ValueError(
-                    "spec_decode paged serving is single-chip or pure-TP "
-                    "(the verify window doesn't thread per-shard DP "
-                    "slot/page state)"
+                    "spec_decode paged serving supports single-chip, "
+                    "pure-TP, or pure-DP meshes (the DP verify cycle runs "
+                    "under shard_map with shard-local page ids, which "
+                    "rules out composing a model axis via GSPMD)"
                 )
             # pure TP composes exactly like the dense spec engine: the
             # verify forward is plain XLA, the decode weights carry
             # Megatron NamedShardings (super().__init__ device_put), the
             # pool replicates over "model" (_init_cache), and GSPMD
-            # inserts the psums/all-gathers per cycle
+            # inserts the psums/all-gathers per cycle.
+            # pure DP (round 4): the verify forward runs PER SHARD under
+            # shard_map — pool chunk, page table (shard-local ids), and
+            # slot rows shard over "data" exactly like the normal DP tick;
+            # the propose/accept bookkeeping is per-row elementwise and
+            # rides the "data"-sharded state arrays outside the shard_map.
+            # Scheduler state (per-shard allocators, pinned admission,
+            # shard-restricted preemption, assume-full-acceptance page
+            # growth) is already shard-aware from the plain DP path.
             # prefix_cache composes: hit seating seeds the n-gram
             # history/budget device state from the request's own ids
             # (_insert_cached), so a hit skips the prefill AND keeps
@@ -565,11 +572,40 @@ class PagedServingEngine(ServingEngine):
                 tokens_in = jnp.concatenate(
                     [state["next_tok"][:, None], draft], axis=1
                 )  # (B, kd+1)
-                logits, pool = paligemma.decode_verify_paged(
-                    params, cfg, tokens_in, pool, page_table,
-                    write_pos=wp, position_ids=state["pos_ids"],
-                    pages_bucket=pages_bucket,
-                )
+                if self.dp > 1:
+                    # pure DP: each data shard verifies its own slot rows
+                    # against its pool chunk (page ids are shard-LOCAL, so
+                    # the forward must run under shard_map — same recipe
+                    # as _tick_paged's dp_fn)
+                    from jax.sharding import PartitionSpec as P
+
+                    def dp_verify(p_, toks, pk, pv, pt_, wp_l, pos):
+                        lg, pool2 = paligemma.decode_verify_paged(
+                            p_, cfg, toks, {"k": pk, "v": pv}, pt_,
+                            write_pos=wp_l, position_ids=pos,
+                            pages_bucket=pages_bucket,
+                        )
+                        return lg, pool2["k"], pool2["v"]
+
+                    pool_sp = P(None, "data", None, None, None)
+                    lg, pk, pv = jax.shard_map(
+                        dp_verify, mesh=self.mesh,
+                        in_specs=(
+                            jax.tree.map(lambda _: P(), params),
+                            P("data", None), pool_sp, pool_sp,
+                            P("data", None), P("data"), P("data"),
+                        ),
+                        out_specs=(P("data", None, None), pool_sp, pool_sp),
+                        check_vma=False,
+                    )(params, tokens_in, pool["k"], pool["v"], page_table,
+                      wp, state["pos_ids"])
+                    logits, pool = lg, {"k": pk, "v": pv}
+                else:
+                    logits, pool = paligemma.decode_verify_paged(
+                        params, cfg, tokens_in, pool, page_table,
+                        write_pos=wp, position_ids=state["pos_ids"],
+                        pages_bucket=pages_bucket,
+                    )
                 dstates = None
                 if gtable is not None:
                     # constrained verify (see ServingEngine._spec_window):

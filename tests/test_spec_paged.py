@@ -40,9 +40,9 @@ def _req(rid, seed, n_txt, max_new, repeat_prompt=False):
     )
 
 
-def _run(params, reqs, n_pages=16, **kw):
+def _run(params, reqs, n_pages=16, max_slots=2, **kw):
     eng = PagedServingEngine(
-        params, CFG, max_slots=2, max_seq_len=64, page_size=16,
+        params, CFG, max_slots=max_slots, max_seq_len=64, page_size=16,
         n_pages=n_pages, use_flash=False, **kw,
     )
     for r in reqs:
@@ -132,16 +132,53 @@ def test_spec_paged_under_tp_mesh_matches_single_chip(params):
             )
 
 
-def test_spec_paged_rejects_dp_mesh(params):
-    # pure-DP/TP verify variants don't exist for the paged spec engine;
-    # prefix_cache now COMPOSES (tests/test_paged_extras.py)
+def test_spec_paged_under_dp_mesh_matches_single_chip(params):
+    """Pure-DP paged speculation (round 4): each data shard runs the
+    verify cycle on its own slots/pool chunk under shard_map (shard-local
+    page ids); propose/accept bookkeeping rides the sharded state arrays.
+    Tokens bit-identical to the single-chip spec engine."""
     from paligemma_tpu.core import mesh as mesh_lib
 
-    with pytest.raises(ValueError, match="pure-TP"):
+    mk = lambda: [
+        _req(0, 5, 9, 9, repeat_prompt=True), _req(1, 6, 5, 7),
+        _req(2, 7, 6, 8), _req(3, 8, 4, 5),
+    ]
+    want, _ = _run(params, mk(), n_pages=32, max_slots=4,
+                   spec_decode=True, spec_draft_k=4)
+    mesh = mesh_lib.make_mesh(data=2, model=1)
+    got, _ = _run(params, mk(), n_pages=32, max_slots=4,
+                  spec_decode=True, spec_draft_k=4, mesh=mesh)
+    for rid in want:
+        np.testing.assert_array_equal(
+            got[rid], want[rid], err_msg=f"rid={rid}"
+        )
+
+
+def test_spec_paged_dp_preemption_recompute(params):
+    """A per-shard pool too small for both of a shard's rows forces a
+    shard-local preemption mid-speculation; recompute reproduces exact
+    tokens."""
+    from paligemma_tpu.core import mesh as mesh_lib
+
+    mk = lambda: [_req(i, i + 1, 4, 10) for i in range(4)]
+    want, _ = _run(params, mk(), n_pages=64, max_slots=4)
+    mesh = mesh_lib.make_mesh(data=2, model=1)
+    got, eng = _run(params, mk(), n_pages=14, max_slots=4,
+                    spec_decode=True, spec_draft_k=3, mesh=mesh)
+    for rid in want:
+        np.testing.assert_array_equal(got[rid], want[rid])
+
+
+def test_spec_paged_rejects_dp_tp_mesh(params):
+    # the DP verify cycle runs under shard_map with shard-local page ids,
+    # which rules out composing a model axis via GSPMD
+    from paligemma_tpu.core import mesh as mesh_lib
+
+    with pytest.raises(ValueError, match="pure-DP"):
         PagedServingEngine(
-            params, CFG, max_slots=2, max_seq_len=64, page_size=16,
+            params, CFG, max_slots=4, max_seq_len=64, page_size=16,
             n_pages=16, use_flash=False, spec_decode=True,
-            mesh=mesh_lib.make_mesh(data=2, model=1),
+            mesh=mesh_lib.make_mesh(data=2, model=2),
         )
 
 
