@@ -21,6 +21,7 @@ from __future__ import annotations
 import gc
 import json
 import os
+import sys
 import time
 
 import jax
@@ -117,8 +118,12 @@ def main():
     failures = {}
 
     def attempt(name, fn):
+        t0 = time.perf_counter()
         try:
-            return fn()
+            out = fn()
+            print(f"[bench] {name}: {time.perf_counter() - t0:.1f}s",
+                  file=sys.stderr, flush=True)
+            return out
         except Exception as e:  # noqa: BLE001 — recorded, bench continues
             msg = str(e).splitlines()[0][:200] if str(e) else repr(e)[:200]
             failures[name] = f"{type(e).__name__}: {msg}"

@@ -165,10 +165,11 @@ def build_server(args):
         image_size=config.vision_config.image_size,
     )
 
-    require(args.engine == "dense" or args.data_parallel * args.model_parallel <= 1
-            or not args.lora,
-            "--engine paged --lora is single-chip (the TP/DP paged ticks "
-            "don't thread adapters)")
+    require(args.engine == "dense" or args.data_parallel == 1
+            or args.model_parallel == 1 or not args.lora,
+            "--engine paged --lora supports single-chip, pure-TP, or "
+            "pure-DP meshes (the fused DP x TP paged kernels don't "
+            "thread adapters)")
     lora_bank = None
     if args.lora:
         from ..checkpoints.local import restore_pytree

@@ -187,16 +187,21 @@ class PagedServingEngine(ServingEngine):
             # PURE-TP mesh (round 4) the GSPMD-partitioned "xla" page-walk
             # composes: Megatron weight shardings + replicated pool +
             # replicated bank (~2% of weight bytes at r=8), psums inserted
-            # by GSPMD — same recipe as spec x TP. DP stays excluded: the
-            # pool's shard-local page ids rule out the XLA fallback, and
-            # the fused DP x TP paged kernels don't thread adapters.
-            if mesh is not None and self.dp > 1:
+            # by GSPMD — same recipe as spec x TP. Under a PURE-DP mesh
+            # (round 4) each data shard's tick already runs the single-chip
+            # path under shard_map — the bank replicates into the shard_map
+            # and the per-row adapter ids ride the "data"-sharded state, so
+            # the page-walk variants compose per shard. DP x TP stays
+            # excluded: the fused DP x TP paged kernels don't thread
+            # adapters.
+            if (mesh is not None and self.dp > 1
+                    and int(mesh.shape.get("model", 1)) > 1):
                 raise ValueError(
-                    "lora_bank paged serving supports single-chip or "
-                    "pure-TP meshes (the DP paged tick doesn't thread "
-                    "adapters)"
+                    "lora_bank paged serving supports single-chip, "
+                    "pure-TP, or pure-DP meshes (the fused DP x TP paged "
+                    "kernels don't thread adapters)"
                 )
-            if mesh is not None:
+            if mesh is not None and self.dp == 1:
                 paged_kernel = "xla"
                 self.paged_kernel = "xla"
             elif paged_kernel in ("staged", "fused"):
@@ -397,26 +402,31 @@ class PagedServingEngine(ServingEngine):
                 # (weights replicated; page-table ids are shard-local)
                 from jax.sharding import PartitionSpec as P
 
-                def dp_fn(p_, tok, pk, pv, pt_, wp, pos):
+                def dp_fn(p_, tok, pk, pv, pt_, wp, pos, lora_l, ad_l):
                     lg, pool2 = paligemma.decode_step_paged(
                         p_, cfg, tok, {"k": pk, "v": pv}, pt_,
                         write_pos=wp, position_ids=pos,
                         pages_bucket=pages_bucket, paged_kernel=k,
+                        lora=lora_l, adapter_ids=ad_l,
                     )
                     return lg, pool2["k"], pool2["v"]
 
                 pool_sp = P(None, "data", None, None, None)
+                # multi-LoRA under pure DP: the bank replicates into every
+                # shard's tick; per-row adapter ids shard with the slots
+                ad = state["adapter"] if lora is not None else None
                 lg, pk, pv = jax.shard_map(
                     dp_fn, mesh=self.mesh,
                     in_specs=(
                         jax.tree.map(lambda _: P(), params), P("data"),
                         pool_sp, pool_sp, P("data", None), P("data"),
-                        P("data"),
+                        P("data"), jax.tree.map(lambda _: P(), lora),
+                        None if ad is None else P("data"),
                     ),
                     out_specs=(P("data", None), pool_sp, pool_sp),
                     check_vma=False,
                 )(params, token, pool["k"], pool["v"], page_table,
-                  write_pos, state["pos_ids"])
+                  write_pos, state["pos_ids"], lora, ad)
                 new_logits, pool = lg, {"k": pk, "v": pv}
             else:
                 new_logits, pool = paligemma.decode_step_paged(

@@ -191,13 +191,37 @@ def test_multilora_under_tp_mesh_paged(params, adapters, tp):
         np.testing.assert_array_equal(got[rid], want[rid])
 
 
-def test_multilora_paged_dp_rejected(params, adapters):
-    """DP paged multi-LoRA stays excluded with a clear error (shard-local
-    page ids rule out the XLA fallback)."""
+def test_multilora_under_dp_mesh_paged(params, adapters):
+    """Paged engine, pure-DP mesh (round 4): the bank replicates into each
+    data shard's shard_map tick and per-row adapter ids shard with the
+    slots — tokens match the single-chip multi-LoRA engine."""
     from paligemma_tpu.core.mesh import make_mesh
     from paligemma_tpu.runtime.serving_paged import PagedServingEngine
 
-    with pytest.raises(ValueError, match="pure-TP"):
-        PagedServingEngine(params, CFG, max_slots=2, max_seq_len=64,
+    def run(mesh=None):
+        eng = PagedServingEngine(
+            params, CFG, max_slots=4, max_seq_len=64, page_size=16,
+            n_pages=32, use_flash=False, mesh=mesh, lora_bank=adapters,
+        )
+        reqs = _mixed_lora_reqs()
+        for r in reqs:
+            eng.submit(r)
+        eng.run_to_completion()
+        return {r.request_id: list(r.tokens) for r in reqs}
+
+    want = run()
+    got = run(mesh=make_mesh(2, 1))
+    for rid in want:
+        np.testing.assert_array_equal(got[rid], want[rid])
+
+
+def test_multilora_paged_dp_tp_rejected(params, adapters):
+    """DP x TP paged multi-LoRA stays excluded with a clear error (the
+    fused DP x TP paged kernels don't thread adapters)."""
+    from paligemma_tpu.core.mesh import make_mesh
+    from paligemma_tpu.runtime.serving_paged import PagedServingEngine
+
+    with pytest.raises(ValueError, match="pure-DP"):
+        PagedServingEngine(params, CFG, max_slots=4, max_seq_len=64,
                            page_size=16, n_pages=16, use_flash=False,
-                           mesh=make_mesh(2, 1), lora_bank=adapters)
+                           mesh=make_mesh(2, 2), lora_bank=adapters)
