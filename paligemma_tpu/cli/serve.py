@@ -33,8 +33,9 @@ Engine selection: ``--engine dense`` (default) is the slot-pool engine —
 supports tensor/data-parallel meshes (``--model_parallel``);
 ``--engine paged`` is the paged-KV engine (more live requests from the
 same HBM) — also mesh-capable (TP, and a data axis for slot/pool
-sharding). Grammar constraints, LoRA banks (single-chip), speculative
-decoding, and the prefix cache all compose with the paged engine.
+sharding). Grammar constraints, LoRA banks, speculative decoding, and
+the prefix cache all compose with the paged engine — under any mesh
+(single-chip, pure-TP, pure-DP, or DP x TP).
 """
 
 from __future__ import annotations
@@ -165,11 +166,6 @@ def build_server(args):
         image_size=config.vision_config.image_size,
     )
 
-    require(args.engine == "dense" or args.data_parallel == 1
-            or args.model_parallel == 1 or not args.lora,
-            "--engine paged --lora supports single-chip, pure-TP, or "
-            "pure-DP meshes (the fused DP x TP paged kernels don't "
-            "thread adapters)")
     lora_bank = None
     if args.lora:
         from ..checkpoints.local import restore_pytree

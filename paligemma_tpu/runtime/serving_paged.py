@@ -112,14 +112,6 @@ class PagedServingEngine(ServingEngine):
             # across page boundaries, so the scheduler pre-reserves the
             # worst-case window advance + draft_k overshoot pages
             # (_before_window via _dispatch_spec).
-            if (mesh is not None and int(mesh.shape.get("data", 1)) > 1
-                    and int(mesh.shape.get("model", 1)) > 1):
-                raise ValueError(
-                    "spec_decode paged serving supports single-chip, "
-                    "pure-TP, or pure-DP meshes (the DP verify cycle runs "
-                    "under shard_map with shard-local page ids, which "
-                    "rules out composing a model axis via GSPMD)"
-                )
             # pure TP composes exactly like the dense spec engine: the
             # verify forward is plain XLA, the decode weights carry
             # Megatron NamedShardings (super().__init__ device_put), the
@@ -133,6 +125,13 @@ class PagedServingEngine(ServingEngine):
             # Scheduler state (per-shard allocators, pinned admission,
             # shard-restricted preemption, assume-full-acceptance page
             # growth) is already shard-aware from the plain DP path.
+            # DP x TP (round 4, second pass): the verify shard_map is
+            # manual over "data" ONLY (jax.shard_map axis_names) — the
+            # model axis stays under GSPMD inside the body, so the
+            # Megatron weight shardings partition each data shard's
+            # verify forward exactly like the pure-TP case while the
+            # pool/page-table stay shard-local. Closes the last hole in
+            # the TP/DP x dense/paged x spec matrix.
             # prefix_cache composes: hit seating seeds the n-gram
             # history/budget device state from the request's own ids
             # (_insert_cached), so a hit skips the prefill AND keeps
@@ -177,6 +176,14 @@ class PagedServingEngine(ServingEngine):
             spec_match_n=spec_match_n, pipeline=pipeline,
             lora_bank=lora_bank, grammars=grammars,
         )
+        # DP x TP: the DP tick/verify shard_maps go manual over "data"
+        # only, leaving "model" to GSPMD (jax.shard_map axis_names)
+        self._dp_axis_names = (
+            {"axis_names": {"data"}}
+            if mesh is not None and self.dp > 1
+            and int(mesh.shape.get("model", 1)) > 1
+            else {}
+        )
         self._ptp_packed = self._ptp_specs = None
         if self.lora_bank is not None:
             # Multi-LoRA paged serving: the rank-r deltas ride the XLA
@@ -191,17 +198,18 @@ class PagedServingEngine(ServingEngine):
             # (round 4) each data shard's tick already runs the single-chip
             # path under shard_map — the bank replicates into the shard_map
             # and the per-row adapter ids ride the "data"-sharded state, so
-            # the page-walk variants compose per shard. DP x TP stays
-            # excluded: the fused DP x TP paged kernels don't thread
-            # adapters.
-            if (mesh is not None and self.dp > 1
-                    and int(mesh.shape.get("model", 1)) > 1):
-                raise ValueError(
-                    "lora_bank paged serving supports single-chip, "
-                    "pure-TP, or pure-DP meshes (the fused DP x TP paged "
-                    "kernels don't thread adapters)"
-                )
+            # the page-walk variants compose per shard. DP x TP (round 4,
+            # second pass): the DP tick's shard_map goes manual over
+            # "data" only (axis_names), the model axis stays under GSPMD
+            # inside each shard's XLA page-walk tick — Megatron weight
+            # shardings + the replicated bank partition it like pure TP.
             if mesh is not None and self.dp == 1:
+                paged_kernel = "xla"
+                self.paged_kernel = "xla"
+            elif (mesh is not None and self.dp > 1
+                    and int(mesh.shape.get("model", 1)) > 1):
+                # Pallas page-walk kernels can't run on GSPMD-managed
+                # model-sharded activations; the XLA gather tick can
                 paged_kernel = "xla"
                 self.paged_kernel = "xla"
             elif paged_kernel in ("staged", "fused"):
@@ -222,17 +230,14 @@ class PagedServingEngine(ServingEngine):
                     self.decode_params["lm"], tc0, mesh
                 )
                 self.paged_kernel = "fused_tp"
-            elif self.dp > 1:
-                # the GSPMD XLA fallback gathers pool pages by GLOBAL id;
-                # the DP pool holds shard-LOCAL ids — no correct fallback
-                raise ValueError(
-                    "DP x TP paged serving requires the fused TP paged "
-                    "geometry (MQA, head_dim % 128 == 0, int8 qkv repack, "
-                    f"slots/data <= 32; got slots={max_slots} over "
-                    f"mesh {dict(mesh.shape)})"
-                )
             else:
-                self.paged_kernel = "xla"  # GSPMD-partitioned pure XLA
+                # off the fused-TP geometry: GSPMD-partitioned pure XLA.
+                # Under DP x TP the tick's shard_map is manual over "data"
+                # only (axis_names), so page ids stay shard-local while
+                # GSPMD partitions the model axis inside each shard —
+                # the plain GSPMD fallback would gather pool pages by
+                # GLOBAL id, which the shard-local DP pool rules out.
+                self.paged_kernel = "xla"
         elif self.paged_kernel in ("staged", "fused"):
             # "fused": grid-over-layers kernel with IN-KERNEL page-table
             # window reads (models/gemma.forward_paged_decode_fused) — one
@@ -397,9 +402,13 @@ class PagedServingEngine(ServingEngine):
                     params["lm"], hidden[:, None, :]
                 )[:, 0].astype(jnp.float32)
             elif self.dp > 1:
-                # pure DP (model == 1): every data shard runs the full
+                # DP (model == 1): every data shard runs the full
                 # single-chip paged tick on its own slots and pool chunk
-                # (weights replicated; page-table ids are shard-local)
+                # (weights replicated; page-table ids are shard-local).
+                # DP x TP (model > 1): the shard_map goes manual over
+                # "data" ONLY (axis_names) — inside each shard GSPMD still
+                # sees the Megatron weight shardings and partitions the
+                # XLA page-walk tick over "model" like the pure-TP case.
                 from jax.sharding import PartitionSpec as P
 
                 def dp_fn(p_, tok, pk, pv, pt_, wp, pos, lora_l, ad_l):
@@ -424,7 +433,7 @@ class PagedServingEngine(ServingEngine):
                         None if ad is None else P("data"),
                     ),
                     out_specs=(P("data", None), pool_sp, pool_sp),
-                    check_vma=False,
+                    check_vma=False, **self._dp_axis_names,
                 )(params, token, pool["k"], pool["v"], page_table,
                   write_pos, state["pos_ids"], lora, ad)
                 new_logits, pool = lg, {"k": pk, "v": pv}
@@ -583,10 +592,13 @@ class PagedServingEngine(ServingEngine):
                     [state["next_tok"][:, None], draft], axis=1
                 )  # (B, kd+1)
                 if self.dp > 1:
-                    # pure DP: each data shard verifies its own slot rows
+                    # DP: each data shard verifies its own slot rows
                     # against its pool chunk (page ids are shard-LOCAL, so
                     # the forward must run under shard_map — same recipe
-                    # as _tick_paged's dp_fn)
+                    # as _tick_paged's dp_fn). With a model axis the
+                    # shard_map is manual over "data" only (axis_names):
+                    # GSPMD partitions each shard's verify forward over
+                    # "model" via the Megatron weight shardings.
                     from jax.sharding import PartitionSpec as P
 
                     def dp_verify(p_, toks, pk, pv, pt_, wp_l, pos):
@@ -606,7 +618,7 @@ class PagedServingEngine(ServingEngine):
                             P("data", None), P("data"), P("data"),
                         ),
                         out_specs=(P("data", None, None), pool_sp, pool_sp),
-                        check_vma=False,
+                        check_vma=False, **self._dp_axis_names,
                     )(params, tokens_in, pool["k"], pool["v"], page_table,
                       wp, state["pos_ids"])
                     logits, pool = lg, {"k": pk, "v": pv}

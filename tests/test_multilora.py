@@ -215,13 +215,29 @@ def test_multilora_under_dp_mesh_paged(params, adapters):
         np.testing.assert_array_equal(got[rid], want[rid])
 
 
-def test_multilora_paged_dp_tp_rejected(params, adapters):
-    """DP x TP paged multi-LoRA stays excluded with a clear error (the
-    fused DP x TP paged kernels don't thread adapters)."""
+def test_multilora_under_dp_tp_mesh_paged(params, adapters):
+    """Paged engine, DP2 x TP2 mesh (round 4): the DP tick's shard_map is
+    manual over "data" only (axis_names), so inside each shard GSPMD
+    partitions the XLA page-walk tick over "model" via the Megatron weight
+    shardings while the replicated bank threads per-row adapters — tokens
+    match the single-chip multi-LoRA engine."""
     from paligemma_tpu.core.mesh import make_mesh
     from paligemma_tpu.runtime.serving_paged import PagedServingEngine
 
-    with pytest.raises(ValueError, match="pure-DP"):
-        PagedServingEngine(params, CFG, max_slots=4, max_seq_len=64,
-                           page_size=16, n_pages=16, use_flash=False,
-                           mesh=make_mesh(2, 2), lora_bank=adapters)
+    def run(mesh=None):
+        eng = PagedServingEngine(
+            params, CFG, max_slots=4, max_seq_len=64, page_size=16,
+            n_pages=32, use_flash=False, mesh=mesh, lora_bank=adapters,
+        )
+        if mesh is not None:
+            assert eng.paged_kernel == "xla"
+        reqs = _mixed_lora_reqs()
+        for r in reqs:
+            eng.submit(r)
+        eng.run_to_completion()
+        return {r.request_id: list(r.tokens) for r in reqs}
+
+    want = run()
+    got = run(mesh=make_mesh(2, 2))
+    for rid in want:
+        np.testing.assert_array_equal(got[rid], want[rid])

@@ -226,14 +226,26 @@ def test_dp_tp_paged_matches_single_chip():
     assert got == want
 
 
-def test_dp_tp_unsupported_geometry_raises():
-    """bf16 weights (no int8 qkv repack) can't run the TP paged kernels;
-    with a data axis there is no GSPMD fallback — a clear error, not
-    silent corruption."""
+def test_dp_tp_off_geometry_xla_fallback_matches_single_chip():
+    """bf16 weights (no int8 qkv repack) can't run the fused TP paged
+    kernels; DP x TP falls back to the XLA page-walk tick under a
+    data-manual shard_map (axis_names) with GSPMD partitioning the model
+    axis inside each shard — same greedy tokens as single-chip (round 4;
+    previously a hard error)."""
     cfg = _tp_cfg()
     params = paligemma.init_params(jax.random.PRNGKey(3), cfg, jnp.float32)
-    with pytest.raises(ValueError, match="DP x TP"):
-        PagedServingEngine(
+
+    def run(mesh, expect_kernel):
+        eng = PagedServingEngine(
             params, cfg, max_slots=2, max_seq_len=64, page_size=16,
-            use_flash=False, mesh=make_mesh(2, 2),
+            use_flash=False, mesh=mesh,
         )
+        assert eng.paged_kernel == expect_kernel
+        for i in range(3):
+            eng.submit(_tp_req(cfg, i, i + 50, 3 + i, 4))
+        done = eng.run_to_completion()
+        return {r.request_id: list(r.tokens) for r in done}
+
+    want = run(None, "multi")  # bf16: fused degrades to the page walk
+    got = run(make_mesh(2, 2), "xla")
+    assert got == want
