@@ -102,7 +102,11 @@ class PagedServingEngine(ServingEngine):
         a private copy of the tail page (decode writes into it), and
         resumes from the stored last-logits row. LRU eviction at zero
         refcount under pool pressure; best-effort (registration is skipped
-        when the pool is full). Single data shard only."""
+        when the pool is full). Under a DP mesh entries are shard-local
+        (pages live in one shard's pool chunk): each entry carries a shard
+        tag, ``_admit`` pins hits to the owning shard (spilling to a
+        normal prefill when that shard is full), and tail-page copies run
+        the DP read-modify-write (``_copy_page_dp``)."""
         assert max_seq_len % page_size == 0, (max_seq_len, page_size)
         self.dp = int(mesh.shape.get("data", 1)) if mesh is not None else 1
         if spec_decode:
@@ -137,10 +141,10 @@ class PagedServingEngine(ServingEngine):
             # (_insert_cached), so a hit skips the prefill AND keeps
             # speculating (round-3 ROADMAP gap closed)
             paged_kernel = "xla"  # normal tick unused; skip kernel repacks
-        if prefix_cache:
-            assert (
-                mesh is None or int(mesh.shape.get("data", 1)) == 1
-            ), "prefix_cache supports a single data shard"
+        # prefix_cache under DP (round 4): entries are shard-local (their
+        # pages live in one shard's pool chunk), so each entry is tagged
+        # with its owning shard, hits pin admission to that shard, and
+        # tail-page copies run the DP read-modify-write (_copy_page_dp)
         self.prefix_cache = prefix_cache
         self.prefix_cache_entries = prefix_cache_entries
         self._pcache: "OrderedDict[bytes, Dict[str, Any]]" = OrderedDict()
@@ -529,6 +533,43 @@ class PagedServingEngine(ServingEngine):
                 }
             return pool
 
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def _copy_page_dp(pool, src, dst, owner):
+            """DP variant of ``_copy_page``: ``src``/``dst`` are shard-LOCAL
+            page ids valid only on data shard ``owner``. Same
+            read-modify-write recipe as ``_insert_paged_dp`` — every shard
+            touches its own local page ``dst``, only the owner keeps the
+            copy."""
+            from jax.sharding import PartitionSpec as P
+
+            zero = jnp.zeros((), jnp.int32)
+            n_layers = pool["k"].shape[0]
+            sizes = (n_layers, 1) + pool["k"].shape[2:]
+
+            def local(pk, pv, src_l, dst_l, owner_l):
+                write = jax.lax.axis_index("data") == owner_l
+
+                def upd(arr):
+                    chunk = jax.lax.dynamic_slice(
+                        arr, (zero, src_l, zero, zero, zero), sizes
+                    )
+                    idx = (zero, dst_l, zero, zero, zero)
+                    cur = jax.lax.dynamic_slice(arr, idx, sizes)
+                    return jax.lax.dynamic_update_slice(
+                        arr, jnp.where(write, chunk, cur), idx
+                    )
+
+                return upd(pk), upd(pv)
+
+            pool_sp = P(None, "data", None, None, None)
+            pk, pv = jax.shard_map(
+                local, mesh=self.mesh,
+                in_specs=(pool_sp, pool_sp, P(), P(), P()),
+                out_specs=(pool_sp, pool_sp),
+                check_vma=False, **self._dp_axis_names,
+            )(pool["k"], pool["v"], src, dst, owner)
+            return {"k": pk, "v": pv}
+
         @functools.partial(jax.jit, donate_argnums=(1, 2),
                            static_argnames=("ticks", "with_sampling",
                                             "pages_bucket", "kernel"))
@@ -700,6 +741,7 @@ class PagedServingEngine(ServingEngine):
         self._spec_window_paged = _spec_window_paged
         self._set_slot_state = _set_slot_state
         self._copy_page = _copy_page
+        self._copy_page_dp = _copy_page_dp
 
     # -- backend hooks --------------------------------------------------
     def _check_mesh(self, mesh) -> None:
@@ -798,6 +840,15 @@ class PagedServingEngine(ServingEngine):
             if not cands:
                 break
             s = max(cands, key=lambda x: budget[x])
+            if self.prefix_cache and self.paged.n_shards > 1:
+                # pin cache hits to the shard owning the entry's pages
+                # (page ids are shard-local); if that shard can't take the
+                # request right now, fall through to the normal choice —
+                # the hit degrades to a prefill instead of stalling
+                k = self._pcache_key(req)
+                e = self._pcache.get(k) if k is not None else None
+                if e is not None and e.get("shard", 0) in cands:
+                    s = e.get("shard", 0)
             budget[s] -= need
             self._planned[req.request_id] = free_by_shard[s].pop(0)
             take.append(req)
@@ -829,6 +880,12 @@ class PagedServingEngine(ServingEngine):
         entry = self._pcache.get(key) if key is not None else None
         if entry is None:
             return False
+        if entry.get("shard", 0) != self.paged.shard_of(slot):
+            # DP: the entry's pages live in another shard's pool chunk —
+            # no cross-shard borrowing (page ids are shard-local). _admit
+            # pins hits to the entry's shard, so this only triggers when
+            # that shard was full and the request spilled elsewhere.
+            return False
         prompt_len = len(req.input_ids)
         assert entry["prompt_len"] == prompt_len  # sha1(ids) fixes the len
         self.paged.set_borrowed(slot, entry["full_pages"])
@@ -837,10 +894,17 @@ class PagedServingEngine(ServingEngine):
                 self.paged.release(slot)  # clears the borrowed row
                 return False  # pool full — fall back to a normal prefill
             dst = self.paged.slot_pages(slot)[0]
-            self.cache = self._copy_page(
-                self.cache, jnp.asarray(entry["tail_page"], jnp.int32),
-                jnp.asarray(dst, jnp.int32),
-            )
+            if self.dp > 1:
+                self.cache = self._copy_page_dp(
+                    self.cache, jnp.asarray(entry["tail_page"], jnp.int32),
+                    jnp.asarray(dst, jnp.int32),
+                    jnp.asarray(entry.get("shard", 0), jnp.int32),
+                )
+            else:
+                self.cache = self._copy_page(
+                    self.cache, jnp.asarray(entry["tail_page"], jnp.int32),
+                    jnp.asarray(dst, jnp.int32),
+                )
         extra = {}
         if self.spec_decode:
             # a hit seats WITHOUT the prefill that normally seeds the
@@ -882,7 +946,8 @@ class PagedServingEngine(ServingEngine):
         ps = self.page_size
         prompt_len = len(req.input_ids)
         n_full = prompt_len // ps
-        alloc = self.paged._allocs[self.paged.shard_of(slot)]
+        shard = self.paged.shard_of(slot)
+        alloc = self.paged._allocs[shard]
         owner = self._next_entry_owner
         tail_page = None
         if prompt_len % ps:
@@ -891,10 +956,17 @@ class PagedServingEngine(ServingEngine):
                 return  # best-effort: no room for the tail copy
             tail_page = got[0]
             src = alloc.pages_of(slot)[n_full]
-            self.cache = self._copy_page(
-                self.cache, jnp.asarray(src, jnp.int32),
-                jnp.asarray(tail_page, jnp.int32),
-            )
+            if self.dp > 1:
+                self.cache = self._copy_page_dp(
+                    self.cache, jnp.asarray(src, jnp.int32),
+                    jnp.asarray(tail_page, jnp.int32),
+                    jnp.asarray(shard, jnp.int32),
+                )
+            else:
+                self.cache = self._copy_page(
+                    self.cache, jnp.asarray(src, jnp.int32),
+                    jnp.asarray(tail_page, jnp.int32),
+                )
         self._next_entry_owner -= 1
         full_pages = alloc.transfer(slot, owner, n_full)
         if n_full:
@@ -907,7 +979,7 @@ class PagedServingEngine(ServingEngine):
         )
         self._pcache[key] = dict(
             owner=owner, full_pages=full_pages, tail_page=tail_page,
-            prompt_len=prompt_len, logits=logits_row, refs=1,
+            prompt_len=prompt_len, logits=logits_row, refs=1, shard=shard,
         )
         self._slot_borrow[slot] = key
         # capacity: drop the least-recently-used unreferenced entries
@@ -921,7 +993,7 @@ class PagedServingEngine(ServingEngine):
 
     def _free_entry(self, key: bytes) -> None:
         e = self._pcache.pop(key)
-        self.paged._allocs[0].free(e["owner"])
+        self.paged._allocs[e.get("shard", 0)].free(e["owner"])
 
     def _evict_pcache(self) -> int:
         """Free every unreferenced cache entry (LRU first); returns pages

@@ -156,15 +156,71 @@ def test_same_wave_mixed_uniques_coalesce():
     assert eng.prefill_calls == 1 and eng.cache_hits == 2
 
 
-def test_dp_mesh_rejects_prefix_cache():
+def test_prefix_cache_under_dp_mesh():
+    """Round 4: prefix cache on a DP2 paged mesh. Entries are shard-local
+    (their pages live in one shard's pool chunk), hits pin admission to
+    the owning shard, tail-page copies run the DP read-modify-write.
+    Tokens match the uncached DP engine; repeats of the same prompt hit."""
     from paligemma_tpu.core.mesh import make_mesh
 
     params = paligemma.init_params(jax.random.PRNGKey(0), CFG)
-    with pytest.raises(AssertionError):
-        PagedServingEngine(
-            params, CFG, max_slots=2, max_seq_len=32, page_size=16,
-            use_flash=False, mesh=make_mesh(2, 1), prefix_cache=True,
-        )
+    mk = lambda: [_req(0, 7, 4, 5), _req(1, 9, 6, 4),
+                  _req(2, 7, 4, 5), _req(3, 7, 4, 5)]
+
+    plain = _engine(params, max_slots=2, n_pages=16, mesh=make_mesh(2, 1))
+    want = _run(plain, mk())
+
+    cached = _engine(params, max_slots=2, n_pages=16, mesh=make_mesh(2, 1),
+                     prefix_cache=True)
+    got = _run(cached, mk())
+    assert got == want
+    # requests 2 and 3 repeat request 0's (seed 7) prompt: at least one
+    # must hit (both, unless same-wave coalescing already merged them)
+    assert cached.cache_hits >= 1
+    assert cached.prefill_calls < plain.prefill_calls
+    # the entry's shard tag matches where its pages were allocated
+    for e in cached._pcache.values():
+        assert 0 <= e["shard"] < cached.paged.n_shards
+
+
+def test_prefix_cache_under_dp_tp_mesh():
+    """DP2 x TP2: the tail-page copy's shard_map goes manual over "data"
+    only (axis_names), GSPMD partitions the model axis inside each shard.
+    Request 1 outlives request 0 so the entry's shard (0) has the free
+    slot when the repeat (request 2) admits — the hit pins there."""
+    from paligemma_tpu.core.mesh import make_mesh
+
+    params = paligemma.init_params(jax.random.PRNGKey(0), CFG)
+    mk = lambda: [_req(0, 7, 4, 5), _req(1, 9, 6, 9), _req(2, 7, 4, 5)]
+
+    plain = _engine(params, max_slots=2, n_pages=16)
+    want = _run(plain, mk())
+
+    cached = _engine(params, max_slots=2, n_pages=16, mesh=make_mesh(2, 2),
+                     prefix_cache=True)
+    got = _run(cached, mk())
+    assert got == want
+    assert cached.cache_hits >= 1
+
+
+def test_prefix_cache_dp_spill_to_other_shard_still_correct():
+    """When the entry's shard has NO free slot at admit time, the repeat
+    spills to the other shard as a normal prefill (no stall, no
+    cross-shard borrow) — a miss, but tokens stay correct."""
+    from paligemma_tpu.core.mesh import make_mesh
+
+    params = paligemma.init_params(jax.random.PRNGKey(0), CFG)
+    # request 1 (shard 1) finishes FIRST, so the repeat of request 0's
+    # prompt can only seat on shard 1 while the entry lives on shard 0
+    mk = lambda: [_req(0, 7, 4, 5), _req(1, 9, 6, 4), _req(2, 7, 4, 5)]
+
+    plain = _engine(params, max_slots=2, n_pages=16)
+    want = _run(plain, mk())
+
+    cached = _engine(params, max_slots=2, n_pages=16, mesh=make_mesh(2, 1),
+                     prefix_cache=True)
+    got = _run(cached, mk())
+    assert got == want  # spilled hit degrades to a prefill, never corrupts
 
 
 # ---------------------------------------------------------------------------
