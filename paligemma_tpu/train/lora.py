@@ -108,27 +108,49 @@ def num_trainable_params(lora: Dict[str, Any]) -> int:
 def merge_lora(
     base_lm_params: Dict[str, Any], lora: Dict[str, Any]
 ) -> Dict[str, Any]:
-    """Fold adapters into the base weights (for export / fast inference)."""
+    """Fold adapters into the base weights (for export / fast inference).
+
+    Fused quantized bases ("qkv"/"gateup" slabs from ``fuse=True``
+    quantization) are supported: the slab dequantizes to bf16 and splits
+    back into per-projection weights before the deltas fold in (the q/k/v
+    split point comes from o_proj's input dim == q's output dim; k and v
+    are equal halves of the rest, gate/up equal halves of "gateup"). The
+    merged tree is always UNFUSED dense — re-fuse for serving with
+    runtime.quantize.quantize_lm_for_serving.
+    """
+    from ..kernels.quant import dequantize, dequantize_4bit
+
+    def dense(w):
+        if isinstance(w, dict):  # quantized base: dequantize to merge
+            return (
+                dequantize_4bit(w, jnp.bfloat16) if "w4" in w
+                else dequantize(w, jnp.bfloat16)
+            )
+        return w
+
+    def in_dim(w):  # (L, K, N) weights; w4 packs two K rows per byte
+        if isinstance(w, dict):
+            return 2 * w["w4"].shape[-2] if "w4" in w else w["w8"].shape[-2]
+        return w.shape[-2]
+
     merged = jax.tree.map(lambda x: x, base_lm_params)  # shallow copy tree
     layers = dict(merged["layers"])
     attn = dict(layers["attn"])
     mlp = dict(layers["mlp"])
-    if "qkv" in attn or "gateup" in mlp:
-        raise ValueError(
-            "merge_lora requires an unfused base (found fused 'qkv'/'gateup' "
-            "weights); quantize with fuse=False when training — fusion is a "
-            "serving-side transform (runtime.quantize.quantize_lm_for_serving)"
+    if "qkv" in attn:
+        qkv = dense(attn.pop("qkv"))  # (L, H, dq + 2*dkv)
+        dq = in_dim(attn["o"])
+        dkv = (qkv.shape[-1] - dq) // 2
+        attn["q"], attn["k"], attn["v"] = (
+            qkv[..., :dq], qkv[..., dq:dq + dkv], qkv[..., dq + dkv:]
         )
+    if "gateup" in mlp:
+        gu = dense(mlp.pop("gateup"))  # (L, H, 2*I)
+        half = gu.shape[-1] // 2
+        mlp["gate"], mlp["up"] = gu[..., :half], gu[..., half:]
 
     def add_delta(base, delta):
-        if isinstance(base, dict):  # quantized base: dequantize to merge
-            from ..kernels.quant import dequantize, dequantize_4bit
-
-            dense = (
-                dequantize_4bit(base, jnp.bfloat16) if "w4" in base
-                else dequantize(base, jnp.bfloat16)
-            )
-            return dense + delta.astype(dense.dtype)
+        base = dense(base)
         return base + delta.astype(base.dtype)
 
     for name, p in lora["layers"].items():

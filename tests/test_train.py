@@ -248,11 +248,11 @@ def test_fsdp_specs_rules():
     assert saw_data
 
 
-def test_merge_lora_fused_base_raises():
-    """merge_lora must refuse a fused-qkv/gateup base with a clear error
-    (fusion is a serving-side transform; training bases stay unfused)."""
-    import pytest
-
+def test_merge_lora_fused_base_matches_unfused():
+    """merge_lora defuses a fused-qkv/gateup quantized base: the slab
+    dequantizes, splits back into q/k/v (split point from o_proj's input
+    dim) and gate/up halves, and the merged tree equals merging over the
+    same base quantized with fuse=False (round 4: was a ValueError)."""
     from paligemma_tpu.models import paligemma
     from paligemma_tpu.runtime.quantize import quantize_lm_for_serving
     from paligemma_tpu.train import lora as lora_lib
@@ -260,9 +260,24 @@ def test_merge_lora_fused_base_raises():
     cfg = tiny_test_config()
     params = paligemma.init_params(jax.random.PRNGKey(0), cfg)
     fused = quantize_lm_for_serving(params, fuse=True)
+    unfused = quantize_lm_for_serving(params, fuse=False)
     lora = lora_lib.init_lora(
         jax.random.PRNGKey(1), cfg.text_config, rank=2,
-        targets=("q", "v"),
+        targets=("q", "v", "gate"),
     )
-    with pytest.raises(ValueError, match="unfused base"):
-        lora_lib.merge_lora(fused["lm"], lora)
+    got = lora_lib.merge_lora(fused["lm"], lora)
+    want = lora_lib.merge_lora(unfused["lm"], lora)
+
+    def densify(w):  # untargeted weights may stay quantized dicts
+        from paligemma_tpu.kernels.quant import dequantize
+
+        return dequantize(w, jnp.bfloat16) if isinstance(w, dict) else w
+
+    for grp, names in (("attn", ("q", "k", "v", "o")),
+                       ("mlp", ("gate", "up", "down"))):
+        for name in names:
+            np.testing.assert_allclose(
+                np.asarray(densify(got["layers"][grp][name]), np.float32),
+                np.asarray(densify(want["layers"][grp][name]), np.float32),
+                rtol=1e-5, atol=1e-5, err_msg=f"{grp}.{name}",
+            )
