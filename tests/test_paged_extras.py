@@ -187,20 +187,6 @@ def test_paged_lora_base_rows_unchanged(params, adapters):
     np.testing.assert_array_equal(mixed[0], plain[0])
 
 
-def test_paged_lora_rejects_dp_mesh(params, adapters):
-    # pure-TP multi-LoRA paged serving composes (tests/test_multilora.py);
-    # DP stays excluded — shard-local page ids rule out the XLA fallback
-    # tick that threads the adapter bank
-    from paligemma_tpu.core import mesh as mesh_lib
-
-    with pytest.raises(ValueError, match="pure-TP"):
-        PagedServingEngine(
-            params, CFG, max_slots=2, max_seq_len=64, page_size=16,
-            n_pages=16, use_flash=False, lora_bank=adapters,
-            mesh=mesh_lib.make_mesh(data=2, model=1),
-        )
-
-
 def test_paged_lora_prefix_cache_keyed_by_adapter(params, adapters):
     """Identical prompts under different adapters must NOT share prefix
     entries (the cached KV went through the adapter's prefill deltas)."""
