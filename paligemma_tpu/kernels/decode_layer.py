@@ -104,9 +104,25 @@ def _kernel_all(
     eps: float,
     scale: float,
     batch: int,
+    head: Optional[Tuple[int, int, int]] = None,  # (nch, bsh, n_valid)
 ):
-    # the greedy head/argmax lives in its own kernel (kernels/decode_head),
-    # dispatched back-to-back with this one by the engine's fused tick
+    # head=None: the greedy head/argmax lives in its own kernel
+    # (kernels/decode_head), dispatched back-to-back with this one.
+    # head=(nch, bsh, n_valid): the final rmsnorm + int8 head chunks +
+    # running argmax run INSIDE this kernel on the last grid step, so one
+    # pallas_call per decode step replaces two — erasing the second
+    # ~217 us launch floor and letting head chunk 0's DMA issue while the
+    # last layer's MLP still streams (docs/PERFORMANCE.md "launch floor").
+    refs = list(refs)
+    if head is not None:
+        fnorm_ref = refs[20]  # (1, 1, K) VMEM const block
+        hw_ref = refs[21]  # (nch, K, bsh) int8 HBM
+        hs_ref = refs[22]  # (nch, 1, bsh) f32 VMEM
+        tok_ref = refs[26]  # (B, 1) int32 out
+        hmax_ref = refs[27]  # (B, 1) f32 out
+        hbuf = refs[-2]  # (2, K, bsh) int8 scratch
+        hsems = refs[-1]  # DMA (2,)
+        refs = refs[:20] + refs[23:26] + refs[28:-2]
     (
         x_ref,  # (B, K)
         cos_ref,  # (B, D)
@@ -203,6 +219,18 @@ def _kernel_all(
         dma_kwin(l + 1, nslot).start()
         dma_vwin(l + 1, nslot).start()
         dma_o(l + 1, nslot).start()
+
+    if head is not None:
+
+        def dma_h(c, s):
+            return pltpu.make_async_copy(hw_ref.at[c], hbuf.at[s],
+                                         hsems.at[s])
+
+        # head chunk 0 starts streaming while the last layer's attention
+        # and MLP are still computing (its wait is after the final norm)
+        @pl.when(l == n_layers - 1)
+        def _():
+            dma_h(0, 0).start()
 
     def rmsnorm(h, w_ref):
         hf = h.astype(jnp.float32)
@@ -333,6 +361,96 @@ def _kernel_all(
     def _():
         out_ref[...] = x
 
+    if head is not None:
+        h_nch, h_bs, h_nvalid = head
+
+        @pl.when(l == n_layers - 1)
+        def _():
+            # final rmsnorm + chunked int8 head + running argmax — numerics
+            # identical to decode_head._kernel (bf16 logits round-trip,
+            # first-maximal-index ties, -inf on vocab padding)
+            yh = rmsnorm(x, fnorm_ref)
+
+            def hbody(c, carry):
+                best_m, best_i = carry
+                slot = jax.lax.rem(c, 2)
+
+                @pl.when(c + 1 < h_nch)
+                def _():
+                    dma_h(c + 1, jax.lax.rem(c + 1, 2)).start()
+
+                dma_h(c, slot).wait()
+                logits = jax.lax.dot_general(
+                    yh, hbuf[slot].astype(yh.dtype),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * hs_ref[c]  # (B, bsh) f32
+                logits = logits.astype(jnp.bfloat16).astype(jnp.float32)
+                ids = (
+                    jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+                    + c * h_bs
+                )
+                if h_nch * h_bs != h_nvalid:
+                    logits = jnp.where(ids < h_nvalid, logits, -jnp.inf)
+                m = jnp.max(logits, axis=-1, keepdims=True)
+                idx = jnp.min(
+                    jnp.where(logits == m, ids, jnp.int32(2**31 - 1)),
+                    axis=-1, keepdims=True,
+                )
+                better = m > best_m
+                best_i = jnp.where(better, idx, best_i)
+                best_m = jnp.where(better, m, best_m)
+                return best_m, best_i
+
+            neg = jnp.full((batch, 1), -jnp.inf, jnp.float32)
+            zi = jnp.zeros((batch, 1), jnp.int32)
+            bm, bi = jax.lax.fori_loop(0, h_nch, hbody, (neg, zi))
+            tok_ref[...] = bi
+            hmax_ref[...] = bm
+
+
+def merged_head_fits(
+    packed: Dict,
+    head_blk: Dict,
+    batch: int,
+    window: int,
+    head_dim: int,
+    cache_bytes: int = 2,
+    act_bytes: int = 2,
+    budget: int = 100 * 1024 * 1024,
+) -> bool:
+    """Static check: does the merged-head variant's VMEM scratch fit?
+
+    The head ring adds 2*K*bsh int8 (+~1 MB of scales) on top of the layer
+    kernel's rings and windows; at large B x window serving geometries that
+    can blow the ~110 MB cap, in which case callers keep the two-kernel
+    split (decode_head stays the fallback)."""
+    if not isinstance(head_blk, dict) or "w8_blk" not in head_blk:
+        return False
+    mlp = packed["mlp"]
+    _, nc, k, bs = mlp["gate_blk"].shape
+    nq2 = packed["attn"]["qkv"]["w8"].shape[-1]
+    ko = packed["attn"]["o"]["w8"].shape[-2]
+    nch, _, bsh = head_blk["w8_blk"].shape
+    nq = nq2 - 2 * head_dim
+    scratch = (
+        batch * nq * act_bytes  # a_buf
+        + batch * k * act_bytes  # h_state
+        + 2 * k * nq2  # qkv ring (int8)
+        + 2 * ko * k  # o ring
+        + 2 * 2 * batch * window * head_dim * cache_bytes  # k/v windows
+        + 3 * 2 * k * bs  # gate/up/down rings
+        + batch * k * 4  # acc
+        + 2 * k * bsh  # head ring
+    )
+    resident_inputs = (
+        nch * bsh * 4  # head scales (VMEM input)
+        + 2 * nc * bs * 4  # gs/us blocks
+        + batch * window * 4  # bias
+        + 3 * batch * head_dim * act_bytes * (1 + nq // head_dim)
+    )
+    return scratch + resident_inputs < budget
+
 
 def layers_decode_fused(
     x: jnp.ndarray,  # (B, 1, K)
@@ -348,13 +466,24 @@ def layers_decode_fused(
     head_dim: int,
     eps: float,
     interpret: Optional[bool] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    head_blk: Optional[Dict] = None,  # decode_head.repack_head() output
+    final_norm: Optional[jnp.ndarray] = None,  # (K,) final rmsnorm weight
+) -> Tuple[jnp.ndarray, ...]:
     """All L layers for B lockstep rows in ONE kernel. Returns
     (hidden (B,1,K), k_new (L,B,D), v_new (L,B,D)); the caller writes the
     per-row cache rows (dynamic_update_slice per row, or one slice when
-    all rows share a position)."""
+    all rows share a position).
+
+    With ``head_blk`` + ``final_norm`` the final rmsnorm, int8 LM head and
+    running argmax are merged into the SAME kernel (greedy decode): two
+    extra results (greedy token ids (B,) int32, winning logits (B,) f32)
+    are appended, and the engine's fused tick is one pallas_call instead
+    of two."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    with_head = head_blk is not None
+    if with_head:
+        assert final_norm is not None and "w8_blk" in head_blk
     k = x.shape[-1]
     b = x.shape[0]
     x2 = x.reshape(b, k)
@@ -370,11 +499,12 @@ def layers_decode_fused(
     nq2 = qkv_w8.shape[-1]
     ko = o_w8.shape[-2]
     cdtype = k_cache.dtype
+    head_static = None
+    if with_head:
+        h_nch, _, h_bs = head_blk["w8_blk"].shape
+        head_static = (h_nch, h_bs, head_blk["s"].shape[0])
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(L,),
-        in_specs=[
+    in_specs = [
             pl.BlockSpec((b, k), lambda l, s: (0, 0)),
             pl.BlockSpec((b, head_dim), lambda l, s: (0, 0)),
             pl.BlockSpec((b, head_dim), lambda l, s: (0, 0)),
@@ -400,13 +530,18 @@ def layers_decode_fused(
             # (small enough) cache into VMEM and the window DMA misbehaves
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
-        ],
-        out_specs=[
+    ]
+    out_specs = [
             pl.BlockSpec((b, k), lambda l, s: (0, 0)),
             pl.BlockSpec((1, b, head_dim), lambda l, s: (l, 0, 0)),
             pl.BlockSpec((1, b, head_dim), lambda l, s: (l, 0, 0)),
-        ],
-        scratch_shapes=[
+    ]
+    out_shape = [
+            jax.ShapeDtypeStruct((b, k), x.dtype),
+            jax.ShapeDtypeStruct((L, b, head_dim), cdtype),
+            jax.ShapeDtypeStruct((L, b, head_dim), cdtype),
+    ]
+    scratch_shapes = [
             pltpu.VMEM((b, n_heads * head_dim), x.dtype),
             pltpu.VMEM((b, k), x.dtype),
             pltpu.VMEM((2, k, nq2), jnp.int8),
@@ -418,30 +553,8 @@ def layers_decode_fused(
             pltpu.VMEM((2, bs, k), jnp.int8),
             pltpu.VMEM((b, k), jnp.float32),
             pltpu.SemaphoreType.DMA((7, 2)),
-        ],
-    )
-    pos_vec = jnp.broadcast_to(
-        jnp.asarray(cache_pos, jnp.int32).reshape(-1), (b,)
-    )
-    out, k_new, v_new = pl.pallas_call(
-        functools.partial(
-            _kernel_all, n_layers=L, nc=nc, bs=bs, window=window,
-            n_heads=n_heads, head_dim=head_dim, eps=eps,
-            scale=head_dim**-0.5, batch=b,
-        ),
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((b, k), x.dtype),
-            jax.ShapeDtypeStruct((L, b, head_dim), cdtype),
-            jax.ShapeDtypeStruct((L, b, head_dim), cdtype),
-        ],
-        interpret=interpret,
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=110 * 1024 * 1024,
-        ),
-    )(
-        pos_vec,
+    ]
+    operands = [
         x2,
         cos.astype(x.dtype).reshape(b, head_dim),
         sin.astype(x.dtype).reshape(b, head_dim),
@@ -462,5 +575,60 @@ def layers_decode_fused(
         mlp["ds"],
         k_cache,
         v_cache,
+    ]
+    if with_head:
+        in_specs += [
+            pl.BlockSpec((1, 1, k), lambda l, s: (0, 0, 0)),  # final norm
+            pl.BlockSpec(memory_space=pltpu.HBM),  # head w8 chunks
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # head scales
+        ]
+        out_specs += [
+            pl.BlockSpec((b, 1), lambda l, s: (0, 0)),
+            pl.BlockSpec((b, 1), lambda l, s: (0, 0)),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((b, 1), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+        ]
+        scratch_shapes += [
+            pltpu.VMEM((2, k, head_static[1]), jnp.int8),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+        operands += [
+            final_norm.reshape(1, 1, k),
+            head_blk["w8_blk"],
+            head_blk["s_blk"],
+        ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(L,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch_shapes,
     )
+    pos_vec = jnp.broadcast_to(
+        jnp.asarray(cache_pos, jnp.int32).reshape(-1), (b,)
+    )
+    results = pl.pallas_call(
+        functools.partial(
+            _kernel_all, n_layers=L, nc=nc, bs=bs, window=window,
+            n_heads=n_heads, head_dim=head_dim, eps=eps,
+            scale=head_dim**-0.5, batch=b, head=head_static,
+        ),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )(pos_vec, *operands)
+    if with_head:
+        out, k_new, v_new, tok, mx = results
+        return (
+            out.reshape(x.shape[0], 1, k), k_new, v_new,
+            tok[:, 0], mx[:, 0],
+        )
+    out, k_new, v_new = results
     return out.reshape(x.shape[0], 1, k), k_new, v_new

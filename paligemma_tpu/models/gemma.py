@@ -109,6 +109,20 @@ def _lora_delta(y: jnp.ndarray, lora_lp: Optional[Params], name: str) -> jnp.nda
         # ~2% of the base weight stream at r=8 — so multi-LoRA decode
         # stays weight-bandwidth-bound (train/lora.py stack_lora_bank).
         ids = lora_lp["__ids__"]
+        if "a_cat" in lora_lp[name]:
+            # concat-basis: two regular matmuls over the whole (N+1)-wide
+            # adapter basis + a per-row 0/1 block mask (alpha pre-folded
+            # into b_cat at stack_lora_bank) — MXU-shaped, no per-row
+            # gathers in the latency-bound tick. Extra traffic is the
+            # (N+1)/1-wide basis instead of the row's slice: ~(N+1)*r
+            # columns of in+out, still ~2% of the base stream at N=4 r=8.
+            a_cat = lora_lp[name]["a_cat"]  # (in, (N+1)*r)
+            b_cat = lora_lp[name]["b_cat"]  # ((N+1)*r, out)
+            r = a.shape[-1]
+            col_ad = jnp.arange(a_cat.shape[-1], dtype=jnp.int32) // r
+            mask = (col_ad[None] == ids[:, None]).astype(a_cat.dtype)
+            z = (y.astype(a_cat.dtype) @ a_cat) * mask[:, None, :]
+            return (z @ b_cat).astype(y.dtype)
         a_rows = a[ids]  # (B, in, r)
         b_rows = b[ids]  # (B, r, out)
         s_rows = scale[ids].astype(a.dtype)  # (B,)
@@ -350,11 +364,32 @@ def forward(
         )
 
         zero = jnp.zeros((), jnp.int32)
-        x, k_news, v_news = decode_layer.layers_decode_fused(
-            x, params["layers"], k_flat, v_flat, cache_pos, valid_w,
-            cos[:, 0], sin[:, 0], window, cfg.num_attention_heads,
-            hd, cfg.rms_norm_eps,
+        # merged-head variant: final norm + int8 head + running argmax run
+        # inside the SAME grid-over-layers kernel, so the greedy step is
+        # ONE pallas_call instead of two (one ~217 us launch floor erased;
+        # head chunk 0 streams behind the last layer's MLP). Falls back to
+        # the split decode_head kernel when the head ring would blow VMEM.
+        merged = (
+            greedy_head
+            and decode_layer.merged_head_fits(
+                params["layers"], params.get("head_q"), b, window, hd,
+                cache_bytes=k_flat.dtype.itemsize,
+            )
         )
+        tok = None
+        if merged:
+            x, k_news, v_news, tok, _ = decode_layer.layers_decode_fused(
+                x, params["layers"], k_flat, v_flat, cache_pos, valid_w,
+                cos[:, 0], sin[:, 0], window, cfg.num_attention_heads,
+                hd, cfg.rms_norm_eps,
+                head_blk=params["head_q"], final_norm=params["final_norm"],
+            )
+        else:
+            x, k_news, v_news = decode_layer.layers_decode_fused(
+                x, params["layers"], k_flat, v_flat, cache_pos, valid_w,
+                cos[:, 0], sin[:, 0], window, cfg.num_attention_heads,
+                hd, cfg.rms_norm_eps,
+            )
         k_news = k_news[:, :, None, :].astype(k_flat.dtype)  # (L, B, 1, D)
         v_news = v_news[:, :, None, :].astype(v_flat.dtype)
         if jnp.ndim(cache_pos) == 0:
@@ -374,11 +409,13 @@ def forward(
                 v_flat = jax.lax.dynamic_update_slice(
                     v_flat, v_news[:, r : r + 1], idx
                 )
-        x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
         new_cache = {
             "k": k_flat.reshape(kv_cache["k"].shape),
             "v": v_flat.reshape(kv_cache["v"].shape),
         }
+        if merged:
+            return tok, new_cache
+        x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
         if greedy_head and "w8_blk" in params.get("head_q", {}):
             # greedy decode: stream the int8 head with a fused running
             # argmax — the 1 MB logits row is never materialized
