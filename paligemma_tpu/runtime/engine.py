@@ -555,9 +555,20 @@ class PaliGemmaEngine:
         eos_token_id: Optional[int] = None,
         draft_k: int = 8,
         match_n: int = 2,
+        corrupt_frac: float = 0.0,
     ) -> np.ndarray:
         """Greedy generation with device-resident n-gram speculative
         decoding (prompt lookup). B == 1.
+
+        ``corrupt_frac`` is a BENCHMARK-ONLY acceptance control: each draft
+        position is deterministically replaced with an almost-surely-wrong
+        token with that probability (on device, keyed by cycle), which
+        dials mean acceptance between the n-gram matcher's natural rate
+        and the zero-acceptance floor — the emitted tokens stay identical
+        to greedy regardless (rejected positions fall back to the model's
+        own argmax; that is the whole acceptance rule). Used by
+        .bench/spec_acceptance_bench.py and bench.py to publish a measured
+        tok/s-vs-acceptance curve instead of only the best-case bound.
 
         Decode is weight-bandwidth-bound: every step streams the full int8
         LM (~2.9 GB) to produce ONE token. Verifying ``draft_k`` proposed
@@ -605,7 +616,8 @@ class PaliGemmaEngine:
         history = np.zeros((1, self.max_seq_len), np.int32)
         history[0, :prompt_len] = np.asarray(input_ids)[0]
         kv_bucket = self.kv_bucket_for(prompt_len + max_new_tokens + draft_k)
-        fn = self._get_spec(max_new_tokens, draft_k, match_n, eos, kv_bucket)
+        fn = self._get_spec(max_new_tokens, draft_k, match_n, eos, kv_bucket,
+                            corrupt_frac=float(corrupt_frac))
         out, n_out, cycles, _ = fn(
             self.decode_params, logits, state, jnp.asarray(history),
             jnp.asarray([prompt_len], np.int32),
@@ -615,12 +627,14 @@ class PaliGemmaEngine:
         self.spec_cycles = int(cycles)
         return np.asarray(out)[None, :n]
 
-    def _get_spec(self, max_new, draft_k, match_n, eos, kv_bucket=None):
-        sig = (max_new, draft_k, match_n, eos, kv_bucket)
+    def _get_spec(self, max_new, draft_k, match_n, eos, kv_bucket=None,
+                  corrupt_frac=0.0):
+        sig = (max_new, draft_k, match_n, eos, kv_bucket, corrupt_frac)
         if sig in self._spec_cache:
             return self._spec_cache[sig]
         cfg = self.config
         k = draft_k
+        vocab = cfg.text_config.vocab_size
         from ..ops.ngram import propose_ngram
 
         @functools.partial(
@@ -642,6 +656,16 @@ class PaliGemmaEngine:
             def body(c):
                 state, history, hist_len, out, n_out, done, last_tok, cyc = c
                 draft = propose_ngram(history, hist_len, match_n, k)  # (1,k)
+                if corrupt_frac > 0.0:
+                    # acceptance control (benchmark only): a corrupted
+                    # position proposes a shifted token the verify argmax
+                    # rejects (up to a ~1/vocab coincidence), keyed by
+                    # cycle so the sequence is deterministic on device
+                    ck = jax.random.fold_in(jax.random.PRNGKey(20260820), cyc)
+                    u = jax.random.uniform(ck, (1, k))
+                    draft = jnp.where(
+                        u < corrupt_frac, (draft + 1) % vocab, draft
+                    )
                 tokens_in = jnp.concatenate([last_tok[:, None], draft], 1)
                 logits, cache = paligemma.decode_verify(
                     params, cfg, tokens_in, state.cache, state.write_pos,

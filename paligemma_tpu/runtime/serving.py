@@ -119,6 +119,7 @@ class ServingEngine:
         spec_decode: bool = False,
         spec_draft_k: int = 8,
         spec_match_n: int = 2,
+        spec_corrupt_frac: float = 0.0,  # benchmark-only acceptance dial
         lora_bank: Optional[Dict[str, Any]] = None,
         grammars: Optional[Dict[str, Any]] = None,
         prefix_cache: bool = False,
@@ -318,6 +319,7 @@ class ServingEngine:
         self.spec_decode = spec_decode
         self.spec_draft_k = spec_draft_k
         self.spec_match_n = spec_match_n
+        self.spec_corrupt_frac = float(spec_corrupt_frac)
         self.config = config
         self.max_slots = max_slots
         self.max_seq_len = max_seq_len
@@ -677,6 +679,20 @@ class ServingEngine:
                 draft = propose_ngram(
                     state["hist"], wp + 1, spec_match_n, kd
                 )  # (B, kd)
+                if self.spec_corrupt_frac > 0.0:
+                    # benchmark-only acceptance dial (see engine
+                    # generate_spec corrupt_frac): corrupted positions
+                    # propose a shifted token the verify argmax rejects,
+                    # keyed by the summed write positions (deterministic,
+                    # on device); emitted tokens stay greedy-identical
+                    ck = jax.random.fold_in(
+                        jax.random.PRNGKey(20260820), jnp.sum(wp)
+                    )
+                    u = jax.random.uniform(ck, draft.shape)
+                    draft = jnp.where(
+                        u < self.spec_corrupt_frac,
+                        (draft + 1) % cfg.text_config.vocab_size, draft,
+                    )
                 tokens_in = jnp.concatenate(
                     [state["next_tok"][:, None], draft], axis=1
                 )  # (B, kd+1)
