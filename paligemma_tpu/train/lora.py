@@ -97,6 +97,22 @@ def stack_lora_bank(
     bank = jax.tree.map(lambda *xs: jnp.stack(xs, axis=1), *trees)
     if dtype is not None:
         bank = jax.tree.map(lambda x: x.astype(dtype), bank)
+    # Concat-basis layout: ALL adapters' A columns side by side
+    # (L, in, (N+1)*r) and an alpha-folded stacked B (L, (N+1)*r, out).
+    # A row's delta is then two REGULAR batched matmuls shared by every
+    # row — z = y @ a_cat, mask z to the row's adapter block, @ b_cat —
+    # instead of B per-row (in, r) gathers + tiny batched einsums, which
+    # dominate the latency-bound decode tick (~15% measured,
+    # docs/PERFORMANCE.md "multi-LoRA serving"). gemma._lora_delta picks
+    # this path when present; the gathered layout stays for training.
+    for name, p in bank["layers"].items():
+        L, n1, in_dim, r = p["a"].shape
+        out = p["b"].shape[-1]
+        p["a_cat"] = (
+            p["a"].transpose(0, 2, 1, 3).reshape(L, in_dim, n1 * r)
+        )
+        scale = (p["alpha"] / r)[:, :, None, None].astype(p["b"].dtype)
+        p["b_cat"] = (p["b"] * scale).reshape(L, n1 * r, out)
     return bank
 
 
