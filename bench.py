@@ -190,12 +190,24 @@ def main():
     # via the int8 head copy.
     hbm_bw = 819e9
     sol_tok_per_s = None
+    lm_bytes = None
     if qparams is not None:
         lm_bytes = sum(
             x.size * x.dtype.itemsize for x in jax.tree.leaves(qparams["lm"])
         ) - qparams["lm"]["embed"].size * 2
         sol_tok_per_s = hbm_bw / lm_bytes
         extra["sol_tokens_per_sec"] = round(sol_tok_per_s, 2)
+
+    def batch_sol(b, window):
+        """Batched-decode roofline: ONE weight stream per lockstep tick +
+        per-row KV window reads (L x window x D x 2 dtypes x 2 tensors).
+        Grades batch decode against its own ceiling, not b1's."""
+        tc = cfg.text_config
+        kv = (
+            b * window * tc.head_dim * tc.num_key_value_heads
+            * 2 * 2 * tc.num_hidden_layers
+        )
+        return b * hbm_bw / (lm_bytes + kv)
 
     # ---- 2) int8 phase: the headline (b1), per-step dispatch, batch-8 ----
     tok_per_s = None
@@ -217,7 +229,17 @@ def main():
 
         def b8():
             p8, i8, m8 = make_inputs(cfg, 8)
-            return round(time_decode(qengine, p8, i8, m8, n_chunks=6), 2)
+            rate = round(time_decode(qengine, p8, i8, m8, n_chunks=6), 2)
+            # mean window over the timed chunks (pow2 buckets >= 512)
+            pl_ = i8.shape[1]
+            wins = [
+                qengine.kv_bucket_for(pl_ + (c + 1) * CHUNK) or MAX_SEQ
+                for c in range(6)
+            ]
+            sol = batch_sol(8, sum(wins) / len(wins))
+            extra["sol_b8_tokens_per_sec"] = round(sol, 1)
+            extra["b8_vs_sol"] = round(rate / sol, 4)
+            return rate
 
         extra["int8_batch8_decode_tokens_per_sec"] = attempt("int8_b8", b8)
 
@@ -242,6 +264,32 @@ def main():
             return round(out.shape[1] / best, 2)
 
         extra["int8_spec_decode_tokens_per_sec"] = attempt("spec", spec)
+
+        def spec_curve():
+            # acceptance-controlled points between the near-full-acceptance
+            # headline above and the zero-acceptance floor: corrupt_frac
+            # deterministically rejects draft positions on device, tokens
+            # stay greedy-identical (tests/test_spec_acceptance.py)
+            pts = {}
+            for frac in (0.25, 0.5, 0.75):
+                best = None
+                for rep in range(2):
+                    t0 = time.perf_counter()
+                    out = qengine.generate_spec(
+                        pixels_j, ids_j, mask_j, max_new_tokens=192,
+                        eos_token_id=-1, draft_k=8, match_n=2,
+                        corrupt_frac=frac,
+                    )
+                    dt = time.perf_counter() - t0
+                    if rep:
+                        best = dt if best is None else min(best, dt)
+                acc = round((out.shape[1] - 1) / qengine.spec_cycles, 2)
+                pts[f"acc_{acc}"] = round(out.shape[1] / best, 1)
+            return pts
+
+        extra["spec_tokens_per_sec_by_acceptance"] = attempt(
+            "spec_curve", spec_curve
+        )
         qengine = None
         gc.collect()
 
@@ -302,8 +350,13 @@ def main():
     def serving():
         from paligemma_tpu.runtime.serving import ServingEngine
 
+        # prefill from the SAME int8 tree the paged phase uses (round-4
+        # confound: dense prefilled bf16 / paged prefilled int8, so the
+        # dense-vs-paged aggregate mixed a weights-precision asymmetry
+        # into the engine comparison). Split-precision TTFT is still
+        # covered by extra["ttft_ms"] (bf16 prefill, phase 1).
         eng = ServingEngine(
-            params, cfg, max_slots=16, max_seq_len=512,
+            qparams, cfg, max_slots=16, max_seq_len=512,
             decode_params=qparams, fused_decode=True, sync_every=8,
         )
         return _timed_serving(eng, 16)
@@ -314,6 +367,11 @@ def main():
             extra["serving_aggregate_tokens_per_sec"] = r["aggregate"]
             extra["serving_decode_tokens_per_sec"] = r["decode"]
             extra["serving_prefill_ms_per_req"] = r["prefill_ms"]
+            # serving tick roofline: 16 lockstep rows over the full
+            # 512-slot cache window (max_seq 512 -> no sub-bucket)
+            sol = batch_sol(16, 512)
+            extra["sol_serving_decode_tokens_per_sec"] = round(sol, 1)
+            extra["serving_decode_vs_sol"] = round(r["decode"] / sol, 4)
 
     # ---- 3b) paged serving: 24 slots fed from the dense phase's exact HBM
     # reservation (128 pages x 64); timed at the pool's admissible
@@ -333,7 +391,15 @@ def main():
         )
         bucket = 64 * (-(-266 // 64))  # page-aligned prompt bucket
         n = min(24, eng.paged.n_pages // (eng.paged.pages_for(bucket) + 1))
-        return _timed_serving(eng, n)
+        r = _timed_serving(eng, n)
+        # paged tick roofline at the measured concurrency: the fused paged
+        # kernel walks a pow2 page window per row — 330-token rows land in
+        # the 8-page (512-slot) bucket, same window as the dense tick
+        sol = batch_sol(n, 512)
+        extra["paged_rows"] = n
+        extra["sol_paged_decode_tokens_per_sec"] = round(sol, 1)
+        extra["paged_decode_vs_sol"] = round(r["decode"] / sol, 4)
+        return r
 
     if qparams is not None:
         r = attempt("serving_paged", serving_paged)
