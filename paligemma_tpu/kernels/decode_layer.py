@@ -105,24 +105,56 @@ def _kernel_all(
     scale: float,
     batch: int,
     head: Optional[Tuple[int, int, int]] = None,  # (nch, bsh, n_valid)
+    lora: bool = False,
 ):
     # head=None: the greedy head/argmax lives in its own kernel
     # (kernels/decode_head), dispatched back-to-back with this one.
     # head=(nch, bsh, n_valid): the final rmsnorm + int8 head chunks +
     # running argmax run INSIDE this kernel on the last grid step, so one
-    # pallas_call per decode step replaces two — erasing the second
-    # ~217 us launch floor and letting head chunk 0's DMA issue while the
-    # last layer's MLP still streams (docs/PERFORMANCE.md "launch floor").
+    # pallas_call per decode step replaces two (measured ~neutral on
+    # throughput — the second launch floor pipelines behind the first
+    # kernel — but it halves dispatches and keeps the logits row dead).
+    # lora=True: per-layer concat-basis multi-LoRA operands ride the
+    # grid (repack_lora_bank_fused); each target adds two small dense
+    # dots + a per-row block mask inside the layer, so a bank of
+    # fine-tunes serves through the fused tick instead of degrading to
+    # the XLA path (~22% measured tax, docs/PERFORMANCE.md).
     refs = list(refs)
+    idx = 20
     if head is not None:
-        fnorm_ref = refs[20]  # (1, 1, K) VMEM const block
-        hw_ref = refs[21]  # (nch, K, bsh) int8 HBM
-        hs_ref = refs[22]  # (nch, 1, bsh) f32 VMEM
-        tok_ref = refs[26]  # (B, 1) int32 out
-        hmax_ref = refs[27]  # (B, 1) f32 out
-        hbuf = refs[-2]  # (2, K, bsh) int8 scratch
-        hsems = refs[-1]  # DMA (2,)
-        refs = refs[:20] + refs[23:26] + refs[28:-2]
+        fnorm_ref = refs[idx]  # (1, 1, K) VMEM const block
+        hw_ref = refs[idx + 1]  # (nch, K, bsh) int8 HBM
+        hs_ref = refs[idx + 2]  # (nch, 1, bsh) f32 VMEM
+        idx += 3
+    if lora:
+        (
+            m1_ref,  # (B, G) row block masks
+            m2_ref,  # (B, 2G)
+            m3_ref,  # (B, 3G)
+            qa_ref,  # (1, K, 3G) block at l
+            qb_ref,  # (1, 3G, NQ2)
+            oa_ref,  # (1, NQ, G)
+            ob_ref,  # (1, G, K)
+            gua_ref,  # (1, K, 2G)
+            gb_ref,  # (1, nc, G, bs)
+            ub_ref,  # (1, nc, G, bs)
+            da_ref,  # (1, nc, bs, G)
+            db_ref,  # (1, G, K)
+        ) = refs[idx : idx + 12]
+        idx += 12
+    outs = refs[idx : idx + 3]
+    if head is not None:
+        tok_ref = refs[idx + 3]  # (B, 1) int32 out
+        hmax_ref = refs[idx + 4]  # (B, 1) f32 out
+    tail = len(refs)
+    if lora:
+        za_buf = refs[tail - 1]  # (B, G) f32 scratch — down-delta acc
+        tail -= 1
+    if head is not None:
+        hbuf = refs[tail - 2]  # (2, K, bsh) int8 scratch
+        hsems = refs[tail - 1]  # DMA (2,)
+        tail -= 2
+    refs = refs[:20] + outs + refs[tail - 11 : tail]
     (
         x_ref,  # (B, K)
         cos_ref,  # (B, D)
@@ -241,12 +273,25 @@ def _kernel_all(
     x = h_state[...]
     y = rmsnorm(x, in_norm_ref)
 
+    def lora_delta(inp, a_ref, mask_ref, b_ref):
+        # (x @ A_cat) * row-block-mask @ B_cat — alpha pre-folded in B
+        z = jax.lax.dot_general(
+            inp, a_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(inp.dtype) * mask_ref[...]
+        return jax.lax.dot_general(
+            z, b_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
     dma_qkv(l, lslot).wait()
     qkv = jax.lax.dot_general(
         y, qkv_buf[lslot].astype(y.dtype), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     qkv = (qkv * qkv_s_ref[0]).astype(y.dtype)  # (B, NQ)
+    if lora:
+        qkv = qkv + lora_delta(y, qa_ref, m3_ref, qb_ref).astype(y.dtype)
     nq = n_heads * head_dim
     k_new = qkv[:, nq : nq + head_dim]  # (B, D)
     v_new = qkv[:, nq + head_dim :]  # (B, D)
@@ -313,9 +358,18 @@ def _kernel_all(
         preferred_element_type=jnp.float32,
     )
     x = x + (o * o_s_ref[0]).astype(x.dtype)
+    if lora:
+        x = x + lora_delta(a, oa_ref, m1_ref, ob_ref).astype(x.dtype)
 
     y2 = rmsnorm(x, post_norm_ref)
     acc[...] = jnp.zeros_like(acc)
+    if lora:
+        G = m1_ref.shape[1]
+        z2 = jax.lax.dot_general(
+            y2, gua_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(y2.dtype) * m2_ref[...]  # (B, 2G) masked gate|up basis
+        za_buf[...] = jnp.zeros_like(za_buf)
 
     def body(c, carry):
         s = cslot(l, c)
@@ -340,21 +394,41 @@ def _kernel_all(
         g = jax.lax.dot_general(
             y2, gbuf[s].astype(y2.dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        ) * gs_ref[0, c]
         u = jax.lax.dot_general(
             y2, ubuf[s].astype(y2.dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
-        t = (gelu_tanh(g * gs_ref[0, c]) * (u * us_ref[0, c])).astype(y2.dtype)
+        ) * us_ref[0, c]
+        if lora:
+            g = g + jax.lax.dot_general(
+                z2[:, :G], gb_ref[0, c], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            u = u + jax.lax.dot_general(
+                z2[:, G:], ub_ref[0, c], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        t = (gelu_tanh(g) * u).astype(y2.dtype)
         dma_d(l, c, s).wait()
         acc[...] += jax.lax.dot_general(
             t, dbuf[s].astype(y2.dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if lora:
+            za_buf[...] += jax.lax.dot_general(
+                t, da_ref[0, c], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         return carry
 
     jax.lax.fori_loop(0, nc, body, 0)
     x = x + (acc[...] * ds_ref[0]).astype(x.dtype)
+    if lora:
+        zd = za_buf[...].astype(x.dtype) * m1_ref[...]
+        x = x + jax.lax.dot_general(
+            zd, db_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
     h_state[...] = x
 
     @pl.when(l == n_layers - 1)
@@ -409,6 +483,94 @@ def _kernel_all(
             hmax_ref[...] = bm
 
 
+def repack_lora_bank_fused(
+    bank_layers: Dict,
+    nc: int,
+    bs: int,
+    n_heads: int,
+    head_dim: int,
+    hidden: int,
+) -> Dict:
+    """Multi-LoRA bank -> fused-kernel operand layout.
+
+    Input: ``stack_lora_bank(...)['layers']`` with the concat-basis
+    tensors (a_cat (L, in, G), alpha-folded b_cat (L, G, out); G =
+    (N+1)*r). Output per-layer blocks the grid-over-layers kernel
+    streams alongside the base weights:
+
+      qkv_a (L, K, 3G)   q|k|v bases side by side
+      qkv_b (L, 3G, NQ2) block-diagonal: q rows -> q cols of the fused
+                         qkv output, k rows -> k cols, v rows -> v cols
+      o_a (L, NQ, G), o_b (L, G, K)
+      gu_a (L, K, 2G)    gate|up bases
+      gate_b/up_b (L, nc, G, bs)  chunk-major like the base MLP blocks
+      down_a (L, nc, bs, G)       chunked over the intermediate dim
+      down_b (L, G, K)
+
+    Missing targets become zeros (delta 0). G pads to a multiple of 8
+    (sublane-safe); mask columns beyond the true G are never selected.
+    A row's delta = (x @ A_cat) * row_block_mask @ B_cat — two regular
+    MXU dots shared by every lockstep row (ref targets:
+    Paligemma_FT.ipynb cell 41 q/k/v/o/gate/up/down).
+    """
+    ref = next(iter(bank_layers.values()))
+    L, _, g_true = ref["a_cat"].shape
+    G = ((g_true + 7) // 8) * 8
+    nq = n_heads * head_dim
+    nq2 = nq + 2 * head_dim
+    I = nc * bs  # noqa: E741
+
+    def cat(name, in_dim):
+        if name in bank_layers:
+            a = bank_layers[name]["a_cat"]
+            return jnp.pad(a, ((0, 0), (0, 0), (0, G - g_true)))
+        return jnp.zeros((L, in_dim, G), ref["a_cat"].dtype)
+
+    def bmat(name, out_dim):
+        if name in bank_layers:
+            b = bank_layers[name]["b_cat"]
+            return jnp.pad(b, ((0, 0), (0, G - g_true), (0, 0)))
+        return jnp.zeros((L, G, out_dim), ref["b_cat"].dtype)
+
+    qkv_b = jnp.zeros((L, 3 * G, nq2), ref["b_cat"].dtype)
+    qkv_b = qkv_b.at[:, :G, :nq].set(bmat("q", nq))
+    qkv_b = qkv_b.at[:, G : 2 * G, nq : nq + head_dim].set(
+        bmat("k", head_dim)
+    )
+    qkv_b = qkv_b.at[:, 2 * G :, nq + head_dim :].set(bmat("v", head_dim))
+    gate_b = bmat("gate", I).reshape(L, G, nc, bs).transpose(0, 2, 1, 3)
+    up_b = bmat("up", I).reshape(L, G, nc, bs).transpose(0, 2, 1, 3)
+    down_a = cat("down", I).reshape(L, nc, bs, G)
+    return {
+        "qkv_a": jnp.concatenate(
+            [cat("q", hidden), cat("k", hidden), cat("v", hidden)], axis=-1
+        ),
+        "qkv_b": qkv_b,
+        "o_a": cat("o", nq),
+        "o_b": bmat("o", hidden),
+        "gu_a": jnp.concatenate([cat("gate", hidden), cat("up", hidden)],
+                                axis=-1),
+        "gate_b": gate_b,
+        "up_b": up_b,
+        "down_a": down_a,
+        "down_b": bmat("down", hidden),
+        "g_true": g_true,
+        "rank": ref["a"].shape[-1],
+    }
+
+
+def lora_row_masks(adapter_ids: jnp.ndarray, G: int, rank: int, dtype):
+    """(B,) adapter ids -> (mask1 (B,G), mask2 (B,2G), mask3 (B,3G)):
+    1.0 on the columns of the row's adapter block, 0 elsewhere. Sublane
+    padding columns map to block indices >= N+1, which no row id ever
+    selects, so they mask to 0 automatically."""
+    col = jnp.arange(G, dtype=jnp.int32)
+    m1 = ((col[None] // rank) == adapter_ids[:, None]).astype(dtype)
+    m2 = jnp.concatenate([m1, m1], axis=-1)
+    m3 = jnp.concatenate([m1, m1, m1], axis=-1)
+    return m1, m2, m3
+
+
 def merged_head_fits(
     packed: Dict,
     head_blk: Dict,
@@ -418,6 +580,7 @@ def merged_head_fits(
     cache_bytes: int = 2,
     act_bytes: int = 2,
     budget: int = 100 * 1024 * 1024,
+    lora_pack: Optional[Dict] = None,
 ) -> bool:
     """Static check: does the merged-head variant's VMEM scratch fit?
 
@@ -449,6 +612,16 @@ def merged_head_fits(
         + batch * window * 4  # bias
         + 3 * batch * head_dim * act_bytes * (1 + nq // head_dim)
     )
+    if lora_pack is not None:
+        # per-layer lora blocks (bf16) are auto-pipelined (x2 buffers)
+        per_layer = 0
+        for n in ("qkv_a", "qkv_b", "o_a", "o_b", "gu_a", "gate_b",
+                  "up_b", "down_a", "down_b"):
+            sz = 2
+            for d in lora_pack[n].shape[1:]:
+                sz *= d
+            per_layer += sz
+        resident_inputs += 2 * per_layer
     return scratch + resident_inputs < budget
 
 
@@ -468,6 +641,8 @@ def layers_decode_fused(
     interpret: Optional[bool] = None,
     head_blk: Optional[Dict] = None,  # decode_head.repack_head() output
     final_norm: Optional[jnp.ndarray] = None,  # (K,) final rmsnorm weight
+    lora_pack: Optional[Dict] = None,  # repack_lora_bank_fused() output
+    adapter_ids: Optional[jnp.ndarray] = None,  # (B,) int32 bank rows
 ) -> Tuple[jnp.ndarray, ...]:
     """All L layers for B lockstep rows in ONE kernel. Returns
     (hidden (B,1,K), k_new (L,B,D), v_new (L,B,D)); the caller writes the
@@ -478,12 +653,20 @@ def layers_decode_fused(
     running argmax are merged into the SAME kernel (greedy decode): two
     extra results (greedy token ids (B,) int32, winning logits (B,) f32)
     are appended, and the engine's fused tick is one pallas_call instead
-    of two."""
+    of two.
+
+    With ``lora_pack`` + ``adapter_ids`` each row's LoRA adapter applies
+    INSIDE the kernel (concat-basis: two dense dots + a per-row block
+    mask per target per layer), so multi-LoRA serving keeps the fused
+    tick instead of degrading to the XLA path."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     with_head = head_blk is not None
     if with_head:
         assert final_norm is not None and "w8_blk" in head_blk
+    with_lora = lora_pack is not None
+    if with_lora:
+        assert adapter_ids is not None
     k = x.shape[-1]
     b = x.shape[0]
     x2 = x.reshape(b, k)
@@ -599,6 +782,37 @@ def layers_decode_fused(
             head_blk["w8_blk"],
             head_blk["s_blk"],
         ]
+    if with_lora:
+        lp = lora_pack
+        G = lp["o_b"].shape[1]
+        nq = n_heads * head_dim
+        m1, m2, m3 = lora_row_masks(
+            jnp.asarray(adapter_ids, jnp.int32).reshape(-1), G,
+            lp["rank"], x.dtype,
+        )
+        in_specs += [
+            pl.BlockSpec((b, G), lambda l, s: (0, 0)),
+            pl.BlockSpec((b, 2 * G), lambda l, s: (0, 0)),
+            pl.BlockSpec((b, 3 * G), lambda l, s: (0, 0)),
+            pl.BlockSpec((1, k, 3 * G), lambda l, s: (l, 0, 0)),
+            pl.BlockSpec((1, 3 * G, nq2), lambda l, s: (l, 0, 0)),
+            pl.BlockSpec((1, nq, G), lambda l, s: (l, 0, 0)),
+            pl.BlockSpec((1, G, k), lambda l, s: (l, 0, 0)),
+            pl.BlockSpec((1, k, 2 * G), lambda l, s: (l, 0, 0)),
+            pl.BlockSpec((1, nc, G, bs), lambda l, s: (l, 0, 0, 0)),
+            pl.BlockSpec((1, nc, G, bs), lambda l, s: (l, 0, 0, 0)),
+            pl.BlockSpec((1, nc, bs, G), lambda l, s: (l, 0, 0, 0)),
+            pl.BlockSpec((1, G, k), lambda l, s: (l, 0, 0)),
+        ]
+        scratch_shapes += [pltpu.VMEM((b, G), jnp.float32)]
+        operands += [
+            m1, m2, m3,
+            lp["qkv_a"].astype(x.dtype), lp["qkv_b"].astype(x.dtype),
+            lp["o_a"].astype(x.dtype), lp["o_b"].astype(x.dtype),
+            lp["gu_a"].astype(x.dtype),
+            lp["gate_b"].astype(x.dtype), lp["up_b"].astype(x.dtype),
+            lp["down_a"].astype(x.dtype), lp["down_b"].astype(x.dtype),
+        ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -615,6 +829,7 @@ def layers_decode_fused(
             _kernel_all, n_layers=L, nc=nc, bs=bs, window=window,
             n_heads=n_heads, head_dim=head_dim, eps=eps,
             scale=head_dim**-0.5, batch=b, head=head_static,
+            lora=with_lora,
         ),
         grid_spec=grid_spec,
         out_shape=out_shape,

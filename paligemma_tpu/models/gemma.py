@@ -342,9 +342,16 @@ def forward(
     # stream (exact for padded batches — the kernel takes the real
     # validity-mask window and per-row positions).
     b = input_embeds.shape[0]
+    # multi-LoRA banks pre-packed for the fused kernel keep the fused
+    # path (in-kernel concat-basis deltas); other lora trees fall to XLA
+    lora_fused = (
+        lora is not None
+        and "__fused_pack__" in lora
+        and "__ids__" in lora.get("layers", {})
+    )
     if (
         fused_layer and s == 1 and b <= 32 and mesh is None
-        and lora is None and "qkv_s" in params["layers"]
+        and (lora is None or lora_fused) and "qkv_s" in params["layers"]
     ):
         # b <= 32 mirrors decode_layer.supported: beyond that the lockstep
         # VMEM window rings blow the scratch cap — oversized batches must
@@ -369,11 +376,18 @@ def forward(
         # ONE pallas_call instead of two (one ~217 us launch floor erased;
         # head chunk 0 streams behind the last layer's MLP). Falls back to
         # the split decode_head kernel when the head ring would blow VMEM.
+        lora_kw = {}
+        if lora_fused:
+            lora_kw = dict(
+                lora_pack=lora["__fused_pack__"],
+                adapter_ids=lora["layers"]["__ids__"][0],
+            )
         merged = (
             greedy_head
             and decode_layer.merged_head_fits(
                 params["layers"], params.get("head_q"), b, window, hd,
                 cache_bytes=k_flat.dtype.itemsize,
+                lora_pack=lora_kw.get("lora_pack"),
             )
         )
         tok = None
@@ -383,12 +397,13 @@ def forward(
                 cos[:, 0], sin[:, 0], window, cfg.num_attention_heads,
                 hd, cfg.rms_norm_eps,
                 head_blk=params["head_q"], final_norm=params["final_norm"],
+                **lora_kw,
             )
         else:
             x, k_news, v_news = decode_layer.layers_decode_fused(
                 x, params["layers"], k_flat, v_flat, cache_pos, valid_w,
                 cos[:, 0], sin[:, 0], window, cfg.num_attention_heads,
-                hd, cfg.rms_norm_eps,
+                hd, cfg.rms_norm_eps, **lora_kw,
             )
         k_news = k_news[:, :, None, :].astype(k_flat.dtype)  # (L, B, 1, D)
         v_news = v_news[:, :, None, :].astype(v_flat.dtype)

@@ -233,11 +233,13 @@ def lora_with_ids(
     layout gemma.forward_train uses."""
     if lora is None or adapter_ids is None:
         return lora
+    out = dict(lora)  # preserves extras, e.g. "__fused_pack__"
     layers = dict(lora["layers"])
     layers["__ids__"] = jnp.broadcast_to(
         adapter_ids[None, :], (n_layers, adapter_ids.shape[0])
     )
-    return {"layers": layers}
+    out["layers"] = layers
+    return out
 
 
 def train_attention_mask(
@@ -352,6 +354,8 @@ def decode_step_greedy(
     position_ids: jnp.ndarray,
     kv_bucket: Optional[int] = None,
     fused_layer: bool = True,
+    lora: Optional[Params] = None,  # multi-adapter bank (+"__fused_pack__")
+    adapter_ids: Optional[jnp.ndarray] = None,  # (B,) rows into the bank
 ) -> Tuple[jnp.ndarray, gemma.KVCache]:
     """Greedy single-token decode: returns (next_token (B,), new cache).
 
@@ -359,7 +363,11 @@ def decode_step_greedy(
     (B, 257k) logits row — the int8 head streams through a running-argmax
     Pallas kernel (kernels/decode_head.py). Falls back to XLA logits +
     argmax for shapes the kernels don't cover; tokens are identical either
-    way (the kernel reproduces the XLA path's bf16 logit rounding)."""
+    way (the kernel reproduces the XLA path's bf16 logit rounding).
+
+    A multi-LoRA bank carrying the fused-kernel pack
+    (kernels/decode_layer.repack_lora_bank_fused under "__fused_pack__")
+    keeps the fused tick: each row's adapter applies inside the kernel."""
     embeds = params["lm"]["embed"][token][:, None, :]
     tok, kv_cache = gemma.forward(
         params["lm"],
@@ -372,6 +380,9 @@ def decode_step_greedy(
         kv_bucket=kv_bucket,
         fused_layer=fused_layer,
         greedy_head=True,
+        lora=lora_with_ids(
+            lora, adapter_ids, cfg.text_config.num_hidden_layers
+        ),
     )
     return tok, kv_cache
 

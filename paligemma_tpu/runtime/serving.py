@@ -217,7 +217,11 @@ class ServingEngine:
             self._lora_index.update(
                 {n: i + 1 for i, n in enumerate(names)}
             )
-            fused_decode = False
+            if mesh is not None:
+                # TP/DP lora serving stays on the GSPMD XLA tick; the
+                # single-chip fused tick applies adapters IN-KERNEL via
+                # the concat-basis pack (built below after the repack)
+                fused_decode = False
         # Grammar-constrained decoding: requests name a compiled grammar
         # (processing/grammar.py TokenDFA) and the tick masks each ROW's
         # logits with that grammar's allowed-token row before every
@@ -293,6 +297,21 @@ class ServingEngine:
                     )
                 self.decode_params = dp
         self.fused_decode = fused_decode
+        self._lora_fused_pack = None
+        if fused_decode and self.lora_bank is not None:
+            # in-kernel multi-LoRA: the concat-basis blocks stream next
+            # to the base weights inside the grid-over-layers kernel
+            from ..kernels import decode_layer as _dl2
+
+            tc0 = config.text_config
+            gate_blk = self.decode_params["lm"]["layers"]["mlp"]["gate_blk"]
+            _, nc0, _, bs0 = gate_blk.shape
+            # eager (one-time, bank-sized): keeps "rank"/"g_true" static
+            self._lora_fused_pack = _dl2.repack_lora_bank_fused(
+                self.lora_bank["layers"], nc=nc0, bs=bs0,
+                n_heads=tc0.num_attention_heads,
+                head_dim=tc0.head_dim, hidden=tc0.hidden_size,
+            )
         # Speculative continuous batching (greedy-only): every decode window
         # becomes a scan of verify CYCLES — per row, the device-resident
         # n-gram proposer (ops/ngram.py) drafts spec_draft_k tokens and ONE
@@ -559,6 +578,10 @@ class ServingEngine:
                         params, cfg, token, cache,
                         cache_pos=write_pos, kv_valid=valid,
                         position_ids=state["pos_ids"], kv_bucket=kv_bucket,
+                        lora=lora,
+                        adapter_ids=(
+                            state["adapter"] if lora is not None else None
+                        ),
                     )
                 state = {
                     **state,  # preserves "adapter" (multi-LoRA) if present
@@ -961,7 +984,7 @@ class ServingEngine:
                     scratch_state, jnp.zeros((self.max_slots,), jnp.int32),
                     jax.random.PRNGKey(0), zeros_f + 1.0, zeros_f + 1.0,
                     jnp.zeros((self.max_slots,), bool),
-                    lora=self.lora_bank, gtable=self.grammar_table,
+                    lora=self._lora_arg(), gtable=self.grammar_table,
                     ticks=ticks, with_sampling=with_sampling,
                     kv_bucket=kv_bucket,
                 )
@@ -1295,6 +1318,16 @@ class ServingEngine:
                 self._generated[req.request_id] = 0
                 self._dispatched[req.request_id] = 0
 
+    def _lora_arg(self):
+        """Bank arg for decode windows: carries the fused-kernel pack so
+        the tick keeps the grid-over-layers kernel (in-kernel adapters);
+        rides jit ARGS, never closures (big-constant rule)."""
+        if self.lora_bank is None:
+            return None
+        if getattr(self, "_lora_fused_pack", None) is not None:
+            return {**self.lora_bank, "__fused_pack__": self._lora_fused_pack}
+        return self.lora_bank
+
     @property
     def has_work(self) -> bool:
         return bool(self.pending) or any(r is not None for r in self.slots)
@@ -1321,7 +1354,7 @@ class ServingEngine:
         )
         tokens, self.cache, self.state, self._key = self._decode_window(
             self.decode_params, self._tp_packed, self.cache, self.state,
-            lefts, self._key, temps_j, top_j, do_j, lora=self.lora_bank,
+            lefts, self._key, temps_j, top_j, do_j, lora=self._lora_arg(),
             gtable=self.grammar_table,
             ticks=ticks, with_sampling=with_sampling, kv_bucket=kv_bucket,
         )
