@@ -58,44 +58,7 @@ def _kernel_paged(
     start_ref,  # (B,) int32 first physical page IF the window is one run
     contig_ref,  # (B,) int32 1 => whole window physically consecutive
     pt_ref,  # (B, pb) int32 physical page ids (pre-clamped)
-    x_ref,  # (B, K)
-    cos_ref,  # (B, D)
-    sin_ref,  # (B, D)
-    cos_rep_ref,  # (B*H, D)
-    sin_rep_ref,  # (B*H, D)
-    bias_ref,  # (B, W) f32 additive mask
-    in_norm_ref,  # (1, 1, K) block at layer l
-    post_norm_ref,  # (1, 1, K)
-    qkv_w8_ref,  # (L, K, NQ) HBM
-    qkv_s_ref,  # (1, 1, NQ) block at l
-    o_w8_ref,  # (L, KO, K) HBM
-    o_s_ref,  # (1, 1, K)
-    gate_ref,  # (L, nc, K, bs) HBM
-    up_ref,  # (L, nc, K, bs) HBM
-    dn_ref,  # (L, I, K) HBM
-    gs_ref,  # (1, nc, bs)
-    us_ref,  # (1, nc, bs)
-    ds_ref,  # (1, 1, K)
-    k_pool_ref,  # (L, n_pages, ps, D) HBM
-    v_pool_ref,  # (L, n_pages, ps, D) HBM
-    out_ref,  # (B, K) — last grid step
-    k_new_ref,  # (1, B, D) block at l
-    v_new_ref,  # (1, B, D) block at l
-    # scratch:
-    a_buf,  # (B, NQ)
-    h_state,  # (B, K)
-    qkv_buf,  # (2, K, NQ) int8
-    o_buf,  # (2, KO, K) int8
-    kwin,  # (2, B, pb, ps, D)
-    vwin,  # (2, B, pb, ps, D)
-    gbuf,  # (2, K, bs) int8
-    ubuf,
-    dbuf,
-    acc,  # (B, K) f32
-    sems,  # DMA (5, 2) weight-stream semaphores
-    kvsems,  # DMA (2, 2, B) — one per (tensor, slot, row); page copies of
-    #          a row share it and are waited copy-by-copy (sflag budget)
-    *,
+    *refs,  # inputs, outputs, scratch — unpacked below
     n_layers: int,
     nc: int,
     bs: int,
@@ -107,7 +70,73 @@ def _kernel_paged(
     eps: float,
     scale: float,
     batch: int,
+    lora: bool = False,
 ):
+    # lora=True: concat-basis multi-LoRA operands ride the grid exactly
+    # as in decode_layer._kernel_all (same repack_lora_bank_fused layout)
+    refs = list(refs)
+    idx = 20
+    if lora:
+        (
+            m1_ref,  # (B, G) row block masks
+            m2_ref,  # (B, 2G)
+            m3_ref,  # (B, 3G)
+            qa_ref,  # (1, K, 3G) block at l
+            qb_ref,  # (1, 3G, NQ2)
+            oa_ref,  # (1, NQ, G)
+            ob_ref,  # (1, G, K)
+            gua_ref,  # (1, K, 2G)
+            gb_ref,  # (1, nc, G, bs)
+            ub_ref,  # (1, nc, G, bs)
+            da_ref,  # (1, nc, bs, G)
+            db_ref,  # (1, G, K)
+        ) = refs[idx : idx + 12]
+        idx += 12
+    outs = refs[idx : idx + 3]
+    tail = len(refs)
+    if lora:
+        za_buf = refs[tail - 1]  # (B, G) f32 — down-delta accumulator
+        tail -= 1
+    refs = refs[:20] + outs + refs[tail - 12 : tail]
+    (
+        x_ref,  # (B, K)
+        cos_ref,  # (B, D)
+        sin_ref,  # (B, D)
+        cos_rep_ref,  # (B*H, D)
+        sin_rep_ref,  # (B*H, D)
+        bias_ref,  # (B, W) f32 additive mask
+        in_norm_ref,  # (1, 1, K) block at layer l
+        post_norm_ref,  # (1, 1, K)
+        qkv_w8_ref,  # (L, K, NQ) HBM
+        qkv_s_ref,  # (1, 1, NQ) block at l
+        o_w8_ref,  # (L, KO, K) HBM
+        o_s_ref,  # (1, 1, K)
+        gate_ref,  # (L, nc, K, bs) HBM
+        up_ref,  # (L, nc, K, bs) HBM
+        dn_ref,  # (L, I, K) HBM
+        gs_ref,  # (1, nc, bs)
+        us_ref,  # (1, nc, bs)
+        ds_ref,  # (1, 1, K)
+        k_pool_ref,  # (L, n_pages, ps, D) HBM
+        v_pool_ref,  # (L, n_pages, ps, D) HBM
+        out_ref,  # (B, K) — last grid step
+        k_new_ref,  # (1, B, D) block at l
+        v_new_ref,  # (1, B, D) block at l
+        # scratch:
+        a_buf,  # (B, NQ)
+        h_state,  # (B, K)
+        qkv_buf,  # (2, K, NQ) int8
+        o_buf,  # (2, KO, K) int8
+        kwin,  # (2, B, pb, ps, D)
+        vwin,  # (2, B, pb, ps, D)
+        gbuf,  # (2, K, bs) int8
+        ubuf,
+        dbuf,
+        acc,  # (B, K) f32
+        sems,  # DMA (5, 2) weight-stream semaphores
+        kvsems,  # DMA (2, 2, B) — one per (tensor, slot, row); page copies
+        #          of a row share it, waited copy-by-copy (sflag budget)
+    ) = refs
     l = pl.program_id(0)
     lslot = jax.lax.rem(l, 2)
     nslot = jax.lax.rem(l + 1, 2)
@@ -204,12 +233,25 @@ def _kernel_paged(
     x = h_state[...]
     y = rmsnorm(x, in_norm_ref)
 
+    def lora_delta(inp, a_ref, mask_ref, b_ref):
+        # (x @ A_cat) * row-block-mask @ B_cat — alpha pre-folded in B
+        z = jax.lax.dot_general(
+            inp, a_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(inp.dtype) * mask_ref[...]
+        return jax.lax.dot_general(
+            z, b_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
     dma_qkv(l, lslot).wait()
     qkv = jax.lax.dot_general(
         y, qkv_buf[lslot].astype(y.dtype), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     qkv = (qkv * qkv_s_ref[0]).astype(y.dtype)  # (B, NQ)
+    if lora:
+        qkv = qkv + lora_delta(y, qa_ref, m3_ref, qb_ref).astype(y.dtype)
     nq = n_heads * head_dim
     k_new = qkv[:, nq : nq + head_dim]  # (B, D)
     v_new = qkv[:, nq + head_dim :]  # (B, D)
@@ -269,9 +311,18 @@ def _kernel_paged(
         preferred_element_type=jnp.float32,
     )
     x = x + (o * o_s_ref[0]).astype(x.dtype)
+    if lora:
+        x = x + lora_delta(a, oa_ref, m1_ref, ob_ref).astype(x.dtype)
 
     y2 = rmsnorm(x, post_norm_ref)
     acc[...] = jnp.zeros_like(acc)
+    if lora:
+        G = m1_ref.shape[1]
+        z2 = jax.lax.dot_general(
+            y2, gua_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(y2.dtype) * m2_ref[...]  # (B, 2G) masked gate|up basis
+        za_buf[...] = jnp.zeros_like(za_buf)
 
     def body(c, carry):
         s = cslot(l, c)
@@ -295,21 +346,41 @@ def _kernel_paged(
         g = jax.lax.dot_general(
             y2, gbuf[s].astype(y2.dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        ) * gs_ref[0, c]
         u = jax.lax.dot_general(
             y2, ubuf[s].astype(y2.dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
-        t = (gelu_tanh(g * gs_ref[0, c]) * (u * us_ref[0, c])).astype(y2.dtype)
+        ) * us_ref[0, c]
+        if lora:
+            g = g + jax.lax.dot_general(
+                z2[:, :G], gb_ref[0, c], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            u = u + jax.lax.dot_general(
+                z2[:, G:], ub_ref[0, c], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        t = (gelu_tanh(g) * u).astype(y2.dtype)
         dma_d(l, c, s).wait()
         acc[...] += jax.lax.dot_general(
             t, dbuf[s].astype(y2.dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if lora:
+            za_buf[...] += jax.lax.dot_general(
+                t, da_ref[0, c], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         return carry
 
     jax.lax.fori_loop(0, nc, body, 0)
     x = x + (acc[...] * ds_ref[0]).astype(x.dtype)
+    if lora:
+        zd = za_buf[...].astype(x.dtype) * m1_ref[...]
+        x = x + jax.lax.dot_general(
+            zd, db_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
     h_state[...] = x
 
     @pl.when(l == n_layers - 1)
@@ -330,12 +401,21 @@ def layers_decode_fused_paged(
     head_dim: int,
     eps: float,
     interpret: Optional[bool] = None,
+    lora_pack: Optional[Dict] = None,  # decode_layer.repack_lora_bank_fused
+    adapter_ids: Optional[jnp.ndarray] = None,  # (B,) int32 bank rows
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """All L layers for B lockstep rows in ONE kernel, windows read through
     the page table. Returns (hidden (B,1,K), k_new (L,B,D), v_new (L,B,D));
-    the caller scatters the fresh K/V into each row's current page."""
+    the caller scatters the fresh K/V into each row's current page.
+
+    ``lora_pack`` + ``adapter_ids``: per-row concat-basis LoRA applies
+    inside the kernel (same operands as decode_layer.layers_decode_fused),
+    so multi-LoRA paged serving keeps the fused tick."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    with_lora = lora_pack is not None
+    if with_lora:
+        assert adapter_ids is not None
     k = x.shape[-1]
     b = x.shape[0]
     x2 = x.reshape(b, k)
@@ -375,10 +455,7 @@ def layers_decode_fused_paged(
         0.0, -jnp.inf,
     ).astype(jnp.float32)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(L,),
-        in_specs=[
+    in_specs = [
             pl.BlockSpec((b, k), lambda l, *s: (0, 0)),
             pl.BlockSpec((b, head_dim), lambda l, *s: (0, 0)),
             pl.BlockSpec((b, head_dim), lambda l, *s: (0, 0)),
@@ -399,13 +476,8 @@ def layers_decode_fused_paged(
             pl.BlockSpec((1, 1, k), lambda l, *s: (l, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
-        ],
-        out_specs=[
-            pl.BlockSpec((b, k), lambda l, *s: (0, 0)),
-            pl.BlockSpec((1, b, head_dim), lambda l, *s: (l, 0, 0)),
-            pl.BlockSpec((1, b, head_dim), lambda l, *s: (l, 0, 0)),
-        ],
-        scratch_shapes=[
+    ]
+    scratch_shapes = [
             pltpu.VMEM((b, n_heads * head_dim), x.dtype),
             pltpu.VMEM((b, k), x.dtype),
             pltpu.VMEM((2, k, nq2), jnp.int8),
@@ -418,30 +490,8 @@ def layers_decode_fused_paged(
             pltpu.VMEM((b, k), jnp.float32),
             pltpu.SemaphoreType.DMA((5, 2)),
             pltpu.SemaphoreType.DMA((2, 2, b)),
-        ],
-    )
-    out, k_new, v_new = pl.pallas_call(
-        functools.partial(
-            _kernel_paged, n_layers=L, nc=nc, bs=bs, pb=pb, page_size=ps,
-            n_pages=n_pages, n_heads=n_heads, head_dim=head_dim, eps=eps,
-            scale=head_dim**-0.5, batch=b,
-        ),
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((b, k), x.dtype),
-            jax.ShapeDtypeStruct((L, b, head_dim), cdtype),
-            jax.ShapeDtypeStruct((L, b, head_dim), cdtype),
-        ],
-        interpret=interpret,
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=110 * 1024 * 1024,
-        ),
-    )(
-        write_pos,
-        start,
-        contig,
-        pt_clamped,
+    ]
+    operands = [
         x2,
         cos.astype(x.dtype).reshape(b, head_dim),
         sin.astype(x.dtype).reshape(b, head_dim),
@@ -462,5 +512,74 @@ def layers_decode_fused_paged(
         mlp["ds"],
         k_pool,
         v_pool,
+    ]
+    if with_lora:
+        from . import decode_layer as _dl
+
+        lp = lora_pack
+        G = lp["o_b"].shape[1]
+        nq = n_heads * head_dim
+        m1, m2, m3 = _dl.lora_row_masks(
+            jnp.asarray(adapter_ids, jnp.int32).reshape(-1), G,
+            lp["rank"], x.dtype,
+        )
+        in_specs += [
+            pl.BlockSpec((b, G), lambda l, *s: (0, 0)),
+            pl.BlockSpec((b, 2 * G), lambda l, *s: (0, 0)),
+            pl.BlockSpec((b, 3 * G), lambda l, *s: (0, 0)),
+            pl.BlockSpec((1, k, 3 * G), lambda l, *s: (l, 0, 0)),
+            pl.BlockSpec((1, 3 * G, nq2), lambda l, *s: (l, 0, 0)),
+            pl.BlockSpec((1, nq, G), lambda l, *s: (l, 0, 0)),
+            pl.BlockSpec((1, G, k), lambda l, *s: (l, 0, 0)),
+            pl.BlockSpec((1, k, 2 * G), lambda l, *s: (l, 0, 0)),
+            pl.BlockSpec((1, nc, G, bs), lambda l, *s: (l, 0, 0, 0)),
+            pl.BlockSpec((1, nc, G, bs), lambda l, *s: (l, 0, 0, 0)),
+            pl.BlockSpec((1, nc, bs, G), lambda l, *s: (l, 0, 0, 0)),
+            pl.BlockSpec((1, G, k), lambda l, *s: (l, 0, 0)),
+        ]
+        scratch_shapes += [pltpu.VMEM((b, G), jnp.float32)]
+        operands += [
+            m1, m2, m3,
+            lp["qkv_a"].astype(x.dtype), lp["qkv_b"].astype(x.dtype),
+            lp["o_a"].astype(x.dtype), lp["o_b"].astype(x.dtype),
+            lp["gu_a"].astype(x.dtype),
+            lp["gate_b"].astype(x.dtype), lp["up_b"].astype(x.dtype),
+            lp["down_a"].astype(x.dtype), lp["down_b"].astype(x.dtype),
+        ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(L,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((b, k), lambda l, *s: (0, 0)),
+            pl.BlockSpec((1, b, head_dim), lambda l, *s: (l, 0, 0)),
+            pl.BlockSpec((1, b, head_dim), lambda l, *s: (l, 0, 0)),
+        ],
+        scratch_shapes=scratch_shapes,
+    )
+    out, k_new, v_new = pl.pallas_call(
+        functools.partial(
+            _kernel_paged, n_layers=L, nc=nc, bs=bs, pb=pb, page_size=ps,
+            n_pages=n_pages, n_heads=n_heads, head_dim=head_dim, eps=eps,
+            scale=head_dim**-0.5, batch=b, lora=with_lora,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, k), x.dtype),
+            jax.ShapeDtypeStruct((L, b, head_dim), cdtype),
+            jax.ShapeDtypeStruct((L, b, head_dim), cdtype),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )(
+        write_pos,
+        start,
+        contig,
+        pt_clamped,
+        *operands,
     )
     return out.reshape(b, 1, k), k_new, v_new

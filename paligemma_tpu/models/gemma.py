@@ -611,6 +611,8 @@ def forward_paged_decode_fused(
     page_table: jnp.ndarray,  # (B, P_max) int32
     write_pos: jnp.ndarray,  # (B,) int32
     pages_bucket: int,
+    lora_pack=None,  # kernels/decode_layer.repack_lora_bank_fused output
+    adapter_ids=None,  # (B,) int32 bank rows
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Paged decode through the grid-over-layers fused kernel with
     IN-KERNEL page-table window reads (kernels/decode_layer_paged).
@@ -649,6 +651,7 @@ def forward_paged_decode_fused(
         x, params["layers"], k_flat, v_flat,
         page_table[:, :pb].astype(jnp.int32), write_pos,
         cos[:, 0], sin[:, 0], cfg.num_attention_heads, hd, cfg.rms_norm_eps,
+        lora_pack=lora_pack, adapter_ids=adapter_ids,
     )
 
     # scatter the fresh K/V into each row's current page (pages shared

@@ -455,10 +455,11 @@ def decode_step_paged(
     """Single-token decode over the paged KV pool (runtime.paged_cache).
     Returns ((B, vocab) logits, new pool). See gemma.forward_paged_decode.
 
-    ``lora`` rides only the page-walk/XLA variants (the projections stay
-    XLA ops there, so the rank-r deltas compose; the grid-over-layers
-    fused/staged kernels never expose per-layer activations — the serving
-    engine degrades ``paged_kernel`` when a bank is configured).
+    ``lora`` on the page-walk/XLA variants rides the XLA projections (the
+    rank-r deltas compose there). On ``paged_kernel="fused"`` a bank
+    carrying "__fused_pack__" (kernels/decode_layer
+    repack_lora_bank_fused) applies IN-KERNEL via the concat-basis dots;
+    a bank without the pack, or the "staged" hybrid, still rejects.
 
     ``paged_kernel="staged"`` takes the staging hybrid instead of the
     page-walk kernels: gather the window dense, run the fused dense layer
@@ -466,10 +467,16 @@ def decode_step_paged(
     The caller (PagedServingEngine) is responsible for having repacked
     ``params["lm"]["layers"]`` via kernels.decode_layer.repack_layers."""
     embeds = params["lm"]["embed"][token][:, None, :]  # (B, 1, H)
-    if lora is not None and paged_kernel in ("fused", "staged"):
+    lora_fused = lora is not None and "__fused_pack__" in lora
+    if lora is not None and (
+        paged_kernel == "staged"
+        or (paged_kernel == "fused" and not lora_fused)
+    ):
         raise ValueError(
-            "LoRA adapters do not thread through the fused/staged paged "
-            "kernels — use a page-walk variant (multi/runs/batched/xla)"
+            "LoRA adapters do not thread through the staged paged kernel "
+            "(or a fused tick without the __fused_pack__ operands) — use "
+            "a page-walk variant (multi/runs/batched/xla) or attach the "
+            "fused pack"
         )
     if paged_kernel == "fused":
         # grid-over-layers fused kernel with in-kernel page-table window
@@ -485,6 +492,8 @@ def decode_step_paged(
             page_table,
             write_pos,
             pages_bucket=pages_bucket or page_table.shape[1],
+            lora_pack=lora["__fused_pack__"] if lora_fused else None,
+            adapter_ids=adapter_ids if lora_fused else None,
         )
     elif paged_kernel == "staged":
         logits, pool = gemma.forward_paged_decode_staged(

@@ -216,7 +216,11 @@ class PagedServingEngine(ServingEngine):
                 # model-sharded activations; the XLA gather tick can
                 paged_kernel = "xla"
                 self.paged_kernel = "xla"
-            elif paged_kernel in ("staged", "fused"):
+            elif paged_kernel == "staged":
+                # the staging hybrid never threads adapters; "fused" now
+                # KEEPS the fused tick on a single chip — the bank applies
+                # in-kernel via the concat-basis pack (round 5; built
+                # below once the layer repack confirms the geometry)
                 paged_kernel = "multi"
                 self.paged_kernel = "multi"
         if (mesh is not None and int(mesh.shape.get("model", 1)) > 1
@@ -273,6 +277,17 @@ class PagedServingEngine(ServingEngine):
                     dp["lm"]["layers"]
                 )
                 self.decode_params = dp
+                if self.lora_bank is not None:
+                    # in-kernel multi-LoRA operands for the fused paged
+                    # tick (same pack as the dense engine's fused tick)
+                    tc0 = config.text_config
+                    gate_blk = dp["lm"]["layers"]["mlp"]["gate_blk"]
+                    _, nc0, _, bs0 = gate_blk.shape
+                    self._lora_fused_pack = _dl.repack_lora_bank_fused(
+                        self.lora_bank["layers"], nc=nc0, bs=bs0,
+                        n_heads=tc0.num_attention_heads,
+                        head_dim=tc0.head_dim, hidden=tc0.hidden_size,
+                    )
             else:
                 self.paged_kernel = "multi"  # graceful degrade
         # page-aligned prefill buckets: a short prompt occupies exactly its
@@ -1191,7 +1206,7 @@ class PagedServingEngine(ServingEngine):
         tokens, self.cache, self.state, self._key = self._decode_window_paged(
             self.decode_params, self.cache, self.state, page_table,
             lefts, self._key, temps_j, top_j, do_j,
-            lora=self.lora_bank, gtable=self.grammar_table,
+            lora=self._lora_arg(), gtable=self.grammar_table,
             ticks=ticks, with_sampling=with_sampling,
             pages_bucket=pages_bucket, kernel=kernel,
         )
@@ -1294,7 +1309,7 @@ class PagedServingEngine(ServingEngine):
                     jnp.zeros((self.max_slots,), jnp.int32),
                     jax.random.PRNGKey(0), zeros_f + 1.0, zeros_f + 1.0,
                     jnp.zeros((self.max_slots,), bool),
-                    lora=self.lora_bank, gtable=self.grammar_table,
+                    lora=self._lora_arg(), gtable=self.grammar_table,
                     ticks=ticks, with_sampling=with_sampling,
                     pages_bucket=pb, kernel=self._kernel_for_bucket(pb),
                 )

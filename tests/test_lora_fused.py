@@ -103,6 +103,37 @@ def test_fused_bank_adapters_change_tokens(setup):
     assert list(base[0]) != list(wx[0])
 
 
+def _run_paged(params, qparams, adapters, reqs, kernel):
+    from paligemma_tpu.runtime.serving_paged import PagedServingEngine
+
+    eng = PagedServingEngine(
+        params, CFG, max_slots=4, max_seq_len=64, page_size=16, n_pages=24,
+        use_flash=False, decode_params=qparams, paged_kernel=kernel,
+        lora_bank=adapters, sync_every=2,
+    )
+    if kernel == "fused":
+        assert eng.paged_kernel == "fused", eng.paged_kernel
+        assert eng._lora_fused_pack is not None
+    for r in reqs:
+        eng.submit(r)
+    eng.run_to_completion()
+    return {r.request_id: list(r.tokens) for r in reqs}
+
+
+def test_paged_fused_bank_matches_page_walk(setup):
+    """The paged fused tick with in-kernel adapters equals the XLA
+    page-walk bank tick row for row (mixed base/x/y batch)."""
+    params, qparams, adapters = setup
+    mk = lambda: [
+        _req(0, 1, 6, 8, lora=None), _req(1, 2, 5, 8, lora="x"),
+        _req(2, 3, 7, 8, lora="y"), _req(3, 4, 4, 8, lora="x"),
+    ]
+    got = _run_paged(params, qparams, adapters, mk(), "fused")
+    want = _run_paged(params, qparams, adapters, mk(), "xla")
+    for rid in want:
+        np.testing.assert_array_equal(got[rid], want[rid], err_msg=str(rid))
+
+
 def test_fused_pack_shapes():
     from paligemma_tpu.kernels import decode_layer
     from paligemma_tpu.train.lora import stack_lora_bank
