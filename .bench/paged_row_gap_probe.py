@@ -11,8 +11,12 @@ Phases, all fori_loop-in-jit with a carried data dependency
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python .bench/paged_row_gap_probe.py [B] [W]
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import timing  # noqa: F401,E402  (sets the persistent compile cache)
 
 import jax
 import jax.numpy as jnp
@@ -31,11 +35,15 @@ STEPS = 50
 
 cfg = paligemma_3b_224()
 tc = cfg.text_config
+t0 = time.time()
 params = paligemma.init_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+print(f"init_params: {time.time() - t0:.1f}s", flush=True)
+t0 = time.time()
 q = quantize_lm_for_serving(params)
 del params
 lm = dict(q["lm"])
 lm["layers"] = jax.jit(decode_layer.repack_layers)(lm["layers"])
+print(f"quantize+repack: {time.time() - t0:.1f}s", flush=True)
 L = tc.num_hidden_layers
 hd = tc.head_dim
 K = tc.hidden_size
@@ -127,7 +135,7 @@ emb = lm["embed"]
 
 
 @jax.jit
-def dense_glue(tok, kc, vc):
+def dense_glue(qlm, tok, kc, vc):
     def body(i, carry):
         tok, kc, vc = carry
         t, cache = paligemma.decode_step_greedy(
@@ -146,15 +154,15 @@ def dense_glue(tok, kc, vc):
 
 tok0 = jnp.full((B,), 7, jnp.int32)
 print(f"  dense glue (decode_step_greedy): "
-      f"{timeit(dense_glue, tok0, kc, vc):.3f}", flush=True)
+      f"{timeit(dense_glue, qlm, tok0, kc, vc):.3f}", flush=True)
 
 
 @jax.jit
-def paged_glue(tok, kp, vp):
+def paged_glue(qlm, tok, kp, vp):
     def body(i, carry):
         tok, kp, vp = carry
         logits, pool = gemma.forward_paged_decode_fused(
-            qlm["lm"], tc, emb[tok][:, None, :],
+            qlm["lm"], tc, qlm["lm"]["embed"][tok][:, None, :],
             jnp.full((B, 1), W - 1, jnp.int32),
             {"k": kp.reshape(L, n_pages, PS, 1, hd),
              "v": vp.reshape(L, n_pages, PS, 1, hd)},
@@ -170,4 +178,4 @@ def paged_glue(tok, kp, vp):
 
 
 print(f"  paged glue (forward_paged_decode_fused + XLA head): "
-      f"{timeit(paged_glue, tok0, kp, vp):.3f}", flush=True)
+      f"{timeit(paged_glue, qlm, tok0, kp, vp):.3f}", flush=True)

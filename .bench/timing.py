@@ -12,10 +12,21 @@ Valid when per-call device time exceeds the ~0.7-2 ms host dispatch rate
 For lighter calls, raise k until k*device >> 40 ms or loop in-jit.
 """
 
+import os
 import time
 
 import jax
 import numpy as np
+
+# Share bench.py's persistent compilation cache: the remote compiler charges
+# 30-300 s per 3B executable, and each round starts on a fresh box with an
+# empty cache — probes that skip this line pay every compile from scratch.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 
 def sync(x):

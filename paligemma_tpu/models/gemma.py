@@ -613,9 +613,16 @@ def forward_paged_decode_fused(
     pages_bucket: int,
     lora_pack=None,  # kernels/decode_layer.repack_lora_bank_fused output
     adapter_ids=None,  # (B,) int32 bank rows
+    greedy_head: bool = False,  # return argmax token ids, not logits
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Paged decode through the grid-over-layers fused kernel with
     IN-KERNEL page-table window reads (kernels/decode_layer_paged).
+
+    ``greedy_head=True`` streams the int8 head with the fused running
+    argmax (kernels/decode_head) instead of materializing the (B, 257k)
+    fp32 logits — the greedy serving fast path (mirrors the dense
+    engine's decode_step_greedy tick). Requires params["head_q"] with
+    the blocked repack.
 
     Supersedes the staging hybrid for the common case: a pallas_call
     costs ~217 us of launch floor on this runtime
@@ -670,7 +677,16 @@ def forward_paged_decode_fused(
         new_v = jax.lax.dynamic_update_slice(new_v, vr, idx)
 
     h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
+    if greedy_head and "w8_blk" in params.get("head_q", {}):
+        from ..kernels.decode_head import head_argmax_fused
+
+        tok = head_argmax_fused(h, params["head_q"])  # (B,)
+        return tok, {"k": new_k, "v": new_v}
     logits = lm_head(params, h).astype(jnp.float32)
+    if greedy_head:
+        return jnp.argmax(logits[:, -1], -1).astype(jnp.int32), {
+            "k": new_k, "v": new_v,
+        }
     return logits, {"k": new_k, "v": new_v}
 
 

@@ -528,6 +528,47 @@ def decode_step_paged(
     return logits[:, 0, :], pool
 
 
+def decode_step_greedy_paged(
+    params: Params,
+    cfg: PaliGemmaConfig,
+    token: jnp.ndarray,  # (B,) int32
+    pool: gemma.KVCache,
+    page_table: jnp.ndarray,  # (B, P_max) int32
+    write_pos: jnp.ndarray,  # (B,) int32
+    position_ids: jnp.ndarray,  # (B,) int32
+    pages_bucket=None,
+    lora: Optional[Params] = None,  # bank carrying "__fused_pack__"
+    adapter_ids: Optional[jnp.ndarray] = None,  # (B,) rows into the bank
+) -> Tuple[jnp.ndarray, gemma.KVCache]:
+    """Greedy paged tick: returns (next_token (B,), new pool) WITHOUT
+    materializing the (B, 257k) logits — the fused paged layer kernel
+    feeds the int8 head's running-argmax kernel (kernels/decode_head),
+    mirroring the dense engine's decode_step_greedy. Tokens are identical
+    to ``argmax(decode_step_paged(...))`` (the head kernel reproduces the
+    XLA path's bf16 logit rounding). Caller contract: repacked layers
+    (kernels.decode_layer.repack_layers) — the "fused" tick geometry."""
+    embeds = params["lm"]["embed"][token][:, None, :]
+    lora_fused = lora is not None and "__fused_pack__" in lora
+    if lora is not None and not lora_fused:
+        raise ValueError(
+            "greedy paged tick needs the fused bank pack (__fused_pack__)"
+        )
+    tok, pool = gemma.forward_paged_decode_fused(
+        params["lm"],
+        cfg.text_config,
+        embeds,
+        position_ids[:, None],
+        pool,
+        page_table,
+        write_pos,
+        pages_bucket=pages_bucket or page_table.shape[1],
+        lora_pack=lora["__fused_pack__"] if lora_fused else None,
+        adapter_ids=adapter_ids if lora_fused else None,
+        greedy_head=True,
+    )
+    return tok, pool
+
+
 def decode_verify_paged(
     params: Params,
     cfg: PaliGemmaConfig,

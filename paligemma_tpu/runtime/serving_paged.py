@@ -271,11 +271,19 @@ class PagedServingEngine(ServingEngine):
                 and max_slots // self.dp <= 32
             )
             if staged_ok:
+                from ..kernels import decode_head as _dh
+
                 dp = dict(self.decode_params)
                 dp["lm"] = dict(dp["lm"])
                 dp["lm"]["layers"] = jax.jit(_dl.repack_layers)(
                     dp["lm"]["layers"]
                 )
+                if "head_q" in dp["lm"]:
+                    # blocked head repack for the greedy fast path's
+                    # running-argmax kernel (kernels/decode_head)
+                    dp["lm"]["head_q"] = jax.jit(_dh.repack_head)(
+                        dp["lm"]["head_q"]
+                    )
                 self.decode_params = dp
                 if self.lora_bank is not None:
                     # in-kernel multi-LoRA operands for the fused paged
@@ -373,6 +381,40 @@ class PagedServingEngine(ServingEngine):
                         temps, top_ps, do_samples, with_sampling=False,
                         pages_bucket=None, kernel=None, lora=None,
                         gtable=None):
+            k = kernel or self.paged_kernel
+            if (not with_sampling and gtable is None and k == "fused"
+                    and self.mesh is None):
+                # greedy fast path (round 5): the fused paged kernel feeds
+                # the int8 head's running-argmax kernel and the (B, 257k)
+                # fp32 logits never materialize — the single largest glue
+                # cost of the paged tick vs the dense engine's fused
+                # greedy tick (.bench/paged_row_gap_probe.py: the paged
+                # KERNEL is at per-row parity with dense; the gap was the
+                # XLA head + logits carry). Selection reads the carried
+                # next_tok (maintained by every logits-materializing
+                # path), exactly like runtime/serving.py's fused tick.
+                token = state["next_tok"]
+                write_pos = state["write_pos"]
+                next_tok, pool = paligemma.decode_step_greedy_paged(
+                    params, cfg, token, pool, page_table,
+                    write_pos=write_pos, position_ids=state["pos_ids"],
+                    pages_bucket=pages_bucket,
+                    lora=lora,
+                    adapter_ids=(
+                        state["adapter"] if lora is not None else None
+                    ),
+                )
+                inc = active.astype(jnp.int32)
+                state = {
+                    **state,  # preserves "adapter" extras if present
+                    "write_pos": write_pos + inc,
+                    "pos_ids": state["pos_ids"] + inc,
+                    "logits": state["logits"],  # stale; greedy never reads
+                    "next_tok": jnp.where(
+                        active, next_tok, state["next_tok"]
+                    ),
+                }
+                return token, pool, state
             logits = state["logits"]
             if gtable is not None:
                 # constrain selection to each row's LIVE DFA state (stored
@@ -466,11 +508,24 @@ class PagedServingEngine(ServingEngine):
                     adapter_ids=state["adapter"] if lora is not None else None,
                 )
             inc = active.astype(jnp.int32)
+            # keep the carried pending-greedy token consistent with what
+            # the next tick's argmax-of-stored-logits would select (masked
+            # by the DFA state just advanced), so windows can switch
+            # between this variant and the fused greedy fast path freely
+            sel2 = new_logits
+            if gtable is not None:
+                allowed2 = gtable[state["gid"], extras["dstate"]] >= 0
+                sel2 = jnp.where(allowed2, new_logits, -jnp.inf)
             state = {
                 **state,  # preserves "adapter"/"gid" extras if present
                 "write_pos": write_pos + inc,
                 "pos_ids": state["pos_ids"] + inc,
                 "logits": jnp.where(active[:, None], new_logits, state["logits"]),
+                "next_tok": jnp.where(
+                    active,
+                    jnp.argmax(sel2, -1).astype(jnp.int32),
+                    state["next_tok"],
+                ),
                 **extras,
             }
             return token, pool, state
@@ -502,17 +557,22 @@ class PagedServingEngine(ServingEngine):
                     "gid": state["gid"].at[slot].set(gid),
                     "dstate": state["dstate"].at[slot].set(0),
                 }
+            # pending greedy token: what the first tick's argmax-of-stored-
+            # logits would select (grammar START mask applied) — keeps
+            # next_tok consistent for the fused greedy fast path and spec
+            sel = logits_row
+            if gid is not None and gtable is not None:
+                sel = jnp.where(gtable[gid, 0] >= 0, sel, -jnp.inf)
+            next_tok = jnp.argmax(sel, -1).astype(jnp.int32)
+            state = {
+                **state,
+                "next_tok": state["next_tok"].at[slot].set(next_tok),
+            }
             if spec_decode:
-                # seed the row's pending token, n-gram history (prompt +
-                # the not-yet-emitted next token), and device budget —
-                # mirrors the dense engine's _insert (runtime/serving.py)
+                # seed the row's n-gram history (prompt + the not-yet-
+                # emitted next token) and device budget — mirrors the
+                # dense engine's _insert (runtime/serving.py)
                 zero = jnp.zeros((), jnp.int32)
-                sel = logits_row
-                if gid is not None and gtable is not None:
-                    # the first pending token obeys the grammar's START
-                    # state (stored logits stay unmasked by convention)
-                    sel = jnp.where(gtable[gid, 0] >= 0, sel, -jnp.inf)
-                next_tok = jnp.argmax(sel, -1).astype(jnp.int32)
                 ids_row = jax.lax.dynamic_slice_in_dim(
                     ids1, row, 1, axis=0
                 )[0]
@@ -523,7 +583,6 @@ class PagedServingEngine(ServingEngine):
                 hist_row = hist_row.at[prompt_len].set(next_tok)
                 state = {
                     **state,
-                    "next_tok": state["next_tok"].at[slot].set(next_tok),
                     "hist": state["hist"].at[slot].set(hist_row),
                     "left": state["left"].at[slot].set(max_new),
                 }
@@ -794,11 +853,14 @@ class PagedServingEngine(ServingEngine):
             "logits": jnp.zeros(
                 (self.max_slots, self.config.vocab_size), jnp.float32
             ),
+            # pending greedy token (argmax of the last materialized logits,
+            # grammar-masked at store time) — read by the fused greedy fast
+            # path instead of re-argmaxing stored logits, and by spec
+            "next_tok": jnp.zeros((self.max_slots,), jnp.int32),
         }
         if getattr(self, "spec_decode", False):
-            # spec extras (mirrors the dense engine): pending seed token,
-            # n-gram history, device-side remaining budgets
-            state["next_tok"] = jnp.zeros((self.max_slots,), jnp.int32)
+            # spec extras (mirrors the dense engine): n-gram history,
+            # device-side remaining budgets
             state["hist"] = jnp.zeros(
                 (self.max_slots, self.max_seq_len), jnp.int32
             )

@@ -633,6 +633,76 @@ def test_paged_engine_fused_kernels_match_walk(kernel):
         np.testing.assert_array_equal(a, b)
 
 
+def test_paged_fused_greedy_fast_path_survives_sampling_windows():
+    """The round-5 fused greedy fast path (paged tick reads the carried
+    next_tok, logits stay stale) must stay token-exact when windows
+    SWITCH variants: while a sampling request is active the tick
+    materializes logits (next_tok maintained there); once it drains, the
+    greedy fast path resumes from the carried token. Greedy requests'
+    tokens must match the all-XLA page-walk engine exactly."""
+    from paligemma_tpu.core.config import (
+        GemmaConfig,
+        PaliGemmaConfig,
+        SiglipVisionConfig,
+    )
+    from paligemma_tpu.runtime.quantize import quantize_lm_for_serving
+
+    cfg = PaliGemmaConfig(
+        vision_config=SiglipVisionConfig(
+            image_size=28, patch_size=14, hidden_size=64,
+            intermediate_size=128, num_hidden_layers=2,
+            num_attention_heads=4, projection_dim=128,
+        ),
+        text_config=GemmaConfig(
+            vocab_size=256, hidden_size=128, intermediate_size=512,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=1, head_dim=128,
+            max_position_embeddings=256,
+        ),
+        projection_dim=128, hidden_size=128, image_token_index=250,
+        vocab_size=256,
+    )
+    params = paligemma.init_params(jax.random.PRNGKey(5), cfg, jnp.float32)
+    q = quantize_lm_for_serving(params)
+
+    def reqs():
+        out = []
+        rng = np.random.default_rng(77)
+        # request 0 samples for its first 3 tokens (forces with_sampling
+        # windows while it lives); 1 and 2 are greedy and outlive it
+        for i, (max_new, sample) in enumerate(((3, True), (8, False),
+                                               (7, False))):
+            ids = np.concatenate(
+                [[cfg.image_token_index] * 4, rng.integers(5, 200, 3 + i)]
+            ).astype(np.int32)
+            out.append(Request(
+                request_id=i,
+                pixel_values=np.asarray(
+                    np.random.default_rng(i).normal(size=(3, 28, 28)),
+                    np.float32),
+                input_ids=ids, max_new_tokens=max_new, eos_token_id=-1,
+                do_sample=sample, temperature=0.9, top_p=0.9,
+            ))
+        return out
+
+    def run(kernel):
+        eng = PagedServingEngine(
+            q, cfg, max_slots=3, max_seq_len=64, page_size=16,
+            use_flash=False, paged_kernel=kernel,
+        )
+        for r in reqs():
+            eng.submit(r)
+        done = sorted(eng.run_to_completion(), key=lambda r: r.request_id)
+        return [np.asarray(r.tokens) for r in done]
+
+    ref = run("multi")
+    fus = run("fused")
+    # greedy rows must be exact; the sampled row draws through the same
+    # key schedule but float rounding may differ between kernels
+    for i in (1, 2):
+        np.testing.assert_array_equal(ref[i], fus[i])
+
+
 def _tp_cfg(vocab=256):
     """MQA int8-TP-compatible geometry (mirrors test_decode_layer_tp)."""
     from paligemma_tpu.core.config import (
