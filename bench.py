@@ -393,7 +393,9 @@ def main():
         eng = ServingEngine(
             qparams, cfg, max_slots=16, max_seq_len=512,
             decode_params=qparams, fused_decode=True, sync_every=8,
+            int8_act_prefill=True,
         )
+        extra["serving_prefill_precision"] = "int8-w8a8"
         return _timed_serving(eng, 16)
 
     if qparams is not None:
@@ -423,6 +425,7 @@ def main():
             qparams, cfg, max_slots=24, max_seq_len=512, page_size=64,
             n_pages=16 * 512 // 64,  # == the dense engine's reservation
             decode_params=qparams, sync_every=8,
+            int8_act_prefill=True,
         )
         bucket = 64 * (-(-266 // 64))  # page-aligned prompt bucket
         n = min(24, eng.paged.n_pages // (eng.paged.pages_for(bucket) + 1))
@@ -543,6 +546,20 @@ def main():
         lg, _ = eng8.prefill(px, i8, m8)
         _sync(lg)
         extra["ttft_896px_ms"] = round((time.perf_counter() - t0) * 1e3, 1)
+        # W8A8 prefill (round 5): int8 x int8 MXU dots for the 4106-token
+        # LM chain (~1.5x the bf16-convert dot at prefill shapes,
+        # .bench/int8_prefill_probe.py); tokens/logit fidelity covered by
+        # tests/test_quant.py::test_w8a8_prefill_*
+        eng8b = PaliGemmaEngine(q8, cfg8, max_seq_len=8192, eos_token_id=1,
+                                int8_act_prefill=True)
+        lg, _ = eng8b.prefill(px, i8, m8)
+        _sync(lg)
+        t0 = time.perf_counter()
+        lg, _ = eng8b.prefill(px, i8, m8)
+        _sync(lg)
+        extra["ttft_896px_w8a8_ms"] = round(
+            (time.perf_counter() - t0) * 1e3, 1
+        )
         return tok
 
     extra["int8_896px_decode_tokens_per_sec"] = attempt("896px", px896)

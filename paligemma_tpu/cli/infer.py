@@ -39,6 +39,10 @@ def _main(argv=None):
     p.add_argument("--do_sample", action="store_true")
     p.add_argument("--only_cpu", action="store_true")
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--int8_prefill", action="store_true",
+                   help="prefill from the int8 tree too (single weight "
+                        "copy in HBM; W8A8 MXU prefill). Requires "
+                        "--quantize_int8")
     p.add_argument("--quantize_int8", action="store_true",
                    help="int8 weight-only quantization of the decoder")
     p.add_argument("--max_seq_len", type=int, default=1024)
@@ -107,12 +111,18 @@ def _main(argv=None):
     # so size it up front instead of silently clamping writes)
     need = inputs["input_ids"].shape[1] + args.max_tokens_to_generate
     max_seq_len = max(args.max_seq_len, ((need + 127) // 128) * 128)
+    int8_act_prefill = False
+    if getattr(args, "int8_prefill", False):
+        require(args.quantize_int8, "--int8_prefill requires --quantize_int8")
+        params = decode_params  # single-copy: the bf16 tree is dropped
+        int8_act_prefill = True
     engine = PaliGemmaEngine(
         params, config,
         max_seq_len=max_seq_len,
         eos_token_id=tokenizer.eos_token_id,
         decode_params=decode_params,
         mesh=mesh,
+        int8_act_prefill=int8_act_prefill,
     )
     print("Running inference")
     if args.speculative:

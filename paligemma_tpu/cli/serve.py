@@ -110,6 +110,10 @@ def _build_parser():
                    help="default per-request budget")
     p.add_argument("--quantize_int8", action="store_true",
                    help="int8 weight-only decode (recommended)")
+    p.add_argument("--int8_prefill", action="store_true",
+                   help="prefill from the int8 tree too (drops the bf16 "
+                        "copy from HBM; W8A8 MXU prefill dots). Requires "
+                        "--quantize_int8")
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--only_cpu", action="store_true")
@@ -158,6 +162,11 @@ def build_server(args):
     decode_params = (
         quantize_lm_for_serving(params) if args.quantize_int8 else None
     )
+    int8_act_prefill = False
+    if getattr(args, "int8_prefill", False):
+        require(args.quantize_int8, "--int8_prefill requires --quantize_int8")
+        params = decode_params  # single-copy serving: bf16 tree dropped
+        int8_act_prefill = True
     tokenizer = AutoTokenizer.from_pretrained(
         args.model_path, padding_side="right")
     processor = PaliGemmaProcessor(
@@ -235,6 +244,7 @@ def build_server(args):
             prefix_cache=args.prefix_cache,
             spec_decode=args.spec_decode, spec_draft_k=args.spec_draft_k,
             lora_bank=lora_bank, grammars=grammars,
+            int8_act_prefill=int8_act_prefill,
         )
     else:
         engine = ServingEngine(
@@ -244,6 +254,7 @@ def build_server(args):
             prefix_cache=args.prefix_cache,
             spec_decode=args.spec_decode, spec_draft_k=args.spec_draft_k,
             lora_bank=lora_bank, grammars=grammars,
+            int8_act_prefill=int8_act_prefill,
         )
 
     return _Server(engine, processor, tokenizer, args.max_new_tokens)

@@ -89,7 +89,32 @@ def _xla_int8_matmul(x: jnp.ndarray, w8: jnp.ndarray, s: jnp.ndarray) -> jnp.nda
     return (out * s).astype(x.dtype)
 
 
-def matmul_any(x: jnp.ndarray, w) -> jnp.ndarray:
+def _xla_w8a8_matmul(x: jnp.ndarray, w8: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+    """W8A8: dynamic per-row int8 activations x int8 weights on the MXU.
+
+    ``dot_general(int8, int8, preferred=int32)`` runs ~1.5x FASTER than
+    the bf16 dot at compute-bound prefill shapes on this chip
+    (.bench/int8_prefill_probe.py: 1.50 vs 2.24 ms at
+    (4096,2048)@(2048,16384) incl. the dynamic row quant, which costs
+    ~4%) — the round-3 "int8 MXU is slower" verdict was measured at a
+    DECODE shape where the dot is HBM-bound and MXU rate is irrelevant
+    (docs/PERFORMANCE.md "int8 activation quant"). Numerics: symmetric
+    per-row activation scales x per-output-channel weight scales; the
+    int32 accumulation is exact, so the only new error is the activation
+    rounding (bounded by amax/127 per element).
+    """
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    a_s = jnp.maximum(amax, 1e-8) / 127.0
+    x8 = jnp.clip(jnp.round(xf / a_s), -127, 127).astype(jnp.int8)
+    out = jax.lax.dot_general(
+        x8, w8, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (out.astype(jnp.float32) * a_s * s).astype(x.dtype)
+
+
+def matmul_any(x: jnp.ndarray, w, int8_act: bool = False) -> jnp.ndarray:
     """Dispatch: dense ``x @ w``, int8, or blockwise-4-bit dequant matmul.
 
     Differentiable w.r.t. activations (weights frozen) so a LoRA fine-tune
@@ -98,8 +123,18 @@ def matmul_any(x: jnp.ndarray, w) -> jnp.ndarray:
     dequant-matmul variants this dispatch once covered live in
     kernels/ablation/quant_pallas.py — XLA's fused weight-stream convert
     measured equal without the per-block overhead.
+
+    ``int8_act=True`` (static) takes the W8A8 MXU path on int8 weights
+    when the matmul is prefill-sized (>= 256 total rows; decode-sized
+    calls keep the exact convert path so single-token numerics never
+    change). Opt-in via the engines' ``int8_act_prefill`` flag.
     """
     if isinstance(w, dict) and "w8" in w:
+        rows = 1
+        for d in x.shape[:-1]:
+            rows *= int(d)
+        if int8_act and rows >= 256:
+            return _xla_w8a8_matmul(x, w["w8"], w["s"])
         return _xla_int8_matmul(x, w["w8"], w["s"])
     if isinstance(w, dict) and "w4" in w:
         return _xla_4bit_matmul(x, w)

@@ -136,7 +136,8 @@ def _lora_delta(y: jnp.ndarray, lora_lp: Optional[Params], name: str) -> jnp.nda
 
 
 def _attn_proj(
-    cfg: GemmaConfig, y: jnp.ndarray, lp: Params, lora_lp: Optional[Params]
+    cfg: GemmaConfig, y: jnp.ndarray, lp: Params, lora_lp: Optional[Params],
+    int8_act: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """q/k/v projections (+LoRA), handling both the unfused layout and the
     serving-side fused ``qkv`` layout (runtime.quantize.fuse_qkv — one
@@ -145,33 +146,34 @@ def _attn_proj(
     b, s, _ = y.shape
     nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     if "qkv" in lp["attn"]:
-        qkv = matmul_any(y, lp["attn"]["qkv"])
+        qkv = matmul_any(y, lp["attn"]["qkv"], int8_act=int8_act)
         nq = nh * hd
         q = qkv[..., :nq] + _lora_delta(y, lora_lp, "q")
         k = qkv[..., nq : nq + nkv * hd] + _lora_delta(y, lora_lp, "k")
         v = qkv[..., nq + nkv * hd :] + _lora_delta(y, lora_lp, "v")
     else:
-        q = matmul_any(y, lp["attn"]["q"]) + _lora_delta(y, lora_lp, "q")
-        k = matmul_any(y, lp["attn"]["k"]) + _lora_delta(y, lora_lp, "k")
-        v = matmul_any(y, lp["attn"]["v"]) + _lora_delta(y, lora_lp, "v")
+        q = matmul_any(y, lp["attn"]["q"], int8_act=int8_act) + _lora_delta(y, lora_lp, "q")
+        k = matmul_any(y, lp["attn"]["k"], int8_act=int8_act) + _lora_delta(y, lora_lp, "k")
+        v = matmul_any(y, lp["attn"]["v"], int8_act=int8_act) + _lora_delta(y, lora_lp, "v")
     return (q.reshape(b, s, nh, hd), k.reshape(b, s, nkv, hd),
             v.reshape(b, s, nkv, hd))
 
 
 def _mlp(
-    cfg: GemmaConfig, y: jnp.ndarray, lp: Params, lora_lp: Optional[Params]
+    cfg: GemmaConfig, y: jnp.ndarray, lp: Params, lora_lp: Optional[Params],
+    int8_act: bool = False,
 ) -> jnp.ndarray:
     """GeGLU MLP (+LoRA), fused ``gateup`` or unfused layout."""
     if "gateup" in lp["mlp"]:
-        gu_fused = matmul_any(y, lp["mlp"]["gateup"])
+        gu_fused = matmul_any(y, lp["mlp"]["gateup"], int8_act=int8_act)
         inter = gu_fused.shape[-1] // 2
         gate = gelu_tanh(gu_fused[..., :inter] + _lora_delta(y, lora_lp, "gate"))
         up = gu_fused[..., inter:] + _lora_delta(y, lora_lp, "up")
     else:
-        gate = gelu_tanh(matmul_any(y, lp["mlp"]["gate"]) + _lora_delta(y, lora_lp, "gate"))
-        up = matmul_any(y, lp["mlp"]["up"]) + _lora_delta(y, lora_lp, "up")
+        gate = gelu_tanh(matmul_any(y, lp["mlp"]["gate"], int8_act=int8_act) + _lora_delta(y, lora_lp, "gate"))
+        up = matmul_any(y, lp["mlp"]["up"], int8_act=int8_act) + _lora_delta(y, lora_lp, "up")
     gu = gate * up
-    return matmul_any(gu, lp["mlp"]["down"]) + _lora_delta(gu, lora_lp, "down")
+    return matmul_any(gu, lp["mlp"]["down"], int8_act=int8_act) + _lora_delta(gu, lora_lp, "down")
 
 
 def _decoder_block(
@@ -190,6 +192,7 @@ def _decoder_block(
     mesh=None,
     kv_bucket: Optional[int] = None,  # static: attend over cache[:, :bucket]
     mlp_full: Optional[Params] = None,  # full stacked int8 MLP (fused kernel)
+    int8_act: bool = False,  # W8A8 projections at prefill-sized shapes
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
     """One pre-norm decoder block.
 
@@ -205,7 +208,7 @@ def _decoder_block(
 
     residual = x
     y = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
-    q, k, v = _attn_proj(cfg, y, lp, lora_lp)
+    q, k, v = _attn_proj(cfg, y, lp, lora_lp, int8_act=int8_act)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -267,7 +270,8 @@ def _decoder_block(
     else:
         a = attention.gqa(q, k_att, v_att, mask, scale=hd**-0.5)
     a = a.reshape(b, s, nh * hd)
-    x = residual + (matmul_any(a, lp["attn"]["o"]) + _lora_delta(a, lora_lp, "o"))
+    x = residual + (matmul_any(a, lp["attn"]["o"], int8_act=int8_act)
+                    + _lora_delta(a, lora_lp, "o"))
 
     residual = x
     y = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
@@ -278,7 +282,7 @@ def _decoder_block(
         from ..kernels.decode_mlp import mlp_decode_fused
 
         return residual + mlp_decode_fused(y, mlp_full, layer_idx), k_all, v_all
-    return residual + _mlp(cfg, y, lp, lora_lp), k_all, v_all
+    return residual + _mlp(cfg, y, lp, lora_lp, int8_act=int8_act), k_all, v_all
 
 
 def forward(
@@ -299,6 +303,7 @@ def forward(
     fused_layer: bool = False,  # whole-layer decode kernel (S==1, B==1, int8)
     greedy_head: bool = False,  # return the argmax token id, not logits
     lora: Optional[Params] = None,  # un-merged adapters or a per-row bank
+    int8_act: bool = False,  # W8A8 int8-weight projections at prefill shapes
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Run the decoder stack. Returns (fp32 logits (B,S,vocab), new cache).
 
@@ -456,7 +461,8 @@ def forward(
             layers_for_scan["mlp"] = {}
 
     block = functools.partial(
-        _decoder_block, cfg, kv_bucket=kv_bucket, mlp_full=mlp_full
+        _decoder_block, cfg, kv_bucket=kv_bucket, mlp_full=mlp_full,
+        int8_act=int8_act,
     )
     if remat:
         block = jax.checkpoint(block)

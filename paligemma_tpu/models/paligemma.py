@@ -139,6 +139,7 @@ def prefill(
     prefix_lens: Optional[jnp.ndarray] = None,  # (B,) int32
     lora: Optional[Params] = None,  # adapter tree or multi-adapter bank
     adapter_ids: Optional[jnp.ndarray] = None,  # (B,) rows into the bank
+    int8_act: bool = False,  # W8A8 LM projections (int8 weights only)
 ) -> Tuple[jnp.ndarray, gemma.KVCache]:
     """Vision encode + merge + decoder prefill. Returns (logits, cache).
 
@@ -215,6 +216,7 @@ def prefill(
         lora=lora_with_ids(
             lora, adapter_ids, cfg.text_config.num_hidden_layers
         ),
+        int8_act=int8_act,
     )
     return logits, kv_cache
 

@@ -61,6 +61,7 @@ class PaliGemmaEngine:
         decode_scan_block: int = 1,
         fused_mlp: Optional[bool] = None,
         fused_layer: Optional[bool] = None,
+        int8_act_prefill: bool = False,
     ):
         """``mesh``: optional jax.sharding.Mesh("data","model") — weights get
         Megatron-style TP shardings on "model" and the batch shards on
@@ -76,7 +77,16 @@ class PaliGemmaEngine:
         decode_step — e.g. int8-quantized weights (runtime.quantize) while
         ``params`` stays bf16 for the compute-bound prefill. Splitting the
         two phases this way gets the best TTFT *and* the best decode
-        tokens/s at the cost of holding both copies in HBM."""
+        tokens/s at the cost of holding both copies in HBM.
+
+        ``int8_act_prefill``: when ``params`` itself is the int8 tree
+        (single-copy serving), run the LM prefill projections as W8A8
+        int8 x int8 MXU dots with dynamic per-row activation scales —
+        measured ~1.5x the bf16-convert dot at prefill shapes
+        (.bench/int8_prefill_probe.py). Decode-sized calls and the
+        logits head keep the exact convert path (kernels/quant.py
+        matmul_any row gate). Opt-in: adds activation-rounding error at
+        prefill (weights-only int8 stays default)."""
         self.config = config
         self.max_seq_len = max_seq_len
         self.eos_token_id = eos_token_id
@@ -96,6 +106,7 @@ class PaliGemmaEngine:
             if not (ok_lm and ok_vis):
                 use_flash = False
         self.use_flash = use_flash
+        self.int8_act_prefill = bool(int8_act_prefill)
         self.decode_scan_block = decode_scan_block
         # Fused int8 decode-MLP Pallas kernel (kernels/decode_mlp).
         # Currently opt-in while the DMA schedule is tuned against the XLA
@@ -203,12 +214,15 @@ class PaliGemmaEngine:
             else None
         )
 
+        _i8a = self.int8_act_prefill
+
         @functools.partial(jax.jit, donate_argnums=(4,))
         def _prefill(params, pixels, ids, mask, cache):
             # last_only: the head projects just each row's last valid token
             logits, cache = paligemma.prefill(
                 params, cfg, pixels, ids, mask, cache, use_flash=use_flash,
                 last_only=True, mesh=mesh if use_flash else None,
+                int8_act=_i8a,
             )
             b, s = ids.shape
             valid = jnp.zeros((b, cache["k"].shape[2]), bool)

@@ -124,6 +124,7 @@ class ServingEngine:
         grammars: Optional[Dict[str, Any]] = None,
         prefix_cache: bool = False,
         prefix_cache_entries: int = 8,
+        int8_act_prefill: bool = False,
     ):
         """``decode_params``: optional int8-quantized weights used for the
         lockstep decode while ``params`` (bf16) serves the prefills.
@@ -170,6 +171,11 @@ class ServingEngine:
         self.mesh = mesh
         self.params = params
         self.decode_params = decode_params if decode_params is not None else params
+        # W8A8 prefill (int8 weights + dynamic per-row int8 activations on
+        # the MXU, ~1.5x the bf16-convert dot at prefill shapes) — only
+        # meaningful when ``params`` IS the int8 tree; decode ticks and the
+        # logits head keep the exact convert path (matmul_any row gate)
+        self.int8_act_prefill = bool(int8_act_prefill)
 
         # Fused decode kernels (kernels/decode_layer + decode_head): the
         # lockstep tick runs all layers in one Pallas call and, for greedy
@@ -361,6 +367,8 @@ class ServingEngine:
         cfg = config
         tcfg = config.text_config
 
+        _i8a = self.int8_act_prefill
+
         @functools.partial(jax.jit, donate_argnums=(5,))
         def _prefill_batch(params, pixels, ids, mask, prefix_lens, cache1,
                            lora=None, adapter_ids=None):
@@ -369,6 +377,7 @@ class ServingEngine:
                 params, cfg, pixels, ids, mask, cache1, use_flash=use_flash,
                 last_only=True, mesh=mesh if use_flash else None,
                 prefix_lens=prefix_lens, lora=lora, adapter_ids=adapter_ids,
+                int8_act=_i8a,
             )
             return logits[:, 0], cache1
 

@@ -66,6 +66,7 @@ class PagedServingEngine(ServingEngine):
         pipeline=None,
         lora_bank: Optional[Dict[str, Any]] = None,
         grammars: Optional[Dict[str, Any]] = None,
+        int8_act_prefill: bool = False,
     ):
         """``n_pages``: physical pool size (default: half the dense engine's
         reservation — the honest demonstration that more slots fit in less
@@ -179,6 +180,7 @@ class PagedServingEngine(ServingEngine):
             spec_decode=spec_decode, spec_draft_k=spec_draft_k,
             spec_match_n=spec_match_n, pipeline=pipeline,
             lora_bank=lora_bank, grammars=grammars,
+            int8_act_prefill=int8_act_prefill,
         )
         # DP x TP: the DP tick/verify shard_maps go manual over "data"
         # only, leaving "model" to GSPMD (jax.shard_map axis_names)

@@ -259,3 +259,64 @@ def test_qlora_train_over_int8_base():
         last = tr.train_step(_batch())
     assert not np.allclose(np.asarray(tr.lora["layers"]["q"]["b"]), b_before)
     assert last < first
+
+
+def test_w8a8_matmul_close_and_gated():
+    """int8_act=True takes the W8A8 path only at prefill-sized shapes
+    (>= 256 rows); small calls return the exact convert-path result.
+    W8A8 output stays close to the float reference (activation rounding
+    is the only new error source; int32 accumulation is exact)."""
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(64, 96)) * 0.05, jnp.float32)
+    q = quantize_int8(w)
+
+    # decode-sized: identical to the convert path bit-for-bit
+    x_small = jnp.asarray(rng.normal(size=(8, 64)), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(matmul_any(x_small, q, int8_act=True)),
+        np.asarray(matmul_any(x_small, q)),
+    )
+
+    # prefill-sized: W8A8 engages; close to the float product
+    x_big = jnp.asarray(rng.normal(size=(512, 64)), jnp.float32)
+    got = np.asarray(matmul_any(x_big, q, int8_act=True), np.float32)
+    ref = np.asarray(x_big, np.float32) @ np.asarray(
+        dequantize(q, jnp.float32), np.float32
+    )
+    denom = np.maximum(np.abs(ref), 1e-3)
+    assert np.median(np.abs(got - ref) / denom) < 0.02
+    # and it is NOT the convert path's output (the path actually switched)
+    conv = np.asarray(matmul_any(x_big, q), np.float32)
+    assert np.abs(got - conv).max() > 0
+
+
+def test_w8a8_prefill_forward_close_and_greedy_consistent():
+    """gemma.forward(int8_act=True) at a prefill-sized S stays close to
+    the weights-only int8 forward and picks the same greedy token."""
+    tc = CFG.text_config
+    params = gemma.init_params(jax.random.PRNGKey(0), tc, jnp.float32)
+    q = quantize_lm_for_serving({"lm": params})["lm"]
+    b, s, max_seq = 1, 384, 512
+    rng = np.random.default_rng(1)
+    embeds = jnp.asarray(rng.normal(size=(b, s, tc.hidden_size)) * 0.05,
+                         jnp.float32)
+    pos = jnp.arange(1, s + 1, dtype=jnp.int32)[None]
+    valid = jnp.zeros((b, max_seq), bool).at[:, :s].set(True)
+
+    def run(int8_act):
+        cache = gemma.init_kv_cache(tc, b, max_seq, jnp.float32)
+        logits, _ = gemma.forward(
+            q, tc, embeds, pos, cache,
+            cache_pos=jnp.zeros((), jnp.int32), kv_valid=valid,
+            logits_idx=jnp.full((b,), s - 1, jnp.int32),
+            int8_act=int8_act,
+        )
+        return np.asarray(logits[:, -1], np.float32)
+
+    base = run(False)
+    w8a8 = run(True)
+    assert np.argmax(base) == np.argmax(w8a8)
+    denom = np.maximum(np.abs(base), 1e-2)
+    assert np.median(np.abs(w8a8 - base) / denom) < 0.05, (
+        np.median(np.abs(w8a8 - base) / denom)
+    )
