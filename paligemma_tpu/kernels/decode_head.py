@@ -64,9 +64,12 @@ def _kernel(
             y, wbuf[slot].astype(y.dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * s_ref[c]  # (B, bs) f32
-        # round-trip through bf16: the XLA path (matmul_any -> lm_head)
-        # emits bf16 logits, so argmax must see identical rounding
-        logits = logits.astype(jnp.bfloat16).astype(jnp.float32)
+        # round-trip through the ACTIVATION dtype: the XLA path
+        # (matmul_any -> lm_head) emits logits in x.dtype — bf16 in
+        # serving, fp32 in fp32-param CPU tests — so argmax must see
+        # identical rounding in both (a hard bf16 round here flipped
+        # near-crossing tokens vs the fp32 XLA path on CPU)
+        logits = logits.astype(y.dtype).astype(jnp.float32)
         ids = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + c * bs
         if nch * bs != n_valid:
             # padded vocab (TP shards rarely divide into lane-aligned
@@ -185,12 +188,13 @@ def head_argmax_fused(
 
 
 def reference_head_argmax(y, head_q):
-    """XLA reference for tests: fp32 logits then jnp.argmax."""
+    """XLA reference for tests: logits rounded to the activation dtype
+    (matching matmul_any -> lm_head) then jnp.argmax."""
     logits = (
         jax.lax.dot_general(
             y.reshape(-1, y.shape[-1]), head_q["w8"].astype(y.dtype),
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
         * head_q["s"]
-    ).astype(jnp.bfloat16)
+    ).astype(y.dtype)
     return jnp.argmax(logits.astype(jnp.float32), -1).astype(jnp.int32)

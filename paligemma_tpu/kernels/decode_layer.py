@@ -459,7 +459,9 @@ def _kernel_all(
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 ) * hs_ref[c]  # (B, bsh) f32
-                logits = logits.astype(jnp.bfloat16).astype(jnp.float32)
+                # round to the activation dtype like the XLA head
+                # (see kernels/decode_head._kernel)
+                logits = logits.astype(yh.dtype).astype(jnp.float32)
                 ids = (
                     jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
                     + c * h_bs

@@ -417,18 +417,22 @@ class PagedServingEngine(ServingEngine):
                     ),
                 }
                 return token, pool, state
-            logits = state["logits"]
-            if gtable is not None:
-                # constrain selection to each row's LIVE DFA state (stored
-                # logits are unmasked by convention; gid 0 allows every
-                # token) — the paged tick materializes logits every step,
-                # so grammar composes with EVERY paged kernel, fused
-                # included (unlike the dense fused tick, whose in-kernel
-                # argmax head cannot mask)
-                allowed = gtable[state["gid"], state["dstate"]] >= 0
-                logits = jnp.where(allowed, logits, -jnp.inf)
-            greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            # greedy selection reads the CARRIED pending token (computed
+            # from fresh logits when they were materialized, grammar-masked
+            # at store/seat time) — exact even when earlier windows ran the
+            # fused greedy fast path and left state["logits"] stale, the
+            # same convention as the dense engine's tick
+            # (runtime/serving.py). Sampled rows' logits are always fresh:
+            # every tick they were active ran this materializing variant.
+            greedy_tok = state["next_tok"]
             if with_sampling:
+                logits = state["logits"]
+                if gtable is not None:
+                    # constrain the sampled choice to the row's LIVE DFA
+                    # state (stored logits are unmasked by convention;
+                    # gid 0 allows every token)
+                    allowed = gtable[state["gid"], state["dstate"]] >= 0
+                    logits = jnp.where(allowed, logits, -jnp.inf)
                 sampled_tok = jax.vmap(
                     lambda k, lg, t, p: sampling.sample_top_p(k, lg[None], t, p)[0]
                 )(jax.random.split(key, self.max_slots), logits, temps, top_ps)

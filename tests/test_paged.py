@@ -662,23 +662,38 @@ def test_paged_fused_greedy_fast_path_survives_sampling_windows():
         projection_dim=128, hidden_size=128, image_token_index=250,
         vocab_size=256,
     )
-    params = paligemma.init_params(jax.random.PRNGKey(5), cfg, jnp.float32)
+    # seed 42: greedy continuations VARY over steps ([33, 33, 220, ...]);
+    # a near-constant sequence (seed 5) would mask a stale-logits
+    # selection bug because argmax(stale) == argmax(fresh) there
+    params = paligemma.init_params(jax.random.PRNGKey(42), cfg, jnp.float32)
     q = quantize_lm_for_serving(params)
 
     def reqs():
         out = []
-        rng = np.random.default_rng(77)
-        # request 0 samples for its first 3 tokens (forces with_sampling
-        # windows while it lives); 1 and 2 are greedy and outlive it
-        for i, (max_new, sample) in enumerate(((3, True), (8, False),
-                                               (7, False))):
+        # Both switch directions are covered with max_slots=2:
+        # requests 0 (samples its first 3 tokens) and 1 (greedy) seat
+        # first -> with_sampling windows; 0 drains -> request 2 (greedy)
+        # seats -> greedy fast-path windows while 1 continues; 1 drains
+        # -> request 3 (sampling) seats beside 2 -> with_sampling windows
+        # again, with row 2's stored logits STALE from the fast-path
+        # windows (the round-5 regression this test pins: greedy
+        # selection must read the carried next_tok, not stale logits —
+        # argmax of row 2's stale logits replays its FIRST decode token).
+        # Request 2's prompt is chosen so its greedy continuation VARIES
+        # across steps ([33, 33, 220, 220, 220, 2, ...] on these
+        # weights); a constant sequence would mask the staleness.
+        for i, (max_new, sample, ids_seed, px_seed, n_txt) in enumerate((
+            (3, True, 78, 0, 3), (8, False, 79, 1, 4),
+            (9, False, 77, 2, 5), (4, True, 80, 3, 6),
+        )):
+            rng = np.random.default_rng(ids_seed)
             ids = np.concatenate(
-                [[cfg.image_token_index] * 4, rng.integers(5, 200, 3 + i)]
+                [[cfg.image_token_index] * 4, rng.integers(5, 200, n_txt)]
             ).astype(np.int32)
             out.append(Request(
                 request_id=i,
                 pixel_values=np.asarray(
-                    np.random.default_rng(i).normal(size=(3, 28, 28)),
+                    np.random.default_rng(px_seed).normal(size=(3, 28, 28)),
                     np.float32),
                 input_ids=ids, max_new_tokens=max_new, eos_token_id=-1,
                 do_sample=sample, temperature=0.9, top_p=0.9,
@@ -686,9 +701,12 @@ def test_paged_fused_greedy_fast_path_survives_sampling_windows():
         return out
 
     def run(kernel):
+        # sync_every=1: per-tick windows, so the variant switches
+        # actually interleave (an 8-tick window would swallow whole
+        # requests and never run the greedy fast path mid-stream)
         eng = PagedServingEngine(
-            q, cfg, max_slots=3, max_seq_len=64, page_size=16,
-            use_flash=False, paged_kernel=kernel,
+            q, cfg, max_slots=2, max_seq_len=64, page_size=16,
+            use_flash=False, paged_kernel=kernel, sync_every=1,
         )
         for r in reqs():
             eng.submit(r)
@@ -697,7 +715,7 @@ def test_paged_fused_greedy_fast_path_survives_sampling_windows():
 
     ref = run("multi")
     fus = run("fused")
-    # greedy rows must be exact; the sampled row draws through the same
+    # greedy rows must be exact; the sampled rows draw through the same
     # key schedule but float rounding may differ between kernels
     for i in (1, 2):
         np.testing.assert_array_equal(ref[i], fus[i])
