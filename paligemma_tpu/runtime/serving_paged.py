@@ -1007,8 +1007,10 @@ class PagedServingEngine(ServingEngine):
             extra["gid"] = jnp.asarray(
                 self._grammar_index[req.grammar], jnp.int32
             )
-            if self.spec_decode:
-                extra["gtable"] = self.grammar_table
+            # gtable is needed at EVERY grammar seat, not just spec: the
+            # seeded next_tok must obey the grammar's START state (the
+            # tick's greedy selection reads it — round-5 fast-path fix)
+            extra["gtable"] = self.grammar_table
         self.state = self._set_slot_state(
             self.state, jnp.asarray(slot, jnp.int32),
             jnp.asarray(prompt_len, jnp.int32), jnp.asarray(0, jnp.int32),
@@ -1132,8 +1134,10 @@ class PagedServingEngine(ServingEngine):
             extra["gid"] = jnp.asarray(
                 self._grammar_index[req.grammar], jnp.int32
             )
-            if self.spec_decode:
-                extra["gtable"] = self.grammar_table
+            # gtable is needed at EVERY grammar seat, not just spec: the
+            # seeded next_tok must obey the grammar's START state (the
+            # tick's greedy selection reads it — round-5 fast-path fix)
+            extra["gtable"] = self.grammar_table
         self.state = self._set_slot_state(
             self.state, jnp.asarray(slot, jnp.int32),
             jnp.asarray(len(req.input_ids), jnp.int32),
